@@ -1,0 +1,286 @@
+"""Valid/error triple split, per-doc conformance verdicts, report triples.
+
+Reference analogs (SURVEY.md §2.5, §2.6, FIXTURES.md §2):
+
+* ``shaclService.filter(model, report)`` — sub-model of conformant triples
+  (`FilteringService.java:119-131`). Semantics pinned by the golden
+  fixture's inline expectations
+  (`test/config/migrations/202103191602-create-dummy-import.ttl:7-31`):
+  - subjects not targeted by any shape are "completely filtered";
+  - values implicated by a value-level violation (pattern/datatype/
+    nodeKind/class/length/closed/in) are dropped;
+  - a maxCount violation drops *all* values at that (focus, path) — the
+    fixture marks both of Bob's ssns invalid;
+  - absence violations (minCount / hasValue) implicate no existing triple;
+  - rdf:type and other ignored/declared conforming values are kept.
+* ``importedTriples.difference(validTriples)`` — error triples
+  (`FilteringService.java:94-106`): Jena Models are *sets*, so this is a
+  left_anti join on the full triple key, not ``exceptAll``.
+* validation report model with skolemized blank nodes
+  (`FilteringService.java:77-79`, `ModelUtils.replaceAnonNodes`): we mint
+  deterministic ``urn:skolem:`` IRIs from sha2 of the violation identity so
+  output is stable across runs/partitions (SURVEY §2.6, C4).
+
+All joins are keyed on (doc_id, …) — co-partitioned with the validate
+stage, so at cluster scale the exchange on doc_id is reused across
+validate/filter/split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harvesting_validator_spark.shacl.model import SH
+
+TRIPLE_KEY = [
+    "doc_id", "subj", "pred", "obj_value", "obj_kind", "obj_datatype", "obj_lang",
+]
+
+# components whose violations implicate the specific offending value
+_VALUE_LEVEL = [
+    SH + "DatatypeConstraintComponent",
+    SH + "PatternConstraintComponent",
+    SH + "NodeKindConstraintComponent",
+    SH + "MinLengthConstraintComponent",
+    SH + "MaxLengthConstraintComponent",
+    SH + "InConstraintComponent",
+    SH + "ClassConstraintComponent",
+    SH + "ClosedConstraintComponent",
+]
+# components whose violations implicate every value at (focus, path)
+_PATH_LEVEL = [SH + "MaxCountConstraintComponent"]
+
+
+def split_valid_error(
+    triples: DataFrame, focus: DataFrame, violations: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """F1 + F2: (valid_triples, error_triples).
+
+    valid = triples whose subject is a focus node of some shape, minus
+    value-implicating violations; error = input − valid (set difference
+    via left_anti on the full key, `FilteringService.java:97`).
+    """
+    focus_any = focus.select(
+        F.col("doc_id").alias("f_doc"), F.col("focus_node").alias("f_node")
+    ).distinct()
+
+    targeted = triples.join(
+        focus_any,
+        (triples.doc_id == focus_any.f_doc) & (triples.subj == focus_any.f_node),
+        "left_semi",
+    )
+
+    drop_value = (
+        violations.filter(F.col("constraint_component").isin(_VALUE_LEVEL))
+        .select(
+            F.col("doc_id").alias("v_doc"),
+            F.col("focus_node").alias("v_subj"),
+            F.col("result_path").alias("v_pred"),
+            F.col("value").alias("v_obj"),
+        )
+        .distinct()
+    )
+    drop_path = (
+        violations.filter(F.col("constraint_component").isin(_PATH_LEVEL))
+        .select(
+            F.col("doc_id").alias("v_doc"),
+            F.col("focus_node").alias("v_subj"),
+            F.col("result_path").alias("v_pred"),
+        )
+        .distinct()
+    )
+
+    valid = targeted.join(
+        drop_value,
+        (targeted.doc_id == drop_value.v_doc)
+        & (targeted.subj == drop_value.v_subj)
+        & (targeted.pred == drop_value.v_pred)
+        & (targeted.obj_value == drop_value.v_obj),
+        "left_anti",
+    ).join(
+        drop_path,
+        (targeted.doc_id == drop_path.v_doc)
+        & (targeted.subj == drop_path.v_subj)
+        & (targeted.pred == drop_path.v_pred),
+        "left_anti",
+    )
+
+    # Model = set, so difference = null-safe anti-join on the full key
+    # (plain column-list joins treat null != null and would leak typed
+    # triples with null obj_datatype into the error set).
+    valid_keyed = valid.select(
+        *[F.col(c).alias(f"k_{c}") for c in TRIPLE_KEY]
+    )
+    cond = None
+    for c in TRIPLE_KEY:
+        clause = triples[c].eqNullSafe(valid_keyed[f"k_{c}"])
+        cond = clause if cond is None else (cond & clause)
+    error = triples.join(valid_keyed, cond, "left_anti")
+    return valid.select(*TRIPLE_KEY), error.select(*TRIPLE_KEY)
+
+
+def conformance_verdicts(
+    doc_ids: DataFrame, violations: DataFrame,
+    parse_errors: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document rollup (SURVEY §2.4 target-only aggregation):
+    (doc_id, n_violations, parse_ok, conforms).
+
+    conforms = NOT EXISTS(violation) AND parsed cleanly — a document the
+    reference could not read would fail the whole task
+    (`PipelineService.java:46-56`); we degrade per-document but must not
+    report it conforming.
+    """
+    per_doc = violations.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_violations")
+    )
+    out = (
+        doc_ids.select("doc_id").distinct()
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_violations"), F.lit(0)).alias("n_violations"),
+        )
+    )
+    if parse_errors is not None:
+        bad = parse_errors.select("doc_id").distinct().withColumn(
+            "parse_failed", F.lit(True)
+        )
+        out = out.join(bad, "doc_id", "left").withColumn(
+            "parse_ok", F.coalesce(~F.col("parse_failed"), F.lit(True))
+        ).drop("parse_failed")
+    else:
+        out = out.withColumn("parse_ok", F.lit(True))
+    return out.withColumn(
+        "conforms", (F.col("n_violations") == 0) & F.col("parse_ok")
+    )
+
+
+def report_triples(violations: DataFrame) -> DataFrame:
+    """Validation-report triples per SHACL vocabulary, blank nodes
+    skolemized deterministically (`FilteringService.java:78`; SURVEY §2.6).
+
+    Output: same 7-column triple shape as the data tables, one
+    sh:ValidationResult node per violation + one sh:ValidationReport node
+    per non-conforming doc.
+    """
+    xsd_bool = "http://www.w3.org/2001/XMLSchema#boolean"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    v = violations.withColumn(
+        "result_node",
+        F.concat(
+            F.lit("urn:skolem:result:"),
+            F.sha2(
+                F.concat_ws(
+                    "\x1f", "doc_id", "focus_node",
+                    F.coalesce("result_path", F.lit("")),
+                    "constraint_component",
+                    F.coalesce("value", F.lit("")),
+                    F.coalesce("message", F.lit("")),
+                ),
+                256,
+            ),
+        ),
+    ).withColumn(
+        "report_node",
+        F.concat(F.lit("urn:skolem:report:"), F.col("doc_id")),
+    )
+
+    def t(subj, pred, obj, kind, dtype=None):
+        return v.select(
+            F.col("doc_id"),
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj.alias("obj_value"),
+            F.lit(kind).alias("obj_kind"),
+            F.lit(dtype).alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        )
+
+    rn, pn = F.col("result_node"), F.col("report_node")
+    frames = [
+        t(pn, SH + "result", rn, "iri"),
+        t(rn, rdf_type, F.lit(SH + "ValidationResult"), "iri"),
+        t(rn, SH + "focusNode", F.col("focus_node"), "iri"),
+        t(rn, SH + "resultSeverity", F.col("severity"), "iri"),
+        t(rn, SH + "sourceConstraintComponent", F.col("constraint_component"), "iri"),
+        t(rn, SH + "sourceShape", F.col("shape"), "iri"),
+        t(rn, SH + "resultMessage", F.col("message"), "literal",
+          "http://www.w3.org/2001/XMLSchema#string"),
+        t(rn, SH + "resultPath", F.col("result_path"), "iri").filter(
+            F.col("obj_value").isNotNull()
+        ),
+        v.filter(F.col("value").isNotNull()).select(
+            F.col("doc_id"),
+            rn.alias("subj"),
+            F.lit(SH + "value").alias("pred"),
+            F.col("value").alias("obj_value"),
+            F.coalesce(F.col("value_kind"), F.lit("literal")).alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        ),
+    ]
+    results = frames[0]
+    for fdf in frames[1:]:
+        results = results.unionByName(fdf)
+
+    report_hdr = (
+        v.select("doc_id", "report_node").distinct()
+        .select(
+            F.col("doc_id"),
+            F.col("report_node").alias("subj"),
+            F.lit(rdf_type).alias("pred"),
+            F.lit(SH + "ValidationReport").alias("obj_value"),
+            F.lit("iri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        )
+    )
+    conforms_false = (
+        v.select("doc_id", "report_node").distinct()
+        .select(
+            F.col("doc_id"),
+            F.col("report_node").alias("subj"),
+            F.lit(SH + "conforms").alias("pred"),
+            F.lit("false").alias("obj_value"),
+            F.lit("literal").alias("obj_kind"),
+            F.lit(xsd_bool).alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        )
+    )
+    return results.unionByName(report_hdr).unionByName(conforms_false)
+
+
+def nt_lines(triples: DataFrame) -> DataFrame:
+    """N-Triples serialization as a single `line` column — the S4 sink
+    (`TaskService.java:229`, `ModelUtils.toFile(..., RDFLanguages.NT)`)
+    expressed as Catalyst string ops + a text write."""
+    esc = F.regexp_replace(
+        F.regexp_replace(F.col("obj_value"), r"\\", r"\\\\"), '"', r'\"'
+    )
+    obj = (
+        F.when(F.col("obj_kind") == "iri",
+               F.concat(F.lit("<"), F.col("obj_value"), F.lit(">")))
+        .when(F.col("obj_kind") == "bnode", F.col("obj_value"))
+        .when(
+            F.col("obj_lang").isNotNull(),
+            F.concat(F.lit('"'), esc, F.lit('"@'), F.col("obj_lang")),
+        )
+        .when(
+            F.col("obj_datatype").isNotNull()
+            & (F.col("obj_datatype") != "http://www.w3.org/2001/XMLSchema#string"),
+            F.concat(F.lit('"'), esc, F.lit('"^^<'), F.col("obj_datatype"), F.lit(">")),
+        )
+        .otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+    )
+    subj = F.when(
+        F.col("subj").startswith("_:"), F.col("subj")
+    ).otherwise(F.concat(F.lit("<"), F.col("subj"), F.lit(">")))
+    return triples.select(
+        "doc_id",
+        F.concat_ws(
+            " ", subj, F.concat(F.lit("<"), F.col("pred"), F.lit(">")), obj, F.lit(".")
+        ).alias("line"),
+    )

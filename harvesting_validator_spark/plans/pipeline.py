@@ -1,0 +1,89 @@
+"""End-to-end validation pipeline assembly (SURVEY.md §3.1 re-expressed).
+
+Reference lifecycle: delta -> task -> paged file fetch -> parse Turtle ->
+SHACL validate per model -> split valid/error/report -> write NT files +
+lineage (`AppController.java:27-45` ... `FilteringService.java:60-91`).
+
+Spark lifecycle: sources DF -> mapInPandas parse -> triples DF (cached,
+repartitioned by doc_id so validate/filter/split reuse one exchange) ->
+violations DF (Catalyst predicates) -> verdicts + valid/error/report DFs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harvesting_validator_spark.operators.filtering import (
+    conformance_verdicts,
+    report_triples,
+    split_valid_error,
+)
+from harvesting_validator_spark.shacl.compile import compute_focus, validate
+from harvesting_validator_spark.shacl.parse import parse_shapes_turtle
+from harvesting_validator_spark.sources.rdf_parse import parse_sources_to_triples
+
+
+@dataclass
+class ValidationRun:
+    sources: DataFrame
+    triples: DataFrame
+    parse_errors: DataFrame
+    focus: DataFrame
+    violations: DataFrame
+    verdicts: DataFrame
+    valid_triples: DataFrame
+    error_triples: DataFrame
+    report: DataFrame
+
+
+def add_doc_id(sources: DataFrame) -> DataFrame:
+    if "doc_id" in sources.columns:
+        return sources
+    return sources.withColumn(
+        "doc_id", F.sha2(F.concat_ws("\x1f", "repo", "path", "commit"), 256)
+    )
+
+
+def content_sha_invariant(sources: DataFrame) -> DataFrame:
+    """Per-row invariant vs the source (BASELINE.json input_hint):
+    content sha256 recorded alongside doc_id; equality is asserted by
+    re-deriving from the source table."""
+    return add_doc_id(sources).select(
+        "doc_id", F.sha2(F.col("content"), 256).alias("content_sha256")
+    )
+
+
+def run_validation(
+    spark: SparkSession,
+    sources: DataFrame,
+    shapes_turtle: str,
+    cache: bool = True,
+) -> ValidationRun:
+    shapes = parse_shapes_turtle(shapes_turtle)
+    sources = add_doc_id(sources)
+    triples, parse_errors = parse_sources_to_triples(sources, with_errors=True)
+    if cache:
+        triples = triples.persist()
+    focus = compute_focus(triples, shapes, spark)
+    violations = validate(triples, shapes, spark)
+    if cache:
+        violations = violations.persist()
+    verdicts = conformance_verdicts(
+        sources.select("doc_id"), violations, parse_errors
+    )
+    valid, error = split_valid_error(triples, focus, violations)
+    report = report_triples(violations)
+    return ValidationRun(
+        sources=sources,
+        triples=triples,
+        parse_errors=parse_errors,
+        focus=focus,
+        violations=violations,
+        verdicts=verdicts,
+        valid_triples=valid,
+        error_triples=error,
+        report=report,
+    )

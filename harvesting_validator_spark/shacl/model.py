@@ -1,0 +1,73 @@
+"""Compiled SHACL shapes model.
+
+Reference analog: the application profile is parsed once at startup into a
+Jena ``Shapes`` singleton (`ApplicationConfig.java:44-50`, SURVEY.md §1.4)
+and shared. Here the compiled form is a tuple of plain-Python dataclasses,
+small enough to ship to executors inside closure captures / broadcasts.
+
+Constructs covered = everything exercised by the reference's two profiles
+(`test/config/validation/application-profile.ttl:9-24`,
+`src/main/resources/default.shaclc:7-16`; SURVEY.md §2.6): targetClass,
+path (simple IRI), minCount/maxCount, datatype (+ sh:or unions), pattern,
+class, nodeKind, minLength/maxLength, closed+ignoredProperties, nested
+node shapes, sh:in, sh:hasValue.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+SH = "http://www.w3.org/ns/shacl#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = RDF + "type"
+
+NODEKIND_IRI = SH + "IRI"
+NODEKIND_BLANK = SH + "BlankNode"
+NODEKIND_LITERAL = SH + "Literal"
+NODEKIND_BLANK_OR_IRI = SH + "BlankNodeOrIRI"
+NODEKIND_BLANK_OR_LITERAL = SH + "BlankNodeOrLiteral"
+NODEKIND_IRI_OR_LITERAL = SH + "IRIOrLiteral"
+
+SEVERITY_VIOLATION = SH + "Violation"
+
+
+@dataclass(frozen=True)
+class PropertyShape:
+    """One ``sh:property`` blank node of a node shape."""
+
+    shape_id: str  # skolemized id of the property shape (for reporting)
+    path: str  # simple IRI path only (the reference uses nothing else)
+    min_count: int | None = None
+    max_count: int | None = None
+    datatypes: tuple[str, ...] = ()  # >1 entries = sh:or of datatypes
+    pattern: str | None = None
+    class_: str | None = None
+    node_kind: str | None = None
+    min_length: int | None = None
+    max_length: int | None = None
+    in_values: tuple[str, ...] = ()
+    has_value: str | None = None
+    node_shape: str | None = None  # nested shape: IRI/bnode id of a NodeShape
+    message: str | None = None
+
+
+@dataclass(frozen=True)
+class NodeShape:
+    iri: str
+    target_classes: tuple[str, ...] = ()
+    target_nodes: tuple[str, ...] = ()
+    properties: tuple[PropertyShape, ...] = ()
+    closed: bool = False
+    ignored_properties: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class ShapesGraph:
+    shapes: tuple[NodeShape, ...] = ()
+    # shapes addressable by id, for nested sh:node resolution
+    by_id: dict = field(default_factory=dict, compare=False)
+
+    def targeted(self) -> tuple[NodeShape, ...]:
+        return tuple(
+            s for s in self.shapes if s.target_classes or s.target_nodes
+        )

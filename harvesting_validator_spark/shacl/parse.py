@@ -1,0 +1,156 @@
+"""Parse a SHACL shapes document (Turtle text) into a ShapesGraph.
+
+Driver-side, once per run — parity with the reference's startup
+``Shapes.parse(shapesGraph)`` (`ApplicationConfig.java:44-50`). The shapes
+file is tiny (an "application profile"), so plain Python over the parsed
+triple list is appropriate; the compiled ShapesGraph is then broadcast to
+executors implicitly via the DataFrame expressions built from it.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from harvesting_validator_spark.sources.rdf_parse import Triple, parse_turtle
+from harvesting_validator_spark.shacl.model import (
+    RDF,
+    SH,
+    NodeShape,
+    PropertyShape,
+    ShapesGraph,
+)
+
+RDF_FIRST = RDF + "first"
+RDF_REST = RDF + "rest"
+RDF_NIL = RDF + "nil"
+
+
+def _index(triples: list[Triple]):
+    by_subj: dict[str, list[Triple]] = defaultdict(list)
+    for t in triples:
+        by_subj[t.subj].append(t)
+    return by_subj
+
+
+def _values(by_subj, subj: str, pred: str) -> list[Triple]:
+    return [t for t in by_subj.get(subj, []) if t.pred == pred]
+
+def _value(by_subj, subj: str, pred: str) -> Triple | None:
+    vs = _values(by_subj, subj, pred)
+    return vs[0] if vs else None
+
+
+def _rdf_list(by_subj, head: str) -> list[str]:
+    out: list[str] = []
+    node = head
+    seen: set[str] = set()
+    while node and node != RDF_NIL and node not in seen:
+        seen.add(node)
+        first = _value(by_subj, node, RDF_FIRST)
+        if first is not None:
+            out.append(first.obj_value)
+        rest = _value(by_subj, node, RDF_REST)
+        node = rest.obj_value if rest is not None else RDF_NIL
+    return out
+
+
+def _int(t: Triple | None) -> int | None:
+    if t is None:
+        return None
+    try:
+        return int(t.obj_value)
+    except ValueError:
+        return None
+
+
+def _parse_property_shape(by_subj, ps_id: str) -> PropertyShape | None:
+    path_t = _value(by_subj, ps_id, SH + "path")
+    if path_t is None or path_t.obj_kind == "bnode":
+        # sequence/inverse paths don't occur in the reference (SURVEY §2.6)
+        return None
+    datatypes: list[str] = []
+    dt = _value(by_subj, ps_id, SH + "datatype")
+    if dt is not None:
+        datatypes.append(dt.obj_value)
+    # sh:or ( [sh:datatype d1] [sh:datatype d2] ... ) — the shaclc
+    # `xsd:integer|xsd:string` union form (default.shaclc:13)
+    or_t = _value(by_subj, ps_id, SH + "or")
+    if or_t is not None:
+        for alt in _rdf_list(by_subj, or_t.obj_value):
+            alt_dt = _value(by_subj, alt, SH + "datatype")
+            if alt_dt is not None:
+                datatypes.append(alt_dt.obj_value)
+    node_t = _value(by_subj, ps_id, SH + "node")
+    in_t = _value(by_subj, ps_id, SH + "in")
+    pattern_t = _value(by_subj, ps_id, SH + "pattern")
+    class_t = _value(by_subj, ps_id, SH + "class")
+    kind_t = _value(by_subj, ps_id, SH + "nodeKind")
+    msg_t = _value(by_subj, ps_id, SH + "message")
+    hv_t = _value(by_subj, ps_id, SH + "hasValue")
+    return PropertyShape(
+        shape_id=ps_id,
+        path=path_t.obj_value,
+        min_count=_int(_value(by_subj, ps_id, SH + "minCount")),
+        max_count=_int(_value(by_subj, ps_id, SH + "maxCount")),
+        datatypes=tuple(datatypes),
+        pattern=pattern_t.obj_value if pattern_t else None,
+        class_=class_t.obj_value if class_t else None,
+        node_kind=kind_t.obj_value if kind_t else None,
+        min_length=_int(_value(by_subj, ps_id, SH + "minLength")),
+        max_length=_int(_value(by_subj, ps_id, SH + "maxLength")),
+        in_values=tuple(_rdf_list(by_subj, in_t.obj_value)) if in_t else (),
+        has_value=hv_t.obj_value if hv_t else None,
+        node_shape=node_t.obj_value if node_t else None,
+        message=msg_t.obj_value if msg_t else None,
+    )
+
+
+def parse_shapes_triples(triples: list[Triple]) -> ShapesGraph:
+    by_subj = _index(triples)
+    rdf_type = RDF + "type"
+    node_shape_ids: list[str] = []
+    seen: set[str] = set()
+    for t in triples:
+        is_decl = t.pred == rdf_type and t.obj_value == SH + "NodeShape"
+        has_target = t.pred in (SH + "targetClass", SH + "targetNode")
+        if (is_decl or has_target) and t.subj not in seen:
+            seen.add(t.subj)
+            node_shape_ids.append(t.subj)
+    # also any object of sh:node is a node shape (nested)
+    for t in triples:
+        if t.pred == SH + "node" and t.obj_value not in seen:
+            seen.add(t.obj_value)
+            node_shape_ids.append(t.obj_value)
+
+    shapes: list[NodeShape] = []
+    for sid in node_shape_ids:
+        props: list[PropertyShape] = []
+        for pt in _values(by_subj, sid, SH + "property"):
+            ps = _parse_property_shape(by_subj, pt.obj_value)
+            if ps is not None:
+                props.append(ps)
+        closed_t = _value(by_subj, sid, SH + "closed")
+        ignored_t = _value(by_subj, sid, SH + "ignoredProperties")
+        shapes.append(
+            NodeShape(
+                iri=sid,
+                target_classes=tuple(
+                    t.obj_value for t in _values(by_subj, sid, SH + "targetClass")
+                ),
+                target_nodes=tuple(
+                    t.obj_value for t in _values(by_subj, sid, SH + "targetNode")
+                ),
+                properties=tuple(props),
+                closed=closed_t is not None and closed_t.obj_value == "true",
+                ignored_properties=tuple(
+                    _rdf_list(by_subj, ignored_t.obj_value)
+                ) if ignored_t else (),
+            )
+        )
+    return ShapesGraph(
+        shapes=tuple(shapes), by_id={s.iri: s for s in shapes}
+    )
+
+
+def parse_shapes_turtle(text: str) -> ShapesGraph:
+    return parse_shapes_triples(parse_turtle(text))

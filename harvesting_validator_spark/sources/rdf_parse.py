@@ -1,0 +1,498 @@
+"""RDF document parsing: content string -> (subj, pred, obj) rows.
+
+Reference analog: each harvested share-folder file is parsed into a Jena
+Model (`TaskService.java:184-198`, `ModelUtils.toModel(..., Lang.TURTLE)`;
+SURVEY.md §2.1 S2). Here the parser is a self-contained Turtle-subset /
+N-Triples / flat-JSON-LD reader (rdflib is not available in this image)
+implemented as a pure-Python kernel and driven through ``mapInPandas`` so
+parsing happens in Arrow batches on executors — never per-row Python UDFs.
+
+Grammar subset (covers the reference's golden fixtures and everything our
+synthetic corpus emits):
+
+* ``@prefix p: <iri> .`` / SPARQL-style ``PREFIX p: <iri>``
+* ``@base <iri> .``
+* subject: IRIREF | prefixed name | blank-node label
+* the ``a`` keyword, ``;`` predicate lists, ``,`` object lists
+* objects: IRIREF, prefixed names, ``_:label``, string literals (with
+  ``\\`` escapes, ``^^datatype``, ``@lang``), bare integers / decimals /
+  doubles / booleans
+* comments (``#`` outside literals)
+
+A malformed document yields zero triples plus a non-null ``parse_error``
+(the reference would fail the whole task; per SURVEY §2.1 we degrade
+per-document instead).
+
+Triple row shape (FIXTURES.md §3):
+    subj, pred, obj_value, obj_kind in {iri, bnode, literal},
+    obj_datatype (nullable), obj_lang (nullable)
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterable, Iterator
+from typing import NamedTuple
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_STRING = XSD + "string"
+XSD_INTEGER = XSD + "integer"
+XSD_DECIMAL = XSD + "decimal"
+XSD_DOUBLE = XSD + "double"
+XSD_BOOLEAN = XSD + "boolean"
+
+
+class Triple(NamedTuple):
+    subj: str
+    pred: str
+    obj_value: str
+    obj_kind: str  # iri | bnode | literal
+    obj_datatype: str | None
+    obj_lang: str | None
+
+
+class RdfParseError(ValueError):
+    pass
+
+
+# --- tokenizer -------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<WS>\s+)
+    | (?P<COMMENT>\#[^\n]*)
+    | (?P<KEYWORD>@prefix\b|@base\b|PREFIX\b|BASE\b|\ba\b|\btrue\b|\bfalse\b)
+    | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
+    | (?P<STRING_LONG>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\")
+    | (?P<STRING>"(?:[^"\\\n]|\\.)*")
+    | (?P<LANGTAG>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)
+    | (?P<DTSEP>\^\^)
+    | (?P<BNODE>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
+    | (?P<PNAME>[A-Za-z][\w.-]*:[\w.%-]*(?<!\.))   # prefixed name (local may be empty)
+    | (?P<COLONNAME>:[\w.%-]*(?<!\.))              # default-prefix name
+    | (?P<NUMBER>[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?))
+    | (?P<PUNCT>[;,.\[\]()])
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    tokens: list[tuple[str, str]] = []
+    pos = 0
+    n = len(text)
+    while pos < n:
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise RdfParseError(f"unexpected char {text[pos]!r} at offset {pos}")
+        kind = m.lastgroup or ""
+        if kind not in ("WS", "COMMENT"):
+            tokens.append((kind, m.group()))
+        pos = m.end()
+    return tokens
+
+
+_ESCAPES = {
+    "t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+
+def _unescape(raw: str) -> str:
+    out: list[str] = []
+    i = 0
+    n = len(raw)
+    while i < n:
+        c = raw[i]
+        if c == "\\" and i + 1 < n:
+            e = raw[i + 1]
+            if e in _ESCAPES:
+                out.append(_ESCAPES[e])
+                i += 2
+                continue
+            if e == "u" and i + 6 <= n:
+                out.append(chr(int(raw[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            if e == "U" and i + 10 <= n:
+                out.append(chr(int(raw[i + 2 : i + 10], 16)))
+                i += 10
+                continue
+            raise RdfParseError(f"bad escape \\{e}")
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+# --- turtle parser ---------------------------------------------------------
+
+
+class _TurtleParser:
+    def __init__(self, text: str):
+        self.tokens = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.triples: list[Triple] = []
+        self._bnode_n = 0
+
+    def _peek(self) -> tuple[str, str] | None:
+        return self.tokens[self.i] if self.i < len(self.tokens) else None
+
+    def _next(self) -> tuple[str, str]:
+        tok = self._peek()
+        if tok is None:
+            raise RdfParseError("unexpected end of input")
+        self.i += 1
+        return tok
+
+    def _expect_punct(self, ch: str) -> None:
+        kind, val = self._next()
+        if kind != "PUNCT" or val != ch:
+            raise RdfParseError(f"expected {ch!r}, got {val!r}")
+
+    def _resolve_pname(self, pname: str) -> str:
+        prefix, _, local = pname.partition(":")
+        if prefix not in self.prefixes:
+            raise RdfParseError(f"undefined prefix {prefix!r}")
+        return self.prefixes[prefix] + local
+
+    def _fresh_bnode(self) -> str:
+        self._bnode_n += 1
+        return f"_:gen{self._bnode_n}"
+
+    def parse(self) -> list[Triple]:
+        while self._peek() is not None:
+            kind, val = self._peek()  # type: ignore[misc]
+            if kind == "KEYWORD" and val in ("@prefix", "PREFIX"):
+                self._directive_prefix(sparql=val == "PREFIX")
+            elif kind == "KEYWORD" and val in ("@base", "BASE"):
+                self._directive_base(sparql=val == "BASE")
+            else:
+                self._statement()
+        return self.triples
+
+    def _directive_prefix(self, sparql: bool) -> None:
+        self._next()
+        kind, val = self._next()
+        if kind == "PNAME" and val.endswith(":"):
+            prefix = val[:-1]
+        elif kind == "COLONNAME" and val == ":":
+            prefix = ""
+        else:
+            raise RdfParseError(f"bad prefix decl near {val!r}")
+        kind, iri = self._next()
+        if kind != "IRIREF":
+            raise RdfParseError("prefix IRI expected")
+        self.prefixes[prefix] = self.base + iri[1:-1] if not _is_absolute(iri[1:-1]) else iri[1:-1]
+        if not sparql:
+            self._expect_punct(".")
+
+    def _directive_base(self, sparql: bool) -> None:
+        self._next()
+        kind, iri = self._next()
+        if kind != "IRIREF":
+            raise RdfParseError("base IRI expected")
+        self.base = iri[1:-1]
+        if not sparql:
+            self._expect_punct(".")
+
+    def _statement(self) -> None:
+        subj = self._subject()
+        self._predicate_object_list(subj)
+        self._expect_punct(".")
+
+    def _subject(self) -> str:
+        kind, val = self._next()
+        if kind == "IRIREF":
+            return self._iri(val)
+        if kind == "PNAME" or kind == "COLONNAME":
+            return self._resolve_pname(val if kind == "PNAME" else val)
+        if kind == "BNODE":
+            return val
+        if kind == "PUNCT" and val == "[":
+            b = self._fresh_bnode()
+            tok = self._peek()
+            if tok and tok == ("PUNCT", "]"):
+                self._next()
+                return b
+            self._predicate_object_list(b)
+            self._expect_punct("]")
+            return b
+        raise RdfParseError(f"bad subject {val!r}")
+
+    def _predicate(self) -> str:
+        kind, val = self._next()
+        if kind == "KEYWORD" and val == "a":
+            return RDF_TYPE
+        if kind == "IRIREF":
+            return self._iri(val)
+        if kind in ("PNAME", "COLONNAME"):
+            return self._resolve_pname(val)
+        raise RdfParseError(f"bad predicate {val!r}")
+
+    def _predicate_object_list(self, subj: str) -> None:
+        while True:
+            pred = self._predicate()
+            while True:
+                self._object(subj, pred)
+                tok = self._peek()
+                if tok == ("PUNCT", ","):
+                    self._next()
+                    continue
+                break
+            tok = self._peek()
+            if tok == ("PUNCT", ";"):
+                self._next()
+                # allow trailing ';' before '.' or ']'
+                nxt = self._peek()
+                if nxt is not None and nxt[0] == "PUNCT" and nxt[1] in (".", "]"):
+                    return
+                continue
+            return
+
+    def _iri(self, iriref: str) -> str:
+        iri = iriref[1:-1]
+        if self.base and not _is_absolute(iri):
+            return self.base + iri
+        return iri
+
+    def _object(self, subj: str, pred: str) -> None:
+        kind, val = self._next()
+        if kind == "IRIREF":
+            self.triples.append(Triple(subj, pred, self._iri(val), "iri", None, None))
+        elif kind in ("PNAME", "COLONNAME"):
+            self.triples.append(Triple(subj, pred, self._resolve_pname(val), "iri", None, None))
+        elif kind == "BNODE":
+            self.triples.append(Triple(subj, pred, val, "bnode", None, None))
+        elif kind in ("STRING", "STRING_LONG"):
+            lex = _unescape(val[3:-3] if kind == "STRING_LONG" else val[1:-1])
+            dt: str | None = XSD_STRING
+            lang: str | None = None
+            tok = self._peek()
+            if tok is not None and tok[0] == "DTSEP":
+                self._next()
+                dkind, dval = self._next()
+                if dkind == "IRIREF":
+                    dt = self._iri(dval)
+                elif dkind in ("PNAME", "COLONNAME"):
+                    dt = self._resolve_pname(dval)
+                else:
+                    raise RdfParseError("datatype IRI expected after ^^")
+            elif tok is not None and tok[0] == "LANGTAG":
+                self._next()
+                lang = tok[1][1:].lower()
+                dt = None  # rdf:langString; keep datatype null like Jena lexical view
+            self.triples.append(Triple(subj, pred, lex, "literal", dt, lang))
+        elif kind == "NUMBER":
+            if re.fullmatch(r"[+-]?\d+", val):
+                dt = XSD_INTEGER
+            elif "e" in val.lower():
+                dt = XSD_DOUBLE
+            else:
+                dt = XSD_DECIMAL
+            self.triples.append(Triple(subj, pred, val, "literal", dt, None))
+        elif kind == "KEYWORD" and val in ("true", "false"):
+            self.triples.append(Triple(subj, pred, val, "literal", XSD_BOOLEAN, None))
+        elif kind == "PUNCT" and val == "[":
+            b = self._fresh_bnode()
+            self.triples.append(Triple(subj, pred, b, "bnode", None, None))
+            tok = self._peek()
+            if tok == ("PUNCT", "]"):
+                self._next()
+                return
+            self._predicate_object_list(b)
+            self._expect_punct("]")
+        elif kind == "PUNCT" and val == "(":
+            # RDF collection -> rdf:first/rdf:rest chain
+            rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+            items: list[str] = []
+            nodes: list[str] = []
+            while True:
+                tok = self._peek()
+                if tok is None:
+                    raise RdfParseError("unterminated collection")
+                if tok == ("PUNCT", ")"):
+                    self._next()
+                    break
+                node = self._fresh_bnode()
+                nodes.append(node)
+                self._object(node, rdf + "first")
+                items.append(node)
+            if not nodes:
+                self.triples.append(Triple(subj, pred, rdf + "nil", "iri", None, None))
+                return
+            self.triples.append(Triple(subj, pred, nodes[0], "bnode", None, None))
+            for a, b2 in zip(nodes, nodes[1:]):
+                self.triples.append(Triple(a, rdf + "rest", b2, "bnode", None, None))
+            self.triples.append(Triple(nodes[-1], rdf + "rest", rdf + "nil", "iri", None, None))
+        else:
+            raise RdfParseError(f"bad object {val!r}")
+
+
+def _is_absolute(iri: str) -> bool:
+    return re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri) is not None
+
+
+# --- entry points per format ------------------------------------------------
+
+
+def parse_turtle(text: str) -> list[Triple]:
+    return _TurtleParser(text).parse()
+
+
+def parse_ntriples(text: str) -> list[Triple]:
+    # N-Triples is a Turtle subset (absolute IRIs, no prefixes); same parser.
+    return _TurtleParser(text).parse()
+
+
+def parse_jsonld(text: str) -> list[Triple]:
+    """Flat (non-nested-context) JSON-LD subset: @graph list or a single
+    node object; values are node refs {"@id":...}, typed values
+    {"@value":..,"@type"/"@language":..}, or JSON scalars."""
+    doc = json.loads(text)
+    ctx = doc.get("@context", {}) if isinstance(doc, dict) else {}
+    if not isinstance(ctx, dict):
+        ctx = {}
+
+    def expand(term: str) -> str:
+        if term in ctx and isinstance(ctx[term], str):
+            return ctx[term]
+        prefix, sep, local = term.partition(":")
+        if sep and prefix in ctx and isinstance(ctx[prefix], str):
+            return ctx[prefix] + local
+        return term
+
+    nodes: list[dict]
+    if isinstance(doc, list):
+        nodes = doc
+    elif isinstance(doc, dict) and "@graph" in doc:
+        nodes = doc["@graph"]
+    elif isinstance(doc, dict):
+        nodes = [doc]
+    else:
+        raise RdfParseError("unsupported JSON-LD document shape")
+
+    out: list[Triple] = []
+    bnode_n = 0
+    for node in nodes:
+        if not isinstance(node, dict):
+            raise RdfParseError("JSON-LD node must be an object")
+        subj = node.get("@id")
+        if subj is None:
+            bnode_n += 1
+            subj = f"_:j{bnode_n}"
+        else:
+            subj = expand(subj)
+        for key, vals in node.items():
+            if key in ("@id", "@context"):
+                continue
+            if key == "@type":
+                for t in vals if isinstance(vals, list) else [vals]:
+                    out.append(Triple(subj, RDF_TYPE, expand(t), "iri", None, None))
+                continue
+            pred = expand(key)
+            for v in vals if isinstance(vals, list) else [vals]:
+                if isinstance(v, dict):
+                    if "@id" in v:
+                        tgt = expand(v["@id"])
+                        kind = "bnode" if tgt.startswith("_:") else "iri"
+                        out.append(Triple(subj, pred, tgt, kind, None, None))
+                    elif "@value" in v:
+                        dt = expand(v["@type"]) if "@type" in v else None
+                        lang = v.get("@language")
+                        lex, inferred = _json_scalar(v["@value"])
+                        out.append(
+                            Triple(subj, pred, lex, "literal",
+                                   dt or (None if lang else inferred),
+                                   lang.lower() if lang else None)
+                        )
+                    else:
+                        raise RdfParseError(f"bad JSON-LD value object {v!r}")
+                else:
+                    lex, inferred = _json_scalar(v)
+                    out.append(Triple(subj, pred, lex, "literal", inferred, None))
+    return out
+
+
+def _json_scalar(v: object) -> tuple[str, str]:
+    if isinstance(v, bool):
+        return ("true" if v else "false", XSD_BOOLEAN)
+    if isinstance(v, int):
+        return (str(v), XSD_INTEGER)
+    if isinstance(v, float):
+        return (repr(v), XSD_DOUBLE)
+    return (str(v), XSD_STRING)
+
+
+_PARSERS = {
+    "turtle": parse_turtle,
+    "ttl": parse_turtle,
+    "ntriples": parse_ntriples,
+    "nt": parse_ntriples,
+    "jsonld": parse_jsonld,
+    "json-ld": parse_jsonld,
+}
+
+
+def parse_document(content: str, fmt: str) -> list[Triple]:
+    fn = _PARSERS.get((fmt or "turtle").lower(), parse_turtle)
+    return fn(content)
+
+
+# --- Spark integration -------------------------------------------------------
+
+TRIPLES_SCHEMA = (
+    "doc_id string, subj string, pred string, obj_value string, "
+    "obj_kind string, obj_datatype string, obj_lang string"
+)
+
+PARSE_ERRORS_SCHEMA = "doc_id string, parse_error string"
+
+
+def parse_sources_to_triples(sources_df, with_errors: bool = False):
+    """sources(repo, path, commit, lang, content[, doc_id]) -> triples DF.
+
+    Arrow-batched via mapInPandas (SURVEY §2.11): one input row explodes to
+    N triple rows inside a pandas batch, no per-row Python UDF. Rows that
+    fail to parse yield a single error row with pred = '__parse_error__'
+    which callers split off; this keeps one pass over the data.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = sources_df
+    if "doc_id" not in df.columns:
+        df = df.withColumn(
+            "doc_id", F.sha2(F.concat_ws("\x1f", "repo", "path", "commit"), 256)
+        )
+    df = df.select("doc_id", "lang", "content")
+
+    def batch_parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "subj", "pred", "obj_value", "obj_kind",
+                "obj_datatype", "obj_lang"]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, lang, content in zip(
+                pdf["doc_id"], pdf["lang"], pdf["content"]
+            ):
+                try:
+                    for t in parse_document(content, lang):
+                        rows.append((doc_id, *t))
+                except (RdfParseError, ValueError, RecursionError) as exc:
+                    rows.append(
+                        (doc_id, "", "__parse_error__", str(exc)[:1024],
+                         "literal", None, None)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    parsed = df.mapInPandas(batch_parse, schema=TRIPLES_SCHEMA)
+    triples = parsed.filter(F.col("pred") != "__parse_error__")
+    if not with_errors:
+        return triples
+    errors = parsed.filter(F.col("pred") == "__parse_error__").select(
+        "doc_id", F.col("obj_value").alias("parse_error")
+    )
+    return triples, errors

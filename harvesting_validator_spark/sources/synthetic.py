@@ -1,0 +1,176 @@
+"""Deterministic synthetic `sources` corpus (FIXTURES.md §1-2).
+
+Input-table shape per BASELINE.json input_hint:
+    (repo string, path string, commit string, lang string, content string)
+
+Two generators:
+
+* ``golden_sources`` — the reference's end-to-end fixture
+  (`test/config/migrations/202103191602-create-dummy-import.ttl`) split one
+  subject per document (the 0.2.x "split files" semantic, README.md:5),
+  with verdicts pinned by the fixture's inline comments.
+* ``generate_sources`` — n synthetic person documents, generated entirely
+  with Catalyst expressions over ``spark.range`` (no driver-side loop, no
+  Python UDF) so the corpus scales to any size the cluster can hold.
+  Deterministic in n: row i always produces the same document. A fixed
+  fraction violates each constraint class so verdict ratios are known in
+  closed form: i%10==7 -> bad ssn pattern; i%10==8 -> two ssns (maxCount);
+  i%10==9 -> extra property (closed-shape) + untyped worksFor (class);
+  else conforming. Formats round-robin turtle/ntriples/jsonld by i%3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EX = "http://example.com/ns#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+GOLDEN_DOCS: dict[str, str] = {
+    "alice": """@prefix ex: <http://example.com/ns#> .
+ex:Alice a ex:Person ;
+  ex:ssn "987-65-432A" .
+""",
+    "bob": """@prefix ex: <http://example.com/ns#> .
+ex:Bob a ex:Person ;
+  ex:ssn "123-45-6789" ;
+  ex:ssn "124-35-6789" .
+""",
+    "calvin": """@prefix ex: <http://example.com/ns#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:Calvin a ex:Person ;
+  ex:birthDate "1971-07-07"^^xsd:date ;
+  ex:ssn "987-65-4321" ;
+  ex:www "kekee" ;
+  ex:worksFor ex:UntypedCompany .
+""",
+    "momo": """@prefix ex: <http://example.com/ns#> .
+ex:Momo a ex:Person ;
+  ex:ssn "987-65-4321" .
+""",
+    "agrougrou": """@prefix ex: <http://example.com/ns#> .
+ex:Agrougrou a ex:Coucou ;
+  ex:ssn "987-65-4321" .
+""",
+}
+
+# the reference's application profile, verbatim semantics
+# (test/config/validation/application-profile.ttl:9-24)
+APPLICATION_PROFILE = """
+@prefix ex: <http://example.com/ns#> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+ex:PersonShape
+    a sh:NodeShape ;
+    sh:targetClass ex:Person ;
+    sh:property [
+          sh:path ex:ssn ;
+          sh:maxCount 1 ;
+          sh:datatype xsd:string ;
+          sh:pattern "^\\\\d{3}-\\\\d{2}-\\\\d{4}$" ;
+      ] ;
+    sh:property [
+          sh:path ex:worksFor ;
+          sh:class ex:Company ;
+          sh:nodeKind sh:IRI ;
+      ] ;
+    sh:closed true ;
+    sh:ignoredProperties ( rdf:type ) .
+"""
+
+
+def golden_sources(spark: SparkSession) -> DataFrame:
+    rows = [
+        ("repo0", f"data/pages/{name}.ttl", f"commit-{name}", "turtle", text)
+        for name, text in GOLDEN_DOCS.items()
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+
+def generate_sources(spark: SparkSession, n_docs: int) -> DataFrame:
+    """n synthetic person docs, built with pure Catalyst expressions."""
+    df = spark.range(n_docs).withColumnRenamed("id", "i")
+    i = F.col("i")
+    person = F.format_string(EX + "P%d", i)
+    ssn_ok = F.format_string(
+        "%03d-%02d-%04d", i % 1000, (i * 7) % 100, (i * 13) % 10000
+    )
+    ssn2 = F.format_string(
+        "%03d-%02d-%04d", (i + 1) % 1000, (i * 11) % 100, (i * 17) % 10000
+    )
+    mode = i % 10
+    fmt = i % 3
+
+    ttl = F.concat(
+        F.lit('@prefix ex: <http://example.com/ns#> .\nex:P'), i,
+        F.lit(" a ex:Person ;\n  ex:ssn "),
+        F.when(mode == 7, F.concat(F.lit('"'), ssn_ok, F.lit('X"')))
+        .when(mode == 8, F.concat(F.lit('"'), ssn_ok, F.lit('", "'), ssn2, F.lit('"')))
+        .otherwise(F.concat(F.lit('"'), ssn_ok, F.lit('"'))),
+        F.when(mode == 9,
+               F.lit(' ;\n  ex:hobby "x" ;\n  ex:worksFor ex:NoSuchCompany'))
+        .otherwise(F.lit("")),
+        F.lit(" .\n"),
+    )
+
+    nt_ssn = F.when(mode == 7, F.concat(ssn_ok, F.lit("X"))).otherwise(ssn_ok)
+    nt = F.concat(
+        F.lit("<"), person, F.lit("> <" + RDF_TYPE + "> <" + EX + "Person> .\n"),
+        F.lit("<"), person, F.lit("> <" + EX + 'ssn> "'), nt_ssn, F.lit('" .\n'),
+        F.when(mode == 8, F.concat(
+            F.lit("<"), person, F.lit("> <" + EX + 'ssn> "'), ssn2, F.lit('" .\n')
+        )).otherwise(F.lit("")),
+        F.when(mode == 9, F.concat(
+            F.lit("<"), person, F.lit("> <" + EX + 'hobby> "x" .\n'),
+            F.lit("<"), person,
+            F.lit("> <" + EX + "worksFor> <" + EX + "NoSuchCompany> .\n"),
+        )).otherwise(F.lit("")),
+    )
+
+    jsonld = F.concat(
+        F.lit('{"@id": "'), person,
+        F.lit('", "@type": "' + EX + 'Person", "' + EX + 'ssn": '),
+        F.when(mode == 8, F.concat(
+            F.lit('["'), ssn_ok, F.lit('", "'), ssn2, F.lit('"]')
+        ))
+        .when(mode == 7, F.concat(F.lit('"'), ssn_ok, F.lit('X"')))
+        .otherwise(F.concat(F.lit('"'), ssn_ok, F.lit('"'))),
+        F.when(mode == 9, F.lit(
+            ', "' + EX + 'hobby": "x", "' + EX
+            + 'worksFor": {"@id": "' + EX + 'NoSuchCompany"}'
+        )).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+
+    lang = (
+        F.when(fmt == 0, F.lit("turtle"))
+        .when(fmt == 1, F.lit("ntriples"))
+        .otherwise(F.lit("jsonld"))
+    )
+    ext = (
+        F.when(fmt == 0, F.lit("ttl"))
+        .when(fmt == 1, F.lit("nt"))
+        .otherwise(F.lit("jsonld"))
+    )
+    content = (
+        F.when(fmt == 0, ttl).when(fmt == 1, nt).otherwise(jsonld)
+    )
+    return df.select(
+        F.format_string("repo%d", i % 16).alias("repo"),
+        F.concat(F.lit("data/pages/page"), i, F.lit("."), ext).alias("path"),
+        F.sha2(F.format_string("commit%d", i), 256).substr(1, 40).alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
+def expected_verdict_counts(n_docs: int) -> dict[str, int]:
+    """Closed-form truth for generate_sources: docs with i%10 in {7,8,9}
+    are non-conforming."""
+    bad = sum(1 for i in range(n_docs) if i % 10 in (7, 8, 9))
+    return {"non_conforming": bad, "conforming": n_docs - bad}

@@ -1,0 +1,121 @@
+"""Parser unit tests: Turtle subset / N-Triples / flat JSON-LD.
+
+Gold inputs mirror the reference's fixture grammar
+(`test/config/migrations/202103191602-create-dummy-import.ttl`,
+`test/config/validation/application-profile.ttl`).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from harvesting_validator_spark.sources.rdf_parse import (
+    RDF_TYPE,
+    XSD_BOOLEAN,
+    XSD_INTEGER,
+    XSD_STRING,
+    RdfParseError,
+    parse_jsonld,
+    parse_ntriples,
+    parse_turtle,
+)
+
+EX = "http://example.com/ns#"
+
+
+def test_turtle_basic_semicolon_comma():
+    ts = parse_turtle(
+        """@prefix ex: <http://example.com/ns#> .
+        ex:Bob a ex:Person ;
+          ex:ssn "123-45-6789", "124-35-6789" .
+        """
+    )
+    assert (EX + "Bob", RDF_TYPE, EX + "Person", "iri", None, None) in ts
+    ssns = [t.obj_value for t in ts if t.pred == EX + "ssn"]
+    assert ssns == ["123-45-6789", "124-35-6789"]
+    assert all(t.obj_datatype == XSD_STRING for t in ts if t.pred == EX + "ssn")
+
+
+def test_turtle_datatyped_and_lang_literals():
+    ts = parse_turtle(
+        '@prefix ex: <http://example.com/ns#> .\n'
+        '@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n'
+        'ex:C ex:birthDate "1971-07-07"^^xsd:date ; ex:label "hi"@en-US ; '
+        "ex:age 42 ; ex:score 3.14 ; ex:ok true .\n"
+    )
+    by_pred = {t.pred.rsplit("#", 1)[1]: t for t in ts}
+    assert by_pred["birthDate"].obj_datatype.endswith("#date")
+    assert by_pred["label"].obj_lang == "en-us"
+    assert by_pred["age"].obj_datatype == XSD_INTEGER
+    assert by_pred["score"].obj_datatype.endswith("#decimal")
+    assert by_pred["ok"].obj_datatype == XSD_BOOLEAN
+
+
+def test_turtle_bnodes_and_collections():
+    ts = parse_turtle(
+        "@prefix sh: <http://www.w3.org/ns/shacl#> .\n"
+        "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n"
+        "<http://s> sh:property [ sh:path <http://p> ; sh:maxCount 1 ] ;\n"
+        "  sh:ignoredProperties ( rdf:type ) .\n"
+    )
+    bnode_objs = [t for t in ts if t.obj_kind == "bnode"]
+    assert len(bnode_objs) == 2  # property bnode + list head
+    firsts = [t for t in ts if t.pred.endswith("#first")]
+    assert firsts[0].obj_value == RDF_TYPE
+
+
+def test_turtle_string_escapes():
+    ts = parse_turtle('<http://s> <http://p> "a\\"b\\nc\\u00e9" .')
+    assert ts[0].obj_value == 'a"b\ncé'
+
+
+def test_ntriples():
+    ts = parse_ntriples(
+        "<http://s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://T> .\n"
+        '<http://s> <http://p> "v"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+    )
+    assert ts[0].obj_kind == "iri"
+    assert ts[1].obj_datatype == "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def test_jsonld_flat():
+    ts = parse_jsonld(
+        '{"@id": "http://example.com/ns#P1", "@type": "http://example.com/ns#Person",'
+        ' "http://example.com/ns#ssn": "123-45-6789",'
+        ' "http://example.com/ns#worksFor": {"@id": "http://example.com/ns#C"},'
+        ' "http://example.com/ns#age": 3}'
+    )
+    kinds = {t.pred.rsplit("#", 1)[1]: t for t in ts}
+    assert kinds["type"].obj_value == EX + "Person"
+    assert kinds["ssn"].obj_datatype == XSD_STRING
+    assert kinds["worksFor"].obj_kind == "iri"
+    assert kinds["age"].obj_datatype == XSD_INTEGER
+
+
+def test_jsonld_graph_and_context():
+    ts = parse_jsonld(
+        '{"@context": {"ex": "http://example.com/ns#"},'
+        ' "@graph": [{"@id": "ex:A", "ex:p": [{"@value": "x", "@language": "en"}]}]}'
+    )
+    assert ts[0].subj == EX + "A"
+    assert ts[0].obj_lang == "en"
+
+
+def test_malformed_raises():
+    with pytest.raises(RdfParseError):
+        parse_turtle("ex:NoPrefix a ex:Person .")
+    with pytest.raises(RdfParseError):
+        parse_turtle("<http://s> <http://p> .")
+
+
+def test_reference_fixture_roundtrip():
+    text = open(
+        "/root/reference/test/config/migrations/202103191602-create-dummy-import.ttl"
+    ).read()
+    ts = parse_turtle(text)
+    assert len(ts) == 14
+    subj_counts = {}
+    for t in ts:
+        subj_counts[t.subj] = subj_counts.get(t.subj, 0) + 1
+    assert subj_counts[EX + "Bob"] == 3
+    assert subj_counts[EX + "Calvin"] == 5
