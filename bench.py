@@ -1,0 +1,79 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set = the flagship KG pipeline (parse -> SHACL validate -> split
+-> report) plus the scale-relevant operators (LSH dedup, similarity,
+TPC-H-style aggregates). Each query is executed to completion with a
+count() over its result (no collect of wide rows) after a warm-up of the
+parquet footer reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "kg_verdicts",
+    "kg_split_counts",
+    "kg_report_sizes",
+    "tpch_q1",
+    "threehop_segment_revenue",
+    "star_pivot",
+    "minhash_lsh_pairs",
+    "lsh_verified_pairs",
+    "simhash",
+    "fingerprint",
+    "dedup_exact",
+    "cosine_topk",
+    "quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from harvesting_validator_spark.queries import ALL_QUERIES
+    from harvesting_validator_spark.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name in HEADLINE:
+        fn = ALL_QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    total = round(time.time() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time (kg pipeline + dedup/simhash/LSH + ANN + TPC-H aggs)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+"""Driver-contract query registry.
+
+Each submodule exposes ``QUERIES`` (name -> callable(spark, sf_dir) ->
+DataFrame) and ``ORACLES`` (name -> DuckDB ANSI-SQL string over the
+pre-registered parquet views). ``__spark_entry__.py`` re-exports the
+merged registries. Names without an oracle entry get the driver's weaker
+rows-only check (genuinely non-SQL-expressible ops only).
+
+Every query here maps back to an operator row in SURVEY.md §2 or to the
+training-data-pipeline extensions (dedup / similarity / text analysis);
+the mapping is cited in each builder's docstring.
+"""
+
+from __future__ import annotations
+
+from harvesting_validator_spark.queries import (
+    dedup,
+    kg,
+    relational,
+    similarity,
+    textops,
+)
+
+ALL_QUERIES = {}
+ALL_ORACLES = {}
+for _m in (relational, textops, dedup, similarity, kg):
+    overlap = set(ALL_QUERIES) & set(_m.QUERIES)
+    if overlap:
+        raise ValueError(f"duplicate query names: {overlap}")
+    ALL_QUERIES.update(_m.QUERIES)
+    ALL_ORACLES.update(_m.ORACLES)
+
+_missing = set(ALL_ORACLES) - set(ALL_QUERIES)
+if _missing:
+    raise ValueError(f"oracle without query: {_missing}")

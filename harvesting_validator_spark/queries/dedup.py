@@ -1,0 +1,272 @@
+"""Deduplication operators for the training-data pipeline (task brief):
+exact hash-dedup, MinHash+LSH candidate generation, SimHash, and n-gram
+Jaccard — each over the `documents` table with an exact DuckDB oracle.
+
+Scale notes: signatures (minhash / simhash / fingerprints) are computed
+columnar with array transforms over the tokenized text — zero shuffles and
+no Python. Only the LSH band self-join shuffles, keyed (band_id,
+band_hash); hot bands are exactly what AQE skew-join splitting handles
+(session.py). At 100 TB the brute-force Jaccard pair scan is replaced by
+the LSH candidates (minhash_lsh_pairs) + verify-on-candidates
+(lsh_verified_pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from harvesting_validator_spark.queries.common import dround, md5_int, tbl, tokens
+
+N_HASHES = 8
+N_BANDS = 4  # 2 rows per band
+
+
+# --- exact dedup: hash-groupBy ---------------------------------------------------
+def q_dedup_exact(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+    )
+
+
+O_EXACT = """
+SELECT sha256(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_doc
+FROM documents GROUP BY sha256(text)
+"""
+
+
+# --- minhash signatures (columnar, shuffle-free) ---------------------------------
+def _minhash_cols():
+    """mh_s = min over distinct tokens of md5int(s:tok); plain array ops.
+
+    NB: constants must be closed over via a factory — a two-argument
+    lambda passed to F.transform is interpreted as (element, index)."""
+    toks = F.array_distinct(tokens())
+
+    def mh(s: int):
+        prefix = f"{s}:"
+        return F.array_min(
+            F.transform(
+                toks,
+                lambda t: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(prefix), t)), 1, 8), 16, 10
+                ).cast("bigint"),
+            )
+        ).alias(f"mh{s}")
+
+    return [mh(s) for s in range(N_HASHES)]
+
+
+_MH_SQL = ",\n       ".join(
+    f"list_min(list_transform(list_distinct(string_split(text, ' ')), "
+    f"t -> ('0x' || substr(md5('{s}:' || t), 1, 8))::BIGINT)) AS mh{s}"
+    for s in range(N_HASHES)
+)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return d.select("doc_id", *_minhash_cols())
+
+
+O_MINHASH = f"SELECT doc_id,\n       {_MH_SQL}\nFROM documents"
+
+
+def _band_table(spark, sf_dir):
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws("_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+                ).alias("band_hash"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_hash"
+    )
+
+
+_BAND_SQL = f"""
+WITH sig AS (SELECT doc_id, {_MH_SQL.replace(chr(10) + '       ', ' ')} FROM documents),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_id, md5(mh{2 * b} || '_' || mh{2 * b + 1}) AS band_hash FROM sig"
+      for b in range(N_BANDS)
+  )}
+)
+"""
+
+
+# --- LSH candidate pairs: band self-join ------------------------------------------
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Docs sharing >=1 of the 4 (2-row) minhash bands — the blocking step
+    of web-scale near-dedup (SURVEY §2.3 similarity join)."""
+    b = _band_table(spark, sf_dir)
+    b1 = b.alias("a")
+    b2 = b.alias("b")
+    return (
+        b1.join(
+            b2,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+O_LSH_PAIRS = (
+    _BAND_SQL
+    + """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+)
+
+
+# --- simhash (16-bit, md5-digit parity) --------------------------------------------
+def q_simhash(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens())
+
+    def bit_sum(b: int):
+        # closure factory: see _minhash_cols note on F.transform lambdas
+        return F.aggregate(
+            F.transform(
+                toks,
+                lambda t: (
+                    F.conv(F.substring(F.md5(t), b, 1), 16, 10).cast("int") % 2
+                )
+                * 2
+                - 1,
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    simhash = F.lit(0).cast("bigint")
+    for b in range(1, 17):
+        simhash = simhash + F.when(bit_sum(b) > 0, F.lit(2 ** (b - 1))).otherwise(
+            F.lit(0)
+        )
+    return d.select("doc_id", simhash.alias("simhash"))
+
+
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(toks, "
+    f"t -> (('0x' || substr(md5(t), {b}, 1))::INT % 2) * 2 - 1)) > 0 "
+    f"THEN {2 ** (b - 1)} ELSE 0 END)"
+    for b in range(1, 17)
+)
+
+O_SIMHASH = f"""
+WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM t
+"""
+
+
+# --- n-gram (unigram-set) Jaccard on a sampled block --------------------------------
+def q_ngram_jaccard(spark, sf_dir):
+    """Brute-force token-set Jaccard over a deterministic 10% block —
+    the verify step of near-dedup; at scale it runs only on LSH candidate
+    pairs (lsh_verified_pairs), never all-pairs."""
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.array_distinct(tokens()).alias("toks"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    uni = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = dround(inter.cast("double") / uni, 6)
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+O_JACCARD = """
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
+"""
+
+
+# --- LSH-verified near-dup pairs: blocking + verify composed -------------------------
+def q_lsh_verified_pairs(spark, sf_dir):
+    """The scale path: Jaccard computed ONLY on LSH candidates (the
+    all-pairs quadratic scan never happens)."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokens()).alias("toks")
+    )
+    j = (
+        pairs.join(d.alias("da"), pairs.doc_a == F.col("da.doc_id"))
+        .join(d.alias("db"), pairs.doc_b == F.col("db.doc_id"))
+    )
+    inter = F.size(F.array_intersect(F.col("da.toks"), F.col("db.toks")))
+    uni = F.size(F.array_union(F.col("da.toks"), F.col("db.toks")))
+    jac = dround(inter.cast("double") / uni, 6)
+    return j.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.7
+    )
+
+
+O_LSH_VERIFIED = (
+    _BAND_SQL
+    + """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(ta.toks, tb.toks))), 6) AS jaccard
+FROM cand
+JOIN tok ta ON cand.doc_a = ta.doc_id
+JOIN tok tb ON cand.doc_b = tb.doc_id
+WHERE round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(ta.toks, tb.toks))), 6) >= 0.7
+"""
+)
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "lsh_verified_pairs": q_lsh_verified_pairs,
+}
+
+ORACLES = {
+    "dedup_exact": O_EXACT,
+    "minhash_signatures": O_MINHASH,
+    "minhash_lsh_pairs": O_LSH_PAIRS,
+    "simhash": O_SIMHASH,
+    "ngram_jaccard": O_JACCARD,
+    "lsh_verified_pairs": O_LSH_VERIFIED,
+}

@@ -1,0 +1,167 @@
+"""Similarity search over the `embeddings` table (task brief): brute-force
+cosine top-k as the baseline, and a coarse-quantizer (IVF-style,
+label-bucketed) variant as the scale path.
+
+Fp determinism: dot products are ordered folds (`F.aggregate` over
+`zip_with`) in double precision — the same left-to-right order DuckDB's
+list functions use — and results are rounded to 6 before ranking, with
+vec_id as the tiebreak, so ranks are engine-independent.
+
+Scale notes: brute-force is query-broadcast x corpus-scan (no shuffle on
+the corpus side; fine for small query sets over any corpus size). The IVF
+variant joins on the partition key (label) so each query only scans its
+cell — the standard recall/cost trade at 10^9+ vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from harvesting_validator_spark.queries.common import dround, tbl
+
+N_QUERIES = 8
+TOP_K = 5
+
+
+def _as_double(col):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    return dot / (na * nb)
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force exact top-k: the correctness baseline every ANN variant
+    is measured against."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    pairs = F.broadcast(q).crossJoin(e).filter(F.col("q_id") != F.col("vec_id"))
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dround(_cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "neighbor_id", "cos", "rank")
+    )
+
+
+_COS_SQL = """
+round(
+  list_sum(list_transform(range(1, 65),
+           i -> q.v[i] * e.v[i]))
+  / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+     * sqrt(list_sum(list_transform(e.v, x -> x * x)))), 6)
+"""
+
+O_COSINE_TOPK = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v FROM v WHERE vec_id < {N_QUERIES}),
+e AS (SELECT vec_id, v FROM v),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id, {_COS_SQL} AS cos
+  FROM q JOIN e ON q.q_id <> e.vec_id
+)
+SELECT q_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+def q_cosine_topk_ivf(spark, sf_dir):
+    """IVF-style: restrict each query's scan to its own coarse cell
+    (label) — equi-join on the cell id instead of a cross join."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(e, F.col("q_label") == F.col("label"))
+        .filter(F.col("q_id") != F.col("vec_id"))
+    )
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dround(_cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "neighbor_id", "cos", "rank")
+    )
+
+
+O_COSINE_IVF = f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, label AS q_label, v FROM v WHERE vec_id < {N_QUERIES}),
+e AS (SELECT vec_id, label, v FROM v),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id, {_COS_SQL} AS cos
+  FROM q JOIN e ON q.q_label = e.label AND q.q_id <> e.vec_id
+)
+SELECT q_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Per-vector L2 norm + cell stats — the precompute an IVF index
+    materializes once so the query path never recomputes norms."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
+    return e.select("vec_id", "label", dround(norm, 6).alias("l2_norm"))
+
+
+O_NORMS = """
+SELECT vec_id, label,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+QUERIES = {
+    "cosine_topk": q_cosine_topk,
+    "cosine_topk_ivf": q_cosine_topk_ivf,
+    "embedding_norms": q_embedding_norms,
+}
+
+ORACLES = {
+    "cosine_topk": O_COSINE_TOPK,
+    "cosine_topk_ivf": O_COSINE_IVF,
+    "embedding_norms": O_NORMS,
+}
