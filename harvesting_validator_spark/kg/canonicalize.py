@@ -1,0 +1,88 @@
+"""Union-find canonicalization via iterative hash-min label propagation
+(SURVEY.md §2.11: "not a UDF — iterative DataFrame hash-min label
+propagation (join+groupBy min until fixpoint), driver-side loop").
+
+Connected components over the link-edge graph; each component's canonical
+id is its lexicographically smallest member IRI (deterministic under any
+partitioning — no monotonically_increasing_id anywhere, C4).
+
+Scale notes: the classic large-star/small-star contraction converges in
+O(log n) rounds; each round is one groupBy-min + one join, both keyed on
+the node id so the exchange is reused. ``localCheckpoint`` truncates the
+lineage each round (iterative plans otherwise grow exponentially and
+re-execute from the source). Skew (one giant component) is bounded because
+propagation only ever materializes (node, label) pairs — never the
+component as a row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 50, checkpoint_every: int = 1
+) -> DataFrame:
+    """edges(src, dst) -> (entity, canonical). Includes singletons only if
+    they appear in an edge; callers union isolated nodes afterwards."""
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    # label(n) starts as min(n, min(neighbors))
+    labels = (
+        und.groupBy("a")
+        .agg(F.min("b").alias("nb_min"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("nb_min")).alias("label"),
+        )
+    ).localCheckpoint()
+
+    for it in range(max_iterations):
+        # propagate: candidate label for n = min over neighbors m of label(m)
+        nb = (
+            und.join(labels, und.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb, labels.node == nb.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("entity"), F.col("label").alias("canonical"))
+
+
+def canonical_mapping(
+    all_entities: DataFrame, edges: DataFrame, entity_col: str = "entity"
+) -> DataFrame:
+    """(entity, canonical) covering every entity: linked components get
+    their component min; isolated entities map to themselves."""
+    comp = connected_components(edges)
+    return (
+        all_entities.select(F.col(entity_col).alias("entity"))
+        .distinct()
+        .join(comp, "entity", "left")
+        .select(
+            "entity", F.coalesce("canonical", F.col("entity")).alias("canonical")
+        )
+    )

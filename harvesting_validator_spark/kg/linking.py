@@ -1,0 +1,195 @@
+"""Entity linking: mention extraction -> MinHash/LSH blocking -> batched
+pair scoring (north_star: "min-hash/LSH blocking + batched mention-detect
+and entity-link scoring").
+
+Stages, all DataFrame-native:
+
+1. ``extract_mentions`` — pivot each typed subject's literal attributes
+   into one row per (doc_id, entity IRI): the "mention".
+2. ``block_candidates`` — minhash over the mention's attribute token set,
+   banded; candidate pairs = entities sharing a band. The band join is the
+   only shuffle; hot bands (stopword-heavy mentions) are split by AQE
+   skew-join handling, and the band key can be salted via ``n_salt``.
+3. ``score_pairs`` — vectorized pandas UDF (Arrow batches, numpy ops; no
+   per-row Python) computing token-Jaccard + strong-key agreement.
+4. ``link_edges`` — score >= threshold -> (src, dst) edge list for
+   union-find canonicalization (canonicalize.py).
+
+Scale notes: mentions are ~1 row per entity (orders of magnitude smaller
+than triples); signatures are columnar array ops (no shuffle); the pair
+scorer runs on candidates only — never on the quadratic all-pairs space.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+N_HASHES = 8
+N_BANDS = 4
+
+
+def extract_mentions(
+    triples: DataFrame, target_class: str | None = None
+) -> DataFrame:
+    """Mention = one typed subject within a document plus the bag of its
+    literal attribute values. Columns: doc_id, entity, entity_type,
+    attr_text (space-joined, attribute-sorted for determinism), strong_keys
+    (sorted array of values of identifying predicates, here every literal
+    whose predicate local-name contains 'ssn' / 'id')."""
+    typed = triples.filter(F.col("pred") == RDF_TYPE)
+    if target_class:
+        typed = typed.filter(F.col("obj_value") == target_class)
+    typed = typed.select(
+        "doc_id",
+        F.col("subj").alias("entity"),
+        F.col("obj_value").alias("entity_type"),
+    ).dropDuplicates(["doc_id", "entity"])
+
+    lits = triples.filter(F.col("obj_kind") == "literal").select(
+        "doc_id",
+        F.col("subj").alias("entity"),
+        F.element_at(F.split("pred", "[/#]"), -1).alias("attr"),
+        F.col("obj_value").alias("val"),
+    )
+    attrs = lits.groupBy("doc_id", "entity").agg(
+        F.concat_ws(
+            " ", F.flatten(F.array_sort(F.collect_list(F.array("attr", "val"))))
+        ).alias("attr_text"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("attr").rlike("(?i)ssn|^id$|identifier"), F.col("val"))
+            )
+        ).alias("strong_keys"),
+    )
+    return typed.join(attrs, ["doc_id", "entity"], "left").select(
+        "doc_id",
+        "entity",
+        "entity_type",
+        F.coalesce("attr_text", F.lit("")).alias("attr_text"),
+        F.coalesce("strong_keys", F.array()).alias("strong_keys"),
+    )
+
+
+def _minhash_bands(col_tokens) -> "F.Column":
+    """Array of N_BANDS (band_id, band_hash) structs from a token array."""
+
+    def mh(s: int):
+        prefix = f"{s}:"
+        return F.array_min(
+            F.transform(
+                col_tokens,
+                lambda t: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(prefix), t)), 1, 8), 16, 10
+                ).cast("bigint"),
+            )
+        )
+
+    sig = [mh(s) for s in range(N_HASHES)]
+    rows_per_band = N_HASHES // N_BANDS
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *sig[b * rows_per_band : (b + 1) * rows_per_band],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+
+
+def block_candidates(mentions: DataFrame, n_salt: int = 1) -> DataFrame:
+    """LSH blocking: entities sharing any minhash band of their attribute
+    token set. Self-join keyed (band_id, band_hash[, salt]); returns
+    distinct candidate pairs with both attribute bundles attached.
+
+    ``n_salt > 1`` splits hot bands: each left row is replicated into one
+    salt bucket only, each right row into all of them, so a band with B
+    members costs B*n_salt rows instead of a single B^2 partition."""
+    toks = F.array_distinct(F.split(F.col("attr_text"), " "))
+    m = mentions.select(
+        "doc_id", "entity", "attr_text", "strong_keys",
+        F.explode(_minhash_bands(toks)).alias("band"),
+    ).select(
+        "doc_id", "entity", "attr_text", "strong_keys",
+        "band.band_id", "band.band_hash",
+    )
+
+    if n_salt > 1:
+        left = m.withColumn(
+            "salt", F.pmod(F.xxhash64("entity"), F.lit(n_salt))
+        )
+        right = m.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        key = ["band_id", "band_hash", "salt"]
+    else:
+        left, right, key = m, m, ["band_id", "band_hash"]
+
+    a = left.alias("a")
+    b = right.alias("b")
+    cond = F.lit(True)
+    for k in key:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    cond = cond & (F.col("a.entity") < F.col("b.entity"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.entity").alias("entity_a"),
+            F.col("b.entity").alias("entity_b"),
+            F.col("a.attr_text").alias("text_a"),
+            F.col("b.attr_text").alias("text_b"),
+            F.col("a.strong_keys").alias("keys_a"),
+            F.col("b.strong_keys").alias("keys_b"),
+        )
+        .dropDuplicates(["entity_a", "entity_b"])
+    )
+
+
+@pandas_udf("double")
+def _pair_score(
+    text_a: pd.Series, text_b: pd.Series, keys_a: pd.Series, keys_b: pd.Series
+) -> pd.Series:
+    """Arrow-batched link scorer: token-set Jaccard of the attribute
+    bundles, +0.5 bonus when any strong key agrees (capped at 1.0).
+    Vectorized over the batch; no per-row Python UDF."""
+    sa = text_a.str.split(" ").map(set)
+    sb = text_b.str.split(" ").map(set)
+    inter = [len(x & y) for x, y in zip(sa, sb)]
+    union = [max(1, len(x | y)) for x, y in zip(sa, sb)]
+    jac = pd.Series(inter, dtype="float64") / pd.Series(union, dtype="float64")
+    key_hit = pd.Series(
+        [
+            bool(set(ka) & set(kb)) if ka is not None and kb is not None else False
+            for ka, kb in zip(keys_a, keys_b)
+        ],
+        dtype="float64",
+    )
+    return (jac + 0.5 * key_hit).clip(upper=1.0)
+
+
+def score_pairs(candidates: DataFrame) -> DataFrame:
+    return candidates.withColumn(
+        "score",
+        _pair_score(
+            F.col("text_a"), F.col("text_b"), F.col("keys_a"), F.col("keys_b")
+        ),
+    )
+
+
+def link_edges(candidates: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """(src, dst) edges accepted by the scorer."""
+    return (
+        score_pairs(candidates)
+        .filter(F.col("score") >= threshold)
+        .select(F.col("entity_a").alias("src"), F.col("entity_b").alias("dst"))
+    )

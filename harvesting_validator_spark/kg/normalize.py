@@ -1,0 +1,41 @@
+"""IRI normalization (triple-extraction cleanup, SURVEY.md §7 stage 4).
+
+Pure Catalyst string expressions — applied to subj/pred/obj_value IRI
+columns before linking so trivially-different spellings of one IRI
+(scheme/host case, default ports, trailing slash, /./ segments) collapse
+without any linking machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCHEME_HOST = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)"
+
+
+def normalize_iri(col: Column) -> Column:
+    """Lowercase scheme+authority, drop default ports, collapse /./
+    segments, strip a single trailing slash (keeps the root slash)."""
+    # Catalyst regexp_replace has no replace callback, so lowercase the
+    # scheme://authority prefix by splitting it off explicitly:
+    prefix = F.regexp_extract(col, _SCHEME_HOST, 0)
+    rest = F.substring(col, F.length(prefix) + 1, F.lit(1 << 30))
+    lowered = F.concat(F.lower(prefix), rest)
+    c = F.when(prefix != "", lowered).otherwise(col)
+    c = F.regexp_replace(c, r"^(https?://[^/?#]*):(?:80|443)(/|$)", "$1$2")
+    c = F.regexp_replace(c, r"/\./", "/")
+    c = F.regexp_replace(c, r"(.)/$", "$1")
+    return c
+
+
+def normalize_triples(triples: DataFrame) -> DataFrame:
+    """Apply IRI normalization to subj/pred and IRI-kind objects."""
+    return triples.withColumn("subj", normalize_iri(F.col("subj"))).withColumn(
+        "pred", normalize_iri(F.col("pred"))
+    ).withColumn(
+        "obj_value",
+        F.when(
+            F.col("obj_kind") == "iri", normalize_iri(F.col("obj_value"))
+        ).otherwise(F.col("obj_value")),
+    )

@@ -56,6 +56,59 @@ def content_sha_invariant(sources: DataFrame) -> DataFrame:
     )
 
 
+@dataclass
+class KgRun:
+    validation: "ValidationRun"
+    mentions: DataFrame
+    candidates: DataFrame
+    edges: DataFrame
+    mapping: DataFrame
+    graph: DataFrame
+
+
+def run_kg_construction(
+    spark: SparkSession,
+    sources: DataFrame,
+    shapes_turtle: str,
+    link_threshold: float = 0.9,
+    n_salt: int = 1,
+) -> KgRun:
+    """North-star extension (SURVEY.md §7 stage 4): conforming documents ->
+    IRI-normalized triple extraction -> mention detection -> minhash/LSH
+    blocking -> Arrow-batched link scoring -> union-find canonicalization ->
+    deduplicated (subj, pred, obj) canonical graph."""
+    from harvesting_validator_spark.kg.canonicalize import canonical_mapping
+    from harvesting_validator_spark.kg.graph import dedup_graph, rewrite_to_canonical
+    from harvesting_validator_spark.kg.linking import (
+        block_candidates,
+        extract_mentions,
+        link_edges,
+    )
+    from harvesting_validator_spark.kg.normalize import normalize_triples
+
+    validation = run_validation(spark, sources, shapes_turtle)
+    conforming = validation.verdicts.filter(F.col("conforms")).select("doc_id")
+    triples = normalize_triples(
+        validation.valid_triples.join(conforming, "doc_id", "left_semi")
+    ).persist()
+
+    mentions = extract_mentions(triples)
+    candidates = block_candidates(mentions, n_salt=n_salt)
+    edges = link_edges(candidates, threshold=link_threshold)
+    mapping = canonical_mapping(
+        mentions.select("entity"), edges
+    ).persist()
+    graph = dedup_graph(rewrite_to_canonical(triples, mapping))
+    return KgRun(
+        validation=validation,
+        mentions=mentions,
+        candidates=candidates,
+        edges=edges,
+        mapping=mapping,
+        graph=graph,
+    )
+
+
 def run_validation(
     spark: SparkSession,
     sources: DataFrame,

@@ -16,14 +16,17 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from harvesting_validator_spark.plans.pipeline import run_validation
+from harvesting_validator_spark.plans.pipeline import run_kg_construction, run_validation
 from harvesting_validator_spark.queries.common import tbl
 from harvesting_validator_spark.sources.synthetic import (
     APPLICATION_PROFILE,
+    ENTITY_PROFILE,
+    generate_entity_sources,
     generate_sources,
 )
 
 _RUN_CACHE: dict = {}
+_KG_CACHE: dict = {}
 
 
 def _corpus_n(spark, sf_dir: str) -> int:
@@ -207,8 +210,61 @@ FROM documents
 """
 
 
+def _kg_run(spark, sf_dir):
+    """Entity-linking pipeline over the duplicate-entity corpus:
+    n docs, K = n//10 real-world entities (closed-form ground truth)."""
+    key = (id(spark), sf_dir)
+    if key not in _KG_CACHE:
+        n = _corpus_n(spark, sf_dir)
+        sources = generate_entity_sources(spark, n, n_entities=n // 10)
+        _KG_CACHE[key] = run_kg_construction(spark, sources, ENTITY_PROFILE)
+    return _KG_CACHE[key]
+
+
+# --- union-find cluster rollup (north_star canonicalization) -------------------
+def q_kg_linked_clusters(spark, sf_dir):
+    run = _kg_run(spark, sf_dir)
+    return run.mapping.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+O_LINKED_CLUSTERS = """
+WITH k AS (SELECT count(*) // 10 AS k FROM documents)
+SELECT printf('http://example.com/ns#E%06d', doc_id % (SELECT k FROM k)) AS canonical,
+       count(*) AS n_members
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- deduplicated canonical (s,p,o) graph (north_rule materialization) ----------
+def q_kg_canonical_graph(spark, sf_dir):
+    run = _kg_run(spark, sf_dir)
+    local = F.element_at(F.split("pred", "[/#]"), -1)
+    return run.graph.select("subj", local.alias("pred_local"), "obj_value")
+
+
+O_CANONICAL_GRAPH = """
+WITH k AS (SELECT count(*) // 10 AS k, count(*) AS n FROM documents),
+grp AS (SELECT DISTINCT doc_id % (SELECT k FROM k) AS r FROM documents)
+SELECT subj, pred_local, obj_value FROM (
+  SELECT printf('http://example.com/ns#E%06d', r) AS subj, 'type' AS pred_local,
+         'http://example.com/ns#Person' AS obj_value FROM grp
+  UNION ALL
+  SELECT printf('http://example.com/ns#E%06d', r), 'name',
+         'Person ' || r || ' Name' FROM grp
+  UNION ALL
+  SELECT printf('http://example.com/ns#E%06d', r), 'ssn',
+         printf('%03d-%02d-%04d', r % 1000, (r * 7) % 100, (r * 13) % 10000) FROM grp
+)
+"""
+
+
 QUERIES = {
     "kg_verdicts": q_kg_verdicts,
+    "kg_linked_clusters": q_kg_linked_clusters,
+    "kg_canonical_graph": q_kg_canonical_graph,
     "kg_split_counts": q_kg_split_counts,
     "kg_report_rollup": q_kg_report_rollup,
     "kg_violation_paths": q_kg_violation_paths,
@@ -218,6 +274,8 @@ QUERIES = {
 
 ORACLES = {
     "kg_verdicts": O_VERDICTS,
+    "kg_linked_clusters": O_LINKED_CLUSTERS,
+    "kg_canonical_graph": O_CANONICAL_GRAPH,
     "kg_split_counts": O_SPLIT,
     "kg_report_rollup": O_ROLLUP,
     "kg_violation_paths": O_PATHS,

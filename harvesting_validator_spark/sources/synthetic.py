@@ -169,6 +169,55 @@ def generate_sources(spark: SparkSession, n_docs: int) -> DataFrame:
     )
 
 
+# open profile for the entity-linking corpus: Person with pattern-checked
+# ssn and required name
+ENTITY_PROFILE = """
+@prefix ex: <http://example.com/ns#> .
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:PersonShape a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:ssn ; sh:datatype xsd:string ;
+                sh:pattern "^\\\\d{3}-\\\\d{2}-\\\\d{4}$" ] ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+"""
+
+
+def generate_entity_sources(
+    spark: SparkSession, n_docs: int, n_entities: int | None = None
+) -> DataFrame:
+    """Corpus for the KG-construction extension (entity linking +
+    canonicalization): doc i describes person ``ex:E%06d(i)`` whose name
+    and ssn are functions of ``i % K`` (K = n_entities), so every group of
+    ~n/K documents describes the SAME real-world entity under a different
+    IRI. Ground truth is closed-form: K canonical entities; the canonical
+    IRI of group r is ex:E%06d(r) (zero-padded so lexicographic min ==
+    numeric min); the deduplicated canonical graph has exactly 3 triples
+    per group (rdf:type, name, ssn)."""
+    if n_entities is None:
+        n_entities = max(2, n_docs // 10)
+    df = spark.range(n_docs).withColumnRenamed("id", "i")
+    i = F.col("i")
+    grp = i % n_entities
+    ssn = F.format_string("%03d-%02d-%04d", grp % 1000, (grp * 7) % 100, (grp * 13) % 10000)
+    content = F.concat(
+        F.lit("@prefix ex: <http://example.com/ns#> .\n"),
+        F.format_string("ex:E%06d", i),
+        F.lit(" a ex:Person ;\n  ex:name "),
+        F.concat(F.lit('"Person '), grp, F.lit(' Name"')),
+        F.lit(" ;\n  ex:ssn "),
+        F.concat(F.lit('"'), ssn, F.lit('"')),
+        F.lit(" .\n"),
+    )
+    return df.select(
+        F.format_string("repo%d", i % 16).alias("repo"),
+        F.concat(F.lit("data/entities/e"), i, F.lit(".ttl")).alias("path"),
+        F.sha2(F.format_string("ecommit%d", i), 256).substr(1, 40).alias("commit"),
+        F.lit("turtle").alias("lang"),
+        content.alias("content"),
+    )
+
+
 def expected_verdict_counts(n_docs: int) -> dict[str, int]:
     """Closed-form truth for generate_sources: docs with i%10 in {7,8,9}
     are non-conforming."""

@@ -1,0 +1,95 @@
+"""Stage-4 KG construction: linking, union-find, canonical graph.
+
+Ground truth is closed-form in the entity corpus (synthetic.py
+generate_entity_sources: doc i describes entity group i%K)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from harvesting_validator_spark.kg.canonicalize import (
+    canonical_mapping,
+    connected_components,
+)
+from harvesting_validator_spark.kg.normalize import normalize_iri
+from harvesting_validator_spark.plans.pipeline import run_kg_construction
+from harvesting_validator_spark.sources.synthetic import (
+    ENTITY_PROFILE,
+    generate_entity_sources,
+)
+
+EX = "http://example.com/ns#"
+
+
+def test_connected_components_chain(spark):
+    """Multi-hop chain needs several propagation rounds — exercises the
+    iterative loop, not just one-hop cliques."""
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("c", "d"), ("x", "y")], "src string, dst string"
+    )
+    comp = {r.entity: r.canonical for r in connected_components(edges).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_canonical_mapping_includes_singletons(spark):
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    ents = spark.createDataFrame([("a",), ("b",), ("z",)], "entity string")
+    m = {r.entity: r.canonical for r in canonical_mapping(ents, edges).collect()}
+    assert m == {"a": "a", "b": "a", "z": "z"}
+
+
+def test_normalize_iri(spark):
+    df = spark.createDataFrame(
+        [
+            ("HTTP://Example.COM:80/a/./b/",),
+            ("https://host:443/x",),
+            ("http://ok.org/path",),
+            ("urn:uuid:abc",),
+        ],
+        "iri string",
+    )
+    out = [r.n for r in df.select(normalize_iri(F.col("iri")).alias("n")).collect()]
+    assert out == [
+        "http://example.com/a/b",
+        "https://host/x",
+        "http://ok.org/path",
+        "urn:uuid:abc",
+    ]
+
+
+def test_kg_construction_end_to_end(spark):
+    n, k = 60, 6
+    sources = generate_entity_sources(spark, n, n_entities=k)
+    run = run_kg_construction(spark, sources, ENTITY_PROFILE, link_threshold=0.9)
+
+    # every doc conforms -> 60 mentions
+    assert run.mentions.count() == n
+
+    # union-find collapses each group of 10 same-(name, ssn) entities
+    clusters = (
+        run.mapping.groupBy("canonical")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .collect()
+    )
+    assert len(clusters) == k
+    assert all(r.size == n // k for r in clusters)
+    # canonical = zero-padded min member, i.e. group index r itself
+    assert sorted(r.canonical for r in clusters) == [
+        f"{EX}E{r:06d}" for r in range(k)
+    ]
+
+    # canonical graph: exactly 3 deduplicated triples per entity group
+    assert run.graph.count() == 3 * k
+    per_subj = run.graph.groupBy("subj").count().collect()
+    assert all(r["count"] == 3 for r in per_subj)
+
+
+def test_kg_salted_blocking_same_result(spark):
+    """Salted band join (skew path) must produce the identical graph."""
+    n, k = 30, 3
+    sources = generate_entity_sources(spark, n, n_entities=k)
+    plain = run_kg_construction(spark, sources, ENTITY_PROFILE)
+    salted = run_kg_construction(spark, sources, ENTITY_PROFILE, n_salt=4)
+    g1 = {tuple(r) for r in plain.graph.collect()}
+    g2 = {tuple(r) for r in salted.graph.collect()}
+    assert g1 == g2
