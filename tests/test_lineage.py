@@ -1,0 +1,102 @@
+"""Checkpoint/resume + lineage metrics (SURVEY.md §5 test 5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from harvesting_validator_spark.lineage import (
+    STATUS_FAILED,
+    STATUS_SUCCESS,
+    CheckpointedRunner,
+    LineageStore,
+    run_validation_checkpointed,
+)
+from harvesting_validator_spark.sources.synthetic import (
+    APPLICATION_PROFILE,
+    generate_sources,
+)
+
+
+def test_stage_skip_on_resume(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5).select(F.col("id").alias("x"))
+
+    r1 = CheckpointedRunner(spark, wh, run_id="run1")
+    out1 = r1.stage("s1", build)
+    assert out1.count() == 5 and calls["n"] == 1
+    assert r1.executed == ["s1"]
+
+    r2 = CheckpointedRunner(spark, wh, run_id="run1")
+    out2 = r2.stage("s1", build)
+    assert out2.count() == 5
+    assert calls["n"] == 1  # not rebuilt
+    assert r2.skipped == ["s1"]
+
+    # a different run_id re-executes
+    r3 = CheckpointedRunner(spark, wh, run_id="run2")
+    r3.stage("s1", build)
+    assert calls["n"] == 2
+
+
+def test_failure_recorded_and_retry(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    boom = {"on": True}
+
+    def build():
+        if boom["on"]:
+            raise ValueError("synthetic stage failure")
+        return spark.range(3).select(F.col("id").alias("x"))
+
+    r = CheckpointedRunner(spark, wh, run_id="runf")
+    with pytest.raises(ValueError):
+        r.stage("fragile", build)
+    store = LineageStore(spark, wh)
+    assert store.stage_status("runf", "fragile") == STATUS_FAILED
+    err = (
+        store.latest()
+        .filter(F.col("status") == STATUS_FAILED)
+        .select("error")
+        .first()
+        .error
+    )
+    assert "synthetic stage failure" in err
+
+    # retry = same run_id after the fault clears (AppController./retry analog)
+    boom["on"] = False
+    r2 = CheckpointedRunner(spark, wh, run_id="runf")
+    assert r2.stage("fragile", build).count() == 3
+    assert store.stage_status("runf", "fragile") == STATUS_SUCCESS
+
+
+def test_checkpointed_pipeline_resume_identical(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    sources = generate_sources(spark, 40)
+
+    r1 = run_validation_checkpointed(
+        spark, sources, APPLICATION_PROFILE, wh, run_id="pipe"
+    )
+    assert r1.skipped == []
+    v1 = {tuple(r) for r in spark.read.parquet(f"{wh}/pipe/verdicts").collect()}
+
+    # resume: every stage skips, outputs identical
+    r2 = run_validation_checkpointed(
+        spark, sources, APPLICATION_PROFILE, wh, run_id="pipe"
+    )
+    assert r2.executed == []
+    assert set(r2.skipped) == {
+        "parse", "parse_errors", "validate", "verdicts",
+        "valid_triples", "error_triples", "report",
+    }
+    v2 = {tuple(r) for r in spark.read.parquet(f"{wh}/pipe/verdicts").collect()}
+    assert v1 == v2
+
+    # per-partition metrics exist for every stage
+    m = r2.metrics()
+    assert set(m) >= {"parse", "validate", "verdicts"}
+    assert all(v["status"] == STATUS_SUCCESS for v in m.values())
+    assert m["verdicts"]["rows"] == 40
