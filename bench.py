@@ -28,7 +28,8 @@ HEADLINE = [
     "tpch_q1",
     "threehop_segment_revenue",
     "star_pivot",
-    "minhash_lsh_pairs",
+    # minhash_lsh_pairs is subsumed by lsh_verified_pairs (same blocking
+    # stage + verify); it stays in queries() for the correctness gate
     "lsh_verified_pairs",
     "simhash",
     "fingerprint",

@@ -61,16 +61,17 @@ def split_valid_error(
     value-implicating violations; error = input − valid (set difference
     via left_anti on the full key, `FilteringService.java:97`).
     """
-    focus_any = focus.select(
-        F.col("doc_id").alias("f_doc"), F.col("focus_node").alias("f_node")
-    ).distinct()
-
-    targeted = triples.join(
-        focus_any,
-        (triples.doc_id == focus_any.f_doc) & (triples.subj == focus_any.f_node),
-        "left_semi",
+    # classify ONCE: three left joins attach markers, then both outputs are
+    # filters over the same classified plan — the error side never
+    # recomputes the valid plan (the naive "input anti-join valid" costs a
+    # second full evaluation + a 7-column shuffle at corpus scale).
+    focus_any = (
+        focus.select(
+            F.col("doc_id").alias("f_doc"), F.col("focus_node").alias("f_node")
+        )
+        .distinct()
+        .withColumn("_targeted", F.lit(True))
     )
-
     drop_value = (
         violations.filter(F.col("constraint_component").isin(_VALUE_LEVEL))
         .select(
@@ -80,44 +81,50 @@ def split_valid_error(
             F.col("value").alias("v_obj"),
         )
         .distinct()
+        .withColumn("_v_hit", F.lit(True))
     )
     drop_path = (
         violations.filter(F.col("constraint_component").isin(_PATH_LEVEL))
         .select(
-            F.col("doc_id").alias("v_doc"),
-            F.col("focus_node").alias("v_subj"),
-            F.col("result_path").alias("v_pred"),
+            F.col("doc_id").alias("p_doc"),
+            F.col("focus_node").alias("p_subj"),
+            F.col("result_path").alias("p_pred"),
         )
         .distinct()
+        .withColumn("_p_hit", F.lit(True))
     )
 
-    valid = targeted.join(
-        drop_value,
-        (targeted.doc_id == drop_value.v_doc)
-        & (targeted.subj == drop_value.v_subj)
-        & (targeted.pred == drop_value.v_pred)
-        & (targeted.obj_value == drop_value.v_obj),
-        "left_anti",
-    ).join(
-        drop_path,
-        (targeted.doc_id == drop_path.v_doc)
-        & (targeted.subj == drop_path.v_subj)
-        & (targeted.pred == drop_path.v_pred),
-        "left_anti",
+    classified = (
+        triples.join(
+            focus_any,
+            (triples.doc_id == focus_any.f_doc) & (triples.subj == focus_any.f_node),
+            "left",
+        )
+        .join(
+            drop_value,
+            (triples.doc_id == drop_value.v_doc)
+            & (triples.subj == drop_value.v_subj)
+            & (triples.pred == drop_value.v_pred)
+            & (triples.obj_value == drop_value.v_obj),
+            "left",
+        )
+        .join(
+            drop_path,
+            (triples.doc_id == drop_path.p_doc)
+            & (triples.subj == drop_path.p_subj)
+            & (triples.pred == drop_path.p_pred),
+            "left",
+        )
+        .withColumn(
+            "_valid",
+            F.coalesce("_targeted", F.lit(False))
+            & F.col("_v_hit").isNull()
+            & F.col("_p_hit").isNull(),
+        )
     )
-
-    # Model = set, so difference = null-safe anti-join on the full key
-    # (plain column-list joins treat null != null and would leak typed
-    # triples with null obj_datatype into the error set).
-    valid_keyed = valid.select(
-        *[F.col(c).alias(f"k_{c}") for c in TRIPLE_KEY]
-    )
-    cond = None
-    for c in TRIPLE_KEY:
-        clause = triples[c].eqNullSafe(valid_keyed[f"k_{c}"])
-        cond = clause if cond is None else (cond & clause)
-    error = triples.join(valid_keyed, cond, "left_anti")
-    return valid.select(*TRIPLE_KEY), error.select(*TRIPLE_KEY)
+    valid = classified.filter(F.col("_valid")).select(*TRIPLE_KEY)
+    error = classified.filter(~F.col("_valid")).select(*TRIPLE_KEY)
+    return valid, error
 
 
 def conformance_verdicts(
@@ -189,68 +196,59 @@ def report_triples(violations: DataFrame) -> DataFrame:
     )
 
     def t(subj, pred, obj, kind, dtype=None):
-        return v.select(
-            F.col("doc_id"),
-            subj.alias("subj"),
-            F.lit(pred).alias("pred"),
-            obj.alias("obj_value"),
-            F.lit(kind).alias("obj_kind"),
-            F.lit(dtype).alias("obj_datatype"),
+        def c(x):
+            if x is None:
+                return F.lit(None).cast("string")
+            return (F.lit(x) if isinstance(x, str) else x).cast("string")
+
+        return F.struct(
+            c(subj).alias("subj"),
+            c(pred).alias("pred"),
+            c(obj).alias("obj_value"),
+            c(kind).alias("obj_kind"),
+            c(dtype).alias("obj_datatype"),
             F.lit(None).cast("string").alias("obj_lang"),
         )
 
     rn, pn = F.col("result_node"), F.col("report_node")
-    frames = [
+    # all per-violation triples in one array -> one scan + one explode
+    # (the naive per-triple-pattern union re-scans violations 9x)
+    arr = F.array(
         t(pn, SH + "result", rn, "iri"),
-        t(rn, rdf_type, F.lit(SH + "ValidationResult"), "iri"),
+        t(rn, rdf_type, SH + "ValidationResult", "iri"),
         t(rn, SH + "focusNode", F.col("focus_node"), "iri"),
         t(rn, SH + "resultSeverity", F.col("severity"), "iri"),
         t(rn, SH + "sourceConstraintComponent", F.col("constraint_component"), "iri"),
         t(rn, SH + "sourceShape", F.col("shape"), "iri"),
         t(rn, SH + "resultMessage", F.col("message"), "literal",
           "http://www.w3.org/2001/XMLSchema#string"),
-        t(rn, SH + "resultPath", F.col("result_path"), "iri").filter(
-            F.col("obj_value").isNotNull()
+        F.when(
+            F.col("result_path").isNotNull(),
+            t(rn, SH + "resultPath", F.col("result_path"), "iri"),
         ),
-        v.filter(F.col("value").isNotNull()).select(
-            F.col("doc_id"),
-            rn.alias("subj"),
-            F.lit(SH + "value").alias("pred"),
-            F.col("value").alias("obj_value"),
-            F.coalesce(F.col("value_kind"), F.lit("literal")).alias("obj_kind"),
-            F.lit(None).cast("string").alias("obj_datatype"),
-            F.lit(None).cast("string").alias("obj_lang"),
+        F.when(
+            F.col("value").isNotNull(),
+            t(rn, SH + "value", F.col("value"),
+              F.coalesce(F.col("value_kind"), F.lit("literal"))),
         ),
-    ]
-    results = frames[0]
-    for fdf in frames[1:]:
-        results = results.unionByName(fdf)
+    )
+    results = v.select(
+        "doc_id",
+        F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("t"),
+    ).select("doc_id", "t.*")
 
-    report_hdr = (
+    headers = (
         v.select("doc_id", "report_node").distinct()
         .select(
-            F.col("doc_id"),
-            F.col("report_node").alias("subj"),
-            F.lit(rdf_type).alias("pred"),
-            F.lit(SH + "ValidationReport").alias("obj_value"),
-            F.lit("iri").alias("obj_kind"),
-            F.lit(None).cast("string").alias("obj_datatype"),
-            F.lit(None).cast("string").alias("obj_lang"),
+            "doc_id",
+            F.explode(F.array(
+                t(F.col("report_node"), rdf_type, SH + "ValidationReport", "iri"),
+                t(F.col("report_node"), SH + "conforms", "false", "literal", xsd_bool),
+            )).alias("t"),
         )
+        .select("doc_id", "t.*")
     )
-    conforms_false = (
-        v.select("doc_id", "report_node").distinct()
-        .select(
-            F.col("doc_id"),
-            F.col("report_node").alias("subj"),
-            F.lit(SH + "conforms").alias("pred"),
-            F.lit("false").alias("obj_value"),
-            F.lit("literal").alias("obj_kind"),
-            F.lit(xsd_bool).alias("obj_datatype"),
-            F.lit(None).cast("string").alias("obj_lang"),
-        )
-    )
-    return results.unionByName(report_hdr).unionByName(conforms_false)
+    return results.unionByName(headers)
 
 
 def nt_lines(triples: DataFrame) -> DataFrame:

@@ -117,13 +117,22 @@ def run_validation(
 ) -> ValidationRun:
     shapes = parse_shapes_turtle(shapes_turtle)
     sources = add_doc_id(sources)
-    triples, parse_errors = parse_sources_to_triples(sources, with_errors=True)
+    triples, parse_errors, raw = parse_sources_to_triples(
+        sources, with_errors=True, return_raw=True
+    )
     if cache:
-        triples = triples.persist()
+        # persist the raw parse output: the triples AND parse-error branches
+        # are filters over one cached Arrow-parse materialization
+        raw.persist()
     focus = compute_focus(triples, shapes, spark)
-    violations = validate(triples, shapes, spark)
+    violations = validate(triples, shapes, spark, focus=focus)
     if cache:
+        # persist + force a full-width materialization: downstream
+        # consumers (verdicts / splits / report) otherwise each trigger a
+        # recompute of the whole constraint plan — empirically the cache
+        # is only reliably reused once it has been scanned full-width
         violations = violations.persist()
+        violations.count()
     verdicts = conformance_verdicts(
         sources.select("doc_id"), violations, parse_errors
     )

@@ -180,116 +180,135 @@ def compute_focus(triples: DataFrame, shapes: ShapesGraph,
     return _union_all(all_frames).distinct()
 
 
-def _value_constraint_violations(
-    ftrip: DataFrame, shape: NodeShape, ps: PropertyShape
-) -> list[DataFrame]:
-    """Per-value constraint checks: pure Catalyst filters on the
-    focus-joined triples (no shuffle)."""
-    out: list[DataFrame] = []
-    vals = ftrip.filter(
-        (F.col("shape") == shape.iri) & (F.col("pred") == ps.path)
+def _vstruct(component: str, message, path, value=None, value_kind=None):
+    """Violation payload struct (shared shape across all constraints so
+    they can live in one array and explode in a single scan)."""
+
+    def c(x):
+        if x is None:
+            return F.lit(None).cast("string")
+        return (F.lit(x) if isinstance(x, str) else x).cast("string")
+
+    return F.struct(
+        c(path).alias("result_path"),
+        c(value).alias("value"),
+        c(value_kind).alias("value_kind"),
+        F.lit(component).alias("constraint_component"),
+        c(message).alias("message"),
     )
+
+
+def _scan_violation_structs(shapes: ShapesGraph) -> list:
+    """Per-row value + closed-shape checks as conditional structs: the
+    whole set evaluates in ONE projection over the focus-joined triples
+    (no unions, no re-scans — the "batched constraint evaluator" compiled
+    into Catalyst expressions)."""
     obj, kind = F.col("obj_value"), F.col("obj_kind")
+    structs = []
+    for shape in shapes.shapes:
+        sh_app = F.col("shape") == shape.iri
+        for ps in shape.properties:
+            app = sh_app & (F.col("pred") == ps.path)
+            if ps.datatypes:
+                dt_col = F.coalesce(F.col("obj_datatype"), F.lit(XSD + "string"))
+                dt_ok = dt_col.isin(list(ps.datatypes)) & F.col("obj_lang").isNull()
+                lex_ok = F.lit(True)
+                for dt in ps.datatypes:
+                    rx = _LEXICAL_RE.get(dt)
+                    if rx:
+                        lex_ok = lex_ok & F.when(
+                            dt_col == dt, obj.rlike(rx)
+                        ).otherwise(F.lit(True))
+                bad = ~((kind == "literal") & dt_ok & lex_ok)
+                structs.append(F.when(app & bad, _vstruct(
+                    SH + "DatatypeConstraintComponent",
+                    ps.message
+                    or f"value does not have datatype <{'|'.join(ps.datatypes)}>",
+                    ps.path, obj, kind,
+                )))
+            if ps.pattern is not None:
+                bad = (kind == "bnode") | ~obj.rlike(ps.pattern)
+                structs.append(F.when(app & bad, _vstruct(
+                    SH + "PatternConstraintComponent",
+                    ps.message or f"value does not match pattern '{ps.pattern}'",
+                    ps.path, obj, kind,
+                )))
+            if ps.node_kind is not None:
+                allowed = _NODEKIND_ALLOWED.get(
+                    ps.node_kind, ("iri", "bnode", "literal")
+                )
+                structs.append(F.when(app & ~kind.isin(list(allowed)), _vstruct(
+                    SH + "NodeKindConstraintComponent",
+                    ps.message or f"value is not of node kind <{ps.node_kind}>",
+                    ps.path, obj, kind,
+                )))
+            if ps.min_length is not None:
+                bad = (kind == "bnode") | (F.length(obj) < ps.min_length)
+                structs.append(F.when(app & bad, _vstruct(
+                    SH + "MinLengthConstraintComponent",
+                    ps.message or f"value shorter than {ps.min_length}",
+                    ps.path, obj, kind,
+                )))
+            if ps.max_length is not None:
+                bad = (kind == "bnode") | (F.length(obj) > ps.max_length)
+                structs.append(F.when(app & bad, _vstruct(
+                    SH + "MaxLengthConstraintComponent",
+                    ps.message or f"value longer than {ps.max_length}",
+                    ps.path, obj, kind,
+                )))
+            if ps.in_values:
+                structs.append(F.when(app & ~obj.isin(list(ps.in_values)), _vstruct(
+                    SH + "InConstraintComponent",
+                    ps.message or "value not in allowed list",
+                    ps.path, obj, kind,
+                )))
+        if shape.closed:
+            allowed = (
+                {p.path for p in shape.properties} | set(shape.ignored_properties)
+            )
+            structs.append(F.when(
+                sh_app & ~F.col("pred").isin(list(allowed)),
+                _vstruct(
+                    SH + "ClosedConstraintComponent",
+                    "predicate not allowed by closed shape",
+                    F.col("pred"), obj, kind,
+                ),
+            ))
+    return structs
 
-    if ps.datatypes:
-        is_literal = kind == "literal"
-        dt_ok = F.coalesce(F.col("obj_datatype"), F.lit(XSD + "string")).isin(
-            list(ps.datatypes)
-        ) & F.col("obj_lang").isNull()
-        lex_ok = F.lit(True)
-        for dt in ps.datatypes:
-            rx = _LEXICAL_RE.get(dt)
-            if rx:
-                lex_ok = lex_ok & F.when(
-                    F.coalesce(F.col("obj_datatype"), F.lit(XSD + "string")) == dt,
-                    obj.rlike(rx),
-                ).otherwise(F.lit(True))
-        bad = ~(is_literal & dt_ok & lex_ok)
-        out.append(_viol(
-            vals.filter(bad), shape.iri, SH + "DatatypeConstraintComponent",
-            ps.message or f"value does not have datatype <{'|'.join(ps.datatypes)}>",
-            path=ps.path, value=obj, value_kind=kind,
-        ))
 
-    if ps.pattern is not None:
-        bad = (kind == "bnode") | ~obj.rlike(ps.pattern)
-        out.append(_viol(
-            vals.filter(bad), shape.iri, SH + "PatternConstraintComponent",
-            ps.message or f"value does not match pattern '{ps.pattern}'",
-            path=ps.path, value=obj, value_kind=kind,
-        ))
-
-    if ps.node_kind is not None:
-        allowed = _NODEKIND_ALLOWED.get(ps.node_kind, ("iri", "bnode", "literal"))
-        out.append(_viol(
-            vals.filter(~kind.isin(list(allowed))), shape.iri,
-            SH + "NodeKindConstraintComponent",
-            ps.message or f"value is not of node kind <{ps.node_kind}>",
-            path=ps.path, value=obj, value_kind=kind,
-        ))
-
-    if ps.min_length is not None:
-        out.append(_viol(
-            vals.filter((kind == "bnode") | (F.length(obj) < ps.min_length)),
-            shape.iri, SH + "MinLengthConstraintComponent",
-            ps.message or f"value shorter than {ps.min_length}",
-            path=ps.path, value=obj, value_kind=kind,
-        ))
-    if ps.max_length is not None:
-        out.append(_viol(
-            vals.filter((kind == "bnode") | (F.length(obj) > ps.max_length)),
-            shape.iri, SH + "MaxLengthConstraintComponent",
-            ps.message or f"value longer than {ps.max_length}",
-            path=ps.path, value=obj, value_kind=kind,
-        ))
-
-    if ps.in_values:
-        out.append(_viol(
-            vals.filter(~obj.isin(list(ps.in_values))), shape.iri,
-            SH + "InConstraintComponent",
-            ps.message or "value not in allowed list",
-            path=ps.path, value=obj, value_kind=kind,
-        ))
-    return out
-
-
-def _class_constraint_violations(
-    triples: DataFrame, ftrip: DataFrame, shape: NodeShape, ps: PropertyShape
-) -> DataFrame:
-    """sh:class C: value node must carry rdf:type C *within the same
-    document* (per-document models, SURVEY §2.6). left_anti join against
-    the typed-node slice; literals always violate."""
-    typed = (
-        triples.filter(
-            (F.col("pred") == RDF_TYPE) & (F.col("obj_value") == ps.class_)
-        )
-        .select(F.col("doc_id").alias("t_doc"), F.col("subj").alias("t_node"))
-        .distinct()
-    )
-    vals = ftrip.filter(
-        (F.col("shape") == shape.iri) & (F.col("pred") == ps.path)
-    )
-    bad = vals.join(
-        typed,
-        (vals.doc_id == typed.t_doc) & (vals.obj_value == typed.t_node),
-        "left_anti",
-    )
-    return _viol(
-        bad, shape.iri, SH + "ClassConstraintComponent",
-        ps.message or f"value is not an instance of <{ps.class_}>",
-        path=ps.path, value=F.col("obj_value"), value_kind=F.col("obj_kind"),
+def _project(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id", "shape", "focus_node", "result_path", "value", "value_kind",
+        "constraint_component",
+        F.lit(SEVERITY_VIOLATION).alias("severity"),
+        "message",
     )
 
 
 def validate(
-    triples: DataFrame, shapes: ShapesGraph, spark: SparkSession | None = None
+    triples: DataFrame,
+    shapes: ShapesGraph,
+    spark: SparkSession | None = None,
+    focus: DataFrame | None = None,
 ) -> DataFrame:
-    """All violations for all shapes: one DataFrame, computed with a
-    single focus⋈triples join + a single cardinality groupBy, shared
-    across every shape/constraint (union of filters over the cached
-    intermediate)."""
+    """All violations for all shapes in four passes total, independent of
+    how many shapes/constraints the profile declares:
+
+    1. one focus⋈triples join (ftrip) — the only exchange keyed
+       (doc_id, node), shared below;
+    2. one projection of ftrip evaluating EVERY value/closed constraint
+       as conditional structs exploded from an array (zero extra scans);
+    3. one groupBy(doc_id, focus, shape, pred) feeding min/max-count and
+       hasValue via broadcast spec-table joins;
+    4. one join against the typed-node slice for all sh:class constraints.
+
+    At 10^12-doc scale this bounds the shuffle count at 2 (join + groupBy)
+    regardless of profile size.
+    """
     spark = spark or SparkSession.getActiveSession()
-    focus = compute_focus(triples, shapes, spark)
+    if focus is None:
+        focus = compute_focus(triples, shapes, spark)
 
     ftrip = (
         focus.alias("f")
@@ -306,84 +325,168 @@ def validate(
     )
 
     frames: list[DataFrame] = []
-    any_counts = any(
-        p.min_count is not None or p.max_count is not None or p.has_value
-        for s in shapes.shapes for p in s.properties
-    )
+
+    # pass 2: value + closed constraints, single scan
+    structs = _scan_violation_structs(shapes)
+    if structs:
+        arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+        frames.append(_project(
+            ftrip.select(
+                "doc_id", "shape", "focus_node", F.explode(arr).alias("v")
+            ).select("doc_id", "shape", "focus_node", "v.*")
+        ))
+
+    # pass 3: cardinality + hasValue via one groupBy + broadcast specs
+    max_rows = [
+        (s.iri, p.path, p.max_count,
+         p.message or f"more than {p.max_count} values")
+        for s in shapes.shapes for p in s.properties if p.max_count is not None
+    ]
+    min_rows = [
+        (s.iri, p.path, p.min_count,
+         p.message or f"fewer than {p.min_count} values")
+        for s in shapes.shapes for p in s.properties if p.min_count is not None
+    ]
+    hv_rows = [
+        (s.iri, p.path, p.has_value,
+         p.message or f"missing required value {p.has_value}")
+        for s in shapes.shapes for p in s.properties if p.has_value is not None
+    ]
     counts = None
-    if any_counts:
+    if max_rows or min_rows or hv_rows:
         counts = ftrip.groupBy("doc_id", "focus_node", "shape", "pred").agg(
             F.count(F.lit(1)).alias("cnt")
         )
+    if max_rows:
+        spec = F.broadcast(spark.createDataFrame(
+            max_rows, "m_shape string, m_pred string, m_max int, m_msg string"
+        ))
+        over = counts.join(
+            spec,
+            (F.col("shape") == F.col("m_shape"))
+            & (F.col("pred") == F.col("m_pred"))
+            & (F.col("cnt") > F.col("m_max")),
+        )
+        frames.append(_project(over.select(
+            "doc_id", "shape", "focus_node",
+            F.col("pred").alias("result_path"),
+            F.lit(None).cast("string").alias("value"),
+            F.lit(None).cast("string").alias("value_kind"),
+            F.lit(SH + "MaxCountConstraintComponent").alias("constraint_component"),
+            F.col("m_msg").alias("message"),
+        )))
+    if min_rows:
+        spec = F.broadcast(spark.createDataFrame(
+            min_rows, "m_shape string, m_pred string, m_min int, m_msg string"
+        ))
+        # rename the counts side fully: counts derives from focus, so a
+        # bare join would be an ambiguous self-join
+        have = counts.select(
+            F.col("doc_id").alias("h_doc"),
+            F.col("focus_node").alias("h_focus"),
+            F.col("shape").alias("h_shape"),
+            F.col("pred").alias("h_pred"),
+            F.col("cnt").alias("have_cnt"),
+        )
+        under = (
+            focus.join(spec, F.col("shape") == F.col("m_shape"))
+            .join(
+                have,
+                (F.col("doc_id") == F.col("h_doc"))
+                & (F.col("focus_node") == F.col("h_focus"))
+                & (F.col("shape") == F.col("h_shape"))
+                & (F.col("m_pred") == F.col("h_pred")),
+                "left",
+            )
+            .filter(F.coalesce(F.col("have_cnt"), F.lit(0)) < F.col("m_min"))
+        )
+        frames.append(_project(under.select(
+            "doc_id", "shape", "focus_node",
+            F.col("m_pred").alias("result_path"),
+            F.lit(None).cast("string").alias("value"),
+            F.lit(None).cast("string").alias("value_kind"),
+            F.lit(SH + "MinCountConstraintComponent").alias("constraint_component"),
+            F.col("m_msg").alias("message"),
+        )))
+    if hv_rows:
+        spec = F.broadcast(spark.createDataFrame(
+            hv_rows, "h_shape string, h_pred string, h_val string, h_msg string"
+        ))
+        having = (
+            ftrip.join(
+                spec,
+                (F.col("shape") == F.col("h_shape"))
+                & (F.col("pred") == F.col("h_pred"))
+                & (F.col("obj_value") == F.col("h_val")),
+            )
+            .select(
+                F.col("doc_id").alias("g_doc"),
+                F.col("focus_node").alias("g_focus"),
+                F.col("shape").alias("g_shape"),
+                F.col("h_pred").alias("g_pred"),
+            )
+            .distinct()
+            .withColumn("present", F.lit(1))
+        )
+        missing = (
+            focus.join(spec, F.col("shape") == F.col("h_shape"))
+            .join(
+                having,
+                (F.col("doc_id") == F.col("g_doc"))
+                & (F.col("focus_node") == F.col("g_focus"))
+                & (F.col("shape") == F.col("g_shape"))
+                & (F.col("h_pred") == F.col("g_pred")),
+                "left",
+            )
+            .filter(F.col("present").isNull())
+        )
+        frames.append(_project(missing.select(
+            "doc_id", "shape", "focus_node",
+            F.col("h_pred").alias("result_path"),
+            F.lit(None).cast("string").alias("value"),
+            F.lit(None).cast("string").alias("value_kind"),
+            F.lit(SH + "HasValueConstraintComponent").alias("constraint_component"),
+            F.col("h_msg").alias("message"),
+        )))
 
-    for shape in shapes.shapes:
-        for ps in shape.properties:
-            frames.extend(_value_constraint_violations(ftrip, shape, ps))
-            if ps.class_ is not None:
-                frames.append(
-                    _class_constraint_violations(triples, ftrip, shape, ps)
-                )
-            if ps.max_count is not None and counts is not None:
-                over = counts.filter(
-                    (F.col("shape") == shape.iri)
-                    & (F.col("pred") == ps.path)
-                    & (F.col("cnt") > ps.max_count)
-                )
-                frames.append(_viol(
-                    over, shape.iri, SH + "MaxCountConstraintComponent",
-                    ps.message or f"more than {ps.max_count} values",
-                    path=ps.path,
-                ))
-            if ps.min_count is not None and counts is not None:
-                have = counts.filter(
-                    (F.col("shape") == shape.iri) & (F.col("pred") == ps.path)
-                ).select("doc_id", "focus_node",
-                         F.col("cnt").alias("have_cnt"))
-                under = (
-                    focus.filter(F.col("shape") == shape.iri)
-                    .join(have, ["doc_id", "focus_node"], "left")
-                    .filter(F.coalesce(F.col("have_cnt"), F.lit(0)) < ps.min_count)
-                )
-                frames.append(_viol(
-                    under, shape.iri, SH + "MinCountConstraintComponent",
-                    ps.message or f"fewer than {ps.min_count} values",
-                    path=ps.path,
-                ))
-            if ps.has_value is not None:
-                having = (
-                    ftrip.filter(
-                        (F.col("shape") == shape.iri)
-                        & (F.col("pred") == ps.path)
-                        & (F.col("obj_value") == ps.has_value)
-                    )
-                    .select("doc_id", "focus_node").distinct()
-                    .withColumn("present", F.lit(1))
-                )
-                missing = (
-                    focus.filter(F.col("shape") == shape.iri)
-                    .join(having, ["doc_id", "focus_node"], "left")
-                    .filter(F.col("present").isNull())
-                )
-                frames.append(_viol(
-                    missing, shape.iri, SH + "HasValueConstraintComponent",
-                    ps.message or f"missing required value {ps.has_value}",
-                    path=ps.path,
-                ))
-        if shape.closed:
-            allowed = (
-                {p.path for p in shape.properties}
-                | set(shape.ignored_properties)
+    # pass 4: all sh:class constraints via one join against typed nodes
+    class_rows = [
+        (s.iri, p.path, p.class_,
+         p.message or f"value is not an instance of <{p.class_}>")
+        for s in shapes.shapes for p in s.properties if p.class_ is not None
+    ]
+    if class_rows:
+        spec = F.broadcast(spark.createDataFrame(
+            class_rows, "c_shape string, c_pred string, c_class string, c_msg string"
+        ))
+        typed = (
+            triples.filter(F.col("pred") == RDF_TYPE)
+            .select(
+                F.col("doc_id").alias("t_doc"),
+                F.col("subj").alias("t_node"),
+                F.col("obj_value").alias("t_cls"),
             )
-            extra = ftrip.filter(
-                (F.col("shape") == shape.iri)
-                & ~F.col("pred").isin(list(allowed))
-            )
-            frames.append(_viol(
-                extra, shape.iri, SH + "ClosedConstraintComponent",
-                "predicate not allowed by closed shape",
-                path=F.col("pred"), value=F.col("obj_value"),
-                value_kind=F.col("obj_kind"),
-            ))
+            .distinct()
+        )
+        vals = ftrip.join(
+            spec,
+            (F.col("shape") == F.col("c_shape")) & (F.col("pred") == F.col("c_pred")),
+        )
+        bad = vals.join(
+            typed,
+            (vals.doc_id == typed.t_doc)
+            & (vals.obj_value == typed.t_node)
+            & (vals.c_class == typed.t_cls),
+            "left",
+        ).filter(F.col("t_node").isNull())
+        frames.append(_project(bad.select(
+            "doc_id", "shape", "focus_node",
+            F.col("c_pred").alias("result_path"),
+            F.col("obj_value").alias("value"),
+            F.col("obj_kind").alias("value_kind"),
+            F.lit(SH + "ClassConstraintComponent").alias("constraint_component"),
+            F.col("c_msg").alias("message"),
+        )))
 
     result = _union_all(frames)
     if result is None:

@@ -452,7 +452,9 @@ TRIPLES_SCHEMA = (
 PARSE_ERRORS_SCHEMA = "doc_id string, parse_error string"
 
 
-def parse_sources_to_triples(sources_df, with_errors: bool = False):
+def parse_sources_to_triples(
+    sources_df, with_errors: bool = False, return_raw: bool = False
+):
     """sources(repo, path, commit, lang, content[, doc_id]) -> triples DF.
 
     Arrow-batched via mapInPandas (SURVEY §2.11): one input row explodes to
@@ -495,4 +497,8 @@ def parse_sources_to_triples(sources_df, with_errors: bool = False):
     errors = parsed.filter(F.col("pred") == "__parse_error__").select(
         "doc_id", F.col("obj_value").alias("parse_error")
     )
+    if return_raw:
+        # callers persist `parsed` so the triples and error branches share
+        # one materialization of the (expensive) Arrow parse
+        return triples, errors, parsed
     return triples, errors
