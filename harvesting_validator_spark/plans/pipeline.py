@@ -125,7 +125,10 @@ def run_validation(
         # are filters over one cached Arrow-parse materialization
         raw.persist()
     focus = compute_focus(triples, shapes, spark)
-    violations = validate(triples, shapes, spark, focus=focus)
+    if cache:
+        focus = focus.persist()
+    violations = validate(triples, shapes, spark, focus=focus,
+                          cache_intermediate=cache)
     if cache:
         # persist + force a full-width materialization: downstream
         # consumers (verdicts / splits / report) otherwise each trigger a

@@ -291,6 +291,7 @@ def validate(
     shapes: ShapesGraph,
     spark: SparkSession | None = None,
     focus: DataFrame | None = None,
+    cache_intermediate: bool = True,
 ) -> DataFrame:
     """All violations for all shapes in four passes total, independent of
     how many shapes/constraints the profile declares:
@@ -323,6 +324,12 @@ def validate(
             "t.pred", "t.obj_value", "t.obj_kind", "t.obj_datatype", "t.obj_lang",
         )
     )
+    if cache_intermediate:
+        # the scan/cardinality/class passes each consume ftrip; without a
+        # persist, AQE re-derives it per pass — including a sequential
+        # driver-blocking broadcast build per join — which serializes the
+        # whole validation (observed: 11 back-to-back broadcast jobs)
+        ftrip = ftrip.persist()
 
     frames: list[DataFrame] = []
 

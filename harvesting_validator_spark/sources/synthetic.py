@@ -92,9 +92,18 @@ def golden_sources(spark: SparkSession) -> DataFrame:
     )
 
 
-def generate_sources(spark: SparkSession, n_docs: int) -> DataFrame:
-    """n synthetic person docs, built with pure Catalyst expressions."""
-    df = spark.range(n_docs).withColumnRenamed("id", "i")
+def generate_sources(
+    spark: SparkSession, n_docs: int, n_partitions: int | None = None
+) -> DataFrame:
+    """n synthetic person docs, built with pure Catalyst expressions.
+
+    n_partitions sets the range split count directly (narrow; avoids a
+    repartition shuffle when callers want finer task granularity)."""
+    df = (
+        spark.range(0, n_docs, 1, n_partitions)
+        if n_partitions
+        else spark.range(n_docs)
+    ).withColumnRenamed("id", "i")
     i = F.col("i")
     person = F.format_string(EX + "P%d", i)
     ssn_ok = F.format_string(
