@@ -16,6 +16,7 @@ from __future__ import annotations
 from harvesting_validator_spark.queries import (
     dedup,
     kg,
+    mm,
     relational,
     similarity,
     textops,
@@ -23,7 +24,7 @@ from harvesting_validator_spark.queries import (
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
-for _m in (relational, textops, dedup, similarity, kg):
+for _m in (relational, textops, dedup, similarity, kg, mm):
     overlap = set(ALL_QUERIES) & set(_m.QUERIES)
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
