@@ -1,0 +1,118 @@
+"""Event-driven / incremental-batch semantics (SURVEY.md §2.10).
+
+The reference is delta-notified micro-batch: a POST /delta containing an
+insert (?task, adms:status, scheduled) fires one pipeline run for that
+task (`AppController.java:27-45`, constants `Constants.java:4-10`). Our
+distributed analog has two parts:
+
+* ``scheduled_tasks_from_delta`` — the P1 insert-filter over a delta
+  patch DataFrame, IRI-for-IRI with the reference;
+* ``IncrementalLedger`` — "new work = source rows not in the processed
+  ledger" (the Iceberg snapshot-diff analog): each batch processes ONLY
+  unseen doc_ids, appends outputs + ledger rows atomically-enough for
+  rerun-idempotence (doc-level dedup on append), and re-presenting an
+  already-processed corpus is a no-op. Combined with lineage.py this gives
+  the north_rule's resumable incremental pipeline.
+
+Scale notes: the ledger is (doc_id, run_id, processed_at) — an anti-join
+key table, pruned by the same bucket(doc_id) partitioning as every other
+per-doc table. No Structured Streaming is needed (the reference has no
+event-time/watermark semantics to honor, SURVEY §2.10): incremental batch
+over an append-only table IS the semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# IRI-for-IRI with Constants.java:4-10
+TASK_HARVESTING_FILTERING = (
+    "http://lblod.data.gift/id/jobs/concept/TaskOperation/filtering"
+)
+SUBJECT_STATUS = "http://www.w3.org/ns/adms#status"
+STATUS_SCHEDULED = "http://redpencil.data.gift/id/concept/JobStatus/scheduled"
+
+DELTA_SCHEMA = (
+    "op string, subj string, pred string, obj_value string, obj_kind string"
+)
+
+
+def scheduled_tasks_from_delta(deltas: DataFrame) -> DataFrame:
+    """`delta.getInsertsFor(adms:status, scheduled)` (AppController.java:30-33):
+    subjects of inserted triples whose (pred, obj) mark a scheduled task."""
+    return (
+        deltas.filter(
+            (F.col("op") == "insert")
+            & (F.col("pred") == SUBJECT_STATUS)
+            & (F.col("obj_value") == STATUS_SCHEDULED)
+        )
+        .select(F.col("subj").alias("task"))
+        .distinct()
+    )
+
+
+class IncrementalLedger:
+    """Processed-docs ledger backing incremental batch runs."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame(
+                [], "doc_id string, run_id string, processed_at double"
+            )
+        return self.spark.read.parquet(self.path)
+
+    def new_docs(self, sources: DataFrame) -> DataFrame:
+        """Source rows whose doc_id has never been processed (snapshot-diff
+        analog: at cluster scale this is an Iceberg incremental scan)."""
+        seen = self.read().select("doc_id")
+        return sources.join(seen, "doc_id", "left_anti")
+
+    def mark(self, doc_ids: DataFrame, run_id: str) -> None:
+        rows = doc_ids.select("doc_id").distinct().select(
+            "doc_id",
+            F.lit(run_id).alias("run_id"),
+            F.lit(time.time()).alias("processed_at"),
+        )
+        rows.write.mode("append").parquet(self.path)
+
+
+def process_incremental(
+    spark: SparkSession,
+    sources: DataFrame,
+    shapes_turtle: str,
+    warehouse: str,
+    run_id: str | None = None,
+):
+    """One incremental batch: validate ONLY unseen docs, append their
+    verdicts/valid-triples to the output tables, mark them processed.
+    Returns (n_new_docs, verdicts_df_for_this_batch)."""
+    from harvesting_validator_spark.plans.pipeline import (
+        add_doc_id,
+        run_validation,
+    )
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    ledger = IncrementalLedger(spark, os.path.join(warehouse, "_processed"))
+    batch = ledger.new_docs(add_doc_id(sources))
+    n_new = batch.count()
+    if n_new == 0:
+        return 0, None
+
+    run = run_validation(spark, batch, shapes_turtle)
+    run.verdicts.write.mode("append").parquet(
+        os.path.join(warehouse, "verdicts")
+    )
+    run.valid_triples.write.mode("append").parquet(
+        os.path.join(warehouse, "valid_triples")
+    )
+    ledger.mark(batch.select("doc_id"), run_id)
+    return n_new, run.verdicts

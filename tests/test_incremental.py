@@ -1,0 +1,61 @@
+"""Incremental-batch semantics: delta intake filter + process-only-new."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from harvesting_validator_spark.incremental import (
+    STATUS_SCHEDULED,
+    SUBJECT_STATUS,
+    DELTA_SCHEMA,
+    process_incremental,
+    scheduled_tasks_from_delta,
+)
+from harvesting_validator_spark.sources.synthetic import (
+    APPLICATION_PROFILE,
+    generate_sources,
+)
+
+
+def test_delta_insert_filter(spark):
+    rows = [
+        ("insert", "task:1", SUBJECT_STATUS, STATUS_SCHEDULED, "iri"),
+        ("insert", "task:1", SUBJECT_STATUS, STATUS_SCHEDULED, "iri"),  # dup
+        ("delete", "task:2", SUBJECT_STATUS, STATUS_SCHEDULED, "iri"),  # delete
+        ("insert", "task:3", SUBJECT_STATUS, "other-status", "iri"),
+        ("insert", "task:4", "other-pred", STATUS_SCHEDULED, "iri"),
+        ("insert", "task:5", SUBJECT_STATUS, STATUS_SCHEDULED, "iri"),
+    ]
+    deltas = spark.createDataFrame(rows, DELTA_SCHEMA)
+    tasks = sorted(r.task for r in scheduled_tasks_from_delta(deltas).collect())
+    assert tasks == ["task:1", "task:5"]
+
+
+def test_incremental_processes_only_new(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    corpus = generate_sources(spark, 50)
+
+    batch1 = corpus.filter(F.col("path").rlike("page[0-2]?[0-9]\\."))  # 0..29
+    n1, _ = process_incremental(spark, batch1, APPLICATION_PROFILE, wh, "r1")
+    assert n1 == 30
+    assert spark.read.parquet(f"{wh}/verdicts").count() == 30
+
+    # overlapping superset: only the 20 unseen docs are processed
+    n2, _ = process_incremental(spark, corpus, APPLICATION_PROFILE, wh, "r2")
+    assert n2 == 20
+    verdicts = spark.read.parquet(f"{wh}/verdicts")
+    assert verdicts.count() == 50
+    assert verdicts.select("doc_id").distinct().count() == 50
+
+    # idempotence: representing the same corpus is a no-op
+    n3, out = process_incremental(spark, corpus, APPLICATION_PROFILE, wh, "r3")
+    assert n3 == 0 and out is None
+    assert spark.read.parquet(f"{wh}/verdicts").count() == 50
+
+    # outputs equal a from-scratch run over the full corpus
+    from harvesting_validator_spark.plans.pipeline import run_validation
+
+    full = run_validation(spark, corpus, APPLICATION_PROFILE)
+    a = {tuple(r) for r in verdicts.collect()}
+    b = {tuple(r) for r in full.verdicts.collect()}
+    assert a == b
