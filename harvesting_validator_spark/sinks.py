@@ -1,0 +1,110 @@
+"""Output sinks (SURVEY.md §2.1 S4/S5/S6).
+
+* S4 — N-Triples export: `ModelUtils.toFile(model, RDFLanguages.NT, path)`
+  (`TaskService.java:212-249`). Here the NT serialization is pure Catalyst
+  string ops (operators/filtering.py::nt_lines) and the sink is a
+  partitioned text write under `{share}/{job_id}/{container}/`.
+* S5 — file-metadata rows: the physical+logical `nfo:FileDataObject` pair
+  (`SPARQL/write-ttl-file.sparql:8-31`): name, size, format, timestamps,
+  `prov:wasDerivedFrom`. Here one row per written partition file appended
+  to a `lineage_files` parquet table; ids are deterministic sha2 of the
+  path (C4 — the reference's random `uuid()` at `TaskService.java:217,226`
+  breaks resume/idempotence, ours doesn't).
+* S6 — violation-statistics workbook (`XlsReportService.java:61-134`,
+  disabled in the reference at :40-44): summary sheet (path local-name ->
+  count, grand total). The aggregation is the operator; the xlsx writer is
+  gated behind an import-try (openpyxl is not in this image) with a CSV
+  fallback.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harvesting_validator_spark.operators.filtering import nt_lines
+
+NT_FORMAT = "application/n-triples"
+NT_EXTENSION = "nt"
+
+
+def write_nt(
+    triples: DataFrame,
+    share_root: str,
+    job_id: str,
+    container: str,
+    spark: SparkSession,
+) -> DataFrame:
+    """Serialize a triple table to N-Triples text files under
+    {share_root}/{job_id}/{container}/ and append S5 metadata rows.
+    Returns the lineage_files rows written."""
+    out_dir = os.path.join(share_root, job_id, container)
+    lines = nt_lines(triples).select("line")
+    lines.write.mode("overwrite").text(out_dir)
+
+    files = [
+        f
+        for f in os.listdir(out_dir)
+        if f.startswith("part-") and not f.endswith(".crc")
+    ]
+    now = time.time()
+    rows = [
+        (
+            f"share://{job_id}/{container}/{name}",
+            os.path.getsize(os.path.join(out_dir, name)),
+            name,
+            NT_FORMAT,
+            NT_EXTENSION,
+            now,
+            job_id,
+            container,
+        )
+        for name in sorted(files)
+    ]
+    meta = spark.createDataFrame(
+        rows,
+        "share_uri string, file_size bigint, file_name string, "
+        "format string, extension string, created double, "
+        "job_id string, container string",
+    ).withColumn(
+        # deterministic logical-file id (C4): sha2 of the share uri, not uuid()
+        "file_id",
+        F.sha2(F.col("share_uri"), 256),
+    )
+    meta_path = os.path.join(share_root, "_lineage_files")
+    meta.write.mode("append").parquet(meta_path)
+    return meta
+
+
+def violation_stats(violations: DataFrame) -> DataFrame:
+    """S6 aggregation: violations per result-path local name + grand total
+    (`XlsReportService.java:73-88,119-127`)."""
+    local = F.element_at(F.split("result_path", "[/#]"), -1)
+    per_path = (
+        violations.filter(F.col("result_path").isNotNull())
+        .groupBy(local.alias("path"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = violations.groupBy().agg(
+        F.lit("__total__").alias("path"), F.count(F.lit(1)).alias("n")
+    )
+    return per_path.unionByName(total)
+
+
+def write_violation_workbook(violations: DataFrame, path: str) -> str:
+    """Write the stats as xlsx when openpyxl exists, else CSV. Returns the
+    path written. Single-partition by design — the stats table is tiny
+    (one row per constrained path)."""
+    pdf = violation_stats(violations).toPandas()
+    try:
+        import openpyxl  # noqa: F401
+
+        out = path if path.endswith(".xlsx") else path + ".xlsx"
+        pdf.to_excel(out, sheet_name="summary", index=False)
+    except ImportError:
+        out = (path[:-5] if path.endswith(".xlsx") else path) + ".csv"
+        pdf.to_csv(out, index=False)
+    return out

@@ -1,0 +1,73 @@
+"""Physical-plan audits: the properties that matter at 100 TB, asserted so
+regressions fail tests rather than melting a cluster.
+
+- filters reach the parquet scan (PushedFilters);
+- column pruning reaches the scan (ReadSchema carries only used columns);
+- tiny dims broadcast;
+- per-doc operators keep whole-stage codegen (no row-at-a-time Python in
+  the relational path).
+"""
+
+from __future__ import annotations
+
+from harvesting_validator_spark.queries import dedup, relational, textops
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    plan = _formatted(relational.q_delta_status_filter(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,signup)" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = _formatted(relational.q_delta_status_filter(spark, sf_dir))
+    # ReadSchema must not include unused columns (ts, value, props)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "props" not in read_schema[0]
+    assert "value" not in read_schema[0]
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(relational.q_twohop_region_rollup(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region dims
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    semi = _plan(relational.q_ask_exists_semi(spark, sf_dir))
+    anti = _plan(relational.q_conformance_anti(spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_agg_has_partial_aggregation(spark, sf_dir):
+    plan = _plan(relational.q_tpch_q1(spark, sf_dir))
+    # map-side combine before the exchange
+    assert "partial_" in plan
+
+
+def test_text_ops_stay_jvm_side(spark, sf_dir):
+    # token/quality/fingerprint paths must not contain Python evals —
+    # they are pure Catalyst expressions (BatchEvalPython/ArrowEval only
+    # appear for UDF queries)
+    for q in (textops.q_token_stats, textops.q_quality_score,
+              textops.q_fingerprint, dedup.q_minhash_signatures,
+              dedup.q_simhash):
+        plan = _plan(q(spark, sf_dir))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_wholestage_codegen_on_scan_path(spark, sf_dir):
+    # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
+    plan = _plan(textops.q_token_stats(spark, sf_dir))
+    assert "*(1)" in plan

@@ -1,0 +1,66 @@
+"""S4/S5/S6 sinks: NT export round-trip, file-metadata rows, stats sheet."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from harvesting_validator_spark.plans.pipeline import run_validation
+from harvesting_validator_spark.sinks import (
+    violation_stats,
+    write_nt,
+    write_violation_workbook,
+)
+from harvesting_validator_spark.sources.rdf_parse import parse_ntriples
+from harvesting_validator_spark.sources.synthetic import (
+    APPLICATION_PROFILE,
+    golden_sources,
+)
+
+
+def test_nt_roundtrip_and_file_metadata(spark, tmp_path):
+    run = run_validation(spark, golden_sources(spark), APPLICATION_PROFILE)
+    share = str(tmp_path / "share")
+
+    meta = write_nt(run.valid_triples, share, "job1", "filter", spark)
+    rows = meta.collect()
+    assert rows, "at least one part file written"
+    assert all(r.share_uri.startswith("share://job1/filter/") for r in rows)
+    assert all(r.format == "application/n-triples" for r in rows)
+    assert all(len(r.file_id) == 64 for r in rows)
+
+    # S5 rows landed in the lineage_files table
+    lf = spark.read.parquet(f"{share}/_lineage_files")
+    assert lf.count() == len(rows)
+
+    # round-trip: re-parse the written NT and compare the triple set
+    out_dir = f"{share}/job1/filter"
+    text = ""
+    for name in os.listdir(out_dir):
+        if name.startswith("part-") and not name.endswith(".crc"):
+            with open(os.path.join(out_dir, name)) as fh:
+                text += fh.read()
+    reparsed = {
+        (t.subj, t.pred, t.obj_value, t.obj_kind, t.obj_datatype, t.obj_lang)
+        for t in parse_ntriples(text)
+    }
+    original = {
+        (r.subj, r.pred, r.obj_value, r.obj_kind, r.obj_datatype, r.obj_lang)
+        for r in run.valid_triples.collect()
+    }
+    assert reparsed == original
+
+
+def test_violation_stats_and_workbook(spark, tmp_path):
+    run = run_validation(spark, golden_sources(spark), APPLICATION_PROFILE)
+    stats = {r.path: r.n for r in violation_stats(run.violations).collect()}
+    # golden fixture: ssn (alice pattern + bob maxcount), worksFor (calvin
+    # class), birthDate+www (calvin closed) — FIXTURES.md §2
+    assert stats["ssn"] == 2
+    assert stats["worksFor"] == 1
+    assert stats["birthDate"] == 1 and stats["www"] == 1
+    assert stats["__total__"] == 5
+
+    out = write_violation_workbook(run.violations, str(tmp_path / "stats.xlsx"))
+    assert os.path.exists(out)
