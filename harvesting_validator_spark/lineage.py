@@ -27,7 +27,6 @@ lineage table itself is append-only; readers take the LATEST row per
 
 from __future__ import annotations
 
-import json
 import os
 import time
 import traceback

@@ -220,9 +220,14 @@ def q_lsh_verified_pairs(spark, sf_dir):
     d = tbl(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(tokens()).alias("toks")
     )
+    # broadcast the token table: the candidate-pair side is O(pairs) rows
+    # and must NOT be shuffled twice just to attach ~KB-scale token sets.
+    # (At 10^12-doc scale the token table outgrows a broadcast and this
+    # becomes a bucket join on doc_id; the pair table is bucketed the same
+    # way by construction.)
     j = (
-        pairs.join(d.alias("da"), pairs.doc_a == F.col("da.doc_id"))
-        .join(d.alias("db"), pairs.doc_b == F.col("db.doc_id"))
+        pairs.join(F.broadcast(d.alias("da")), pairs.doc_a == F.col("da.doc_id"))
+        .join(F.broadcast(d.alias("db")), pairs.doc_b == F.col("db.doc_id"))
     )
     inter = F.size(F.array_intersect(F.col("da.toks"), F.col("db.toks")))
     uni = F.size(F.array_union(F.col("da.toks"), F.col("db.toks")))

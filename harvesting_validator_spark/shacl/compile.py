@@ -36,8 +36,6 @@ from harvesting_validator_spark.shacl.model import (
     RDF_TYPE,
     SEVERITY_VIOLATION,
     SH,
-    NodeShape,
-    PropertyShape,
     ShapesGraph,
 )
 
@@ -72,22 +70,6 @@ VIOLATIONS_COLUMNS = (
 )
 
 _MAX_NESTING_DEPTH = 5
-
-
-def _viol(df: DataFrame, shape: str, component: str, message,
-          path=None, value=None, value_kind=None) -> DataFrame:
-    """Project a filtered focus-triples DF into the violations schema."""
-    return df.select(
-        F.col("doc_id"),
-        F.lit(shape).alias("shape"),
-        F.col("focus_node"),
-        (F.lit(path) if isinstance(path, (str, type(None))) else path).alias("result_path"),
-        (F.lit(value) if isinstance(value, (str, type(None))) else value).alias("value"),
-        (F.lit(value_kind) if isinstance(value_kind, (str, type(None))) else value_kind).alias("value_kind"),
-        F.lit(component).alias("constraint_component"),
-        F.lit(SEVERITY_VIOLATION).alias("severity"),
-        (F.lit(message) if isinstance(message, str) else message).alias("message"),
-    )
 
 
 def _union_all(dfs: list[DataFrame]) -> DataFrame | None:
