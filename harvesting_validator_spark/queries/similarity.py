@@ -131,6 +131,110 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+N_PLANES = 4
+N_DIMS = 64
+
+
+def _plane_weights() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — reproducible
+    bit-for-bit in the DuckDB oracle (same formula inline in SQL)."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:8], 16) % 2001
+             - 1000) / 1000.0
+            for j in range(N_DIMS)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+def _bucket_col(v):
+    """Random-hyperplane LSH bucket id: sign bits of P dot products."""
+    bucket = F.lit(0)
+    for p, w in enumerate(_plane_weights()):
+        wl = F.array(*[F.lit(x) for x in w])
+        dot = F.aggregate(
+            F.zip_with(v, wl, lambda a, b: a * b), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+_PLANE_SQL_TERMS = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(range(1, {N_DIMS + 1}), "
+    f"j -> v[j] * ((('0x' || substr(md5({p} || ':' || (j - 1)), 1, 8))::BIGINT "
+    f"% 2001 - 1000) / 1000.0))) >= 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(N_PLANES)
+)
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Scale path #2: random-hyperplane LSH bucketing — unlike the IVF
+    variant it needs no precomputed cell labels, so it works on raw
+    embeddings at any scale (buckets are the blocking key of the ANN
+    join)."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    return e.select("vec_id", _bucket_col(F.col("v")).alias("bucket"))
+
+
+O_ANN_BUCKETS = f"""
+SELECT vec_id, CAST({_PLANE_SQL_TERMS} AS INT) AS bucket
+FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Top-k restricted to the query's LSH bucket: the ANN recall/cost
+    trade at 10^9+ vectors (equi-join on bucket replaces the cross join)."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).withColumn("bucket", _bucket_col(F.col("v")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("v").alias("qv"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(e, F.col("q_bucket") == F.col("bucket"))
+        .filter(F.col("q_id") != F.col("vec_id"))
+    )
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dround(_cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "neighbor_id", "cos", "rank")
+    )
+
+
+O_ANN_TOPK = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+v AS (
+  SELECT vec_id, v, CAST({_PLANE_SQL_TERMS} AS INT) AS bucket FROM base
+),
+q AS (SELECT vec_id AS q_id, bucket AS q_bucket, v FROM v WHERE vec_id < {N_QUERIES}),
+e AS (SELECT vec_id, bucket, v FROM v),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id, {_COS_SQL} AS cos
+  FROM q JOIN e ON q.q_bucket = e.bucket AND q.q_id <> e.vec_id
+)
+SELECT q_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
 def q_embedding_norms(spark, sf_dir):
     """Per-vector L2 norm + cell stats — the precompute an IVF index
     materializes once so the query path never recomputes norms."""
@@ -157,11 +261,15 @@ FROM embeddings
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "cosine_topk_ivf": q_cosine_topk_ivf,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_norms": q_embedding_norms,
 }
 
 ORACLES = {
     "cosine_topk": O_COSINE_TOPK,
     "cosine_topk_ivf": O_COSINE_IVF,
+    "ann_lsh_buckets": O_ANN_BUCKETS,
+    "ann_lsh_topk": O_ANN_TOPK,
     "embedding_norms": O_NORMS,
 }
