@@ -219,7 +219,10 @@ def report_triples(violations: DataFrame) -> DataFrame:
         t(rn, SH + "focusNode", F.col("focus_node"), "iri"),
         t(rn, SH + "resultSeverity", F.col("severity"), "iri"),
         t(rn, SH + "sourceConstraintComponent", F.col("constraint_component"), "iri"),
-        t(rn, SH + "sourceShape", F.col("shape"), "iri"),
+        # Jena names the PROPERTY shape for property-level violations;
+        # node-level (closed) violations carry the node shape
+        t(rn, SH + "sourceShape",
+          F.coalesce(F.col("source_shape"), F.col("shape")), "iri"),
         t(rn, SH + "resultMessage", F.col("message"), "literal",
           "http://www.w3.org/2001/XMLSchema#string"),
         F.when(

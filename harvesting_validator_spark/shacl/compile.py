@@ -66,7 +66,7 @@ _NODEKIND_ALLOWED = {
 
 VIOLATIONS_COLUMNS = (
     "doc_id", "shape", "focus_node", "result_path", "value", "value_kind",
-    "constraint_component", "severity", "message",
+    "constraint_component", "severity", "message", "source_shape",
 )
 
 _MAX_NESTING_DEPTH = 5
@@ -162,7 +162,21 @@ def compute_focus(triples: DataFrame, shapes: ShapesGraph,
     return _union_all(all_frames).distinct()
 
 
-def _vstruct(component: str, message, path, value=None, value_kind=None):
+def skolem_shape_id(shape_iri: str, ps) -> str:
+    """Deterministic id for a (possibly blank-node) property shape — Jena
+    reports name the PROPERTY shape as sh:sourceShape and skolemize blank
+    report nodes (`ModelUtils.replaceAnonNodes`, FilteringService.java:78);
+    we mint stable IRIs instead of run-random labels (C4)."""
+    import hashlib
+
+    if not ps.shape_id.startswith("_:"):
+        return ps.shape_id
+    key = f"{shape_iri}\x1f{ps.path}\x1f{ps.shape_id}".encode()
+    return "urn:skolem:shape:" + hashlib.sha256(key).hexdigest()
+
+
+def _vstruct(component: str, message, path, value=None, value_kind=None,
+             source_shape=None):
     """Violation payload struct (shared shape across all constraints so
     they can live in one array and explode in a single scan)."""
 
@@ -177,6 +191,7 @@ def _vstruct(component: str, message, path, value=None, value_kind=None):
         c(value_kind).alias("value_kind"),
         F.lit(component).alias("constraint_component"),
         c(message).alias("message"),
+        c(source_shape).alias("source_shape"),
     )
 
 
@@ -191,6 +206,13 @@ def _scan_violation_structs(shapes: ShapesGraph) -> list:
         sh_app = F.col("shape") == shape.iri
         for ps in shape.properties:
             app = sh_app & (F.col("pred") == ps.path)
+            src = skolem_shape_id(shape.iri, ps)
+
+            def emit(bad, component, message, app=app, ps=ps, src=src):
+                structs.append(F.when(app & bad, _vstruct(
+                    component, message, ps.path, obj, kind, src
+                )))
+
             if ps.datatypes:
                 dt_col = F.coalesce(F.col("obj_datatype"), F.lit(XSD + "string"))
                 dt_ok = dt_col.isin(list(ps.datatypes)) & F.col("obj_lang").isNull()
@@ -201,49 +223,45 @@ def _scan_violation_structs(shapes: ShapesGraph) -> list:
                         lex_ok = lex_ok & F.when(
                             dt_col == dt, obj.rlike(rx)
                         ).otherwise(F.lit(True))
-                bad = ~((kind == "literal") & dt_ok & lex_ok)
-                structs.append(F.when(app & bad, _vstruct(
+                emit(
+                    ~((kind == "literal") & dt_ok & lex_ok),
                     SH + "DatatypeConstraintComponent",
                     ps.message
                     or f"value does not have datatype <{'|'.join(ps.datatypes)}>",
-                    ps.path, obj, kind,
-                )))
+                )
             if ps.pattern is not None:
-                bad = (kind == "bnode") | ~obj.rlike(ps.pattern)
-                structs.append(F.when(app & bad, _vstruct(
+                emit(
+                    (kind == "bnode") | ~obj.rlike(ps.pattern),
                     SH + "PatternConstraintComponent",
                     ps.message or f"value does not match pattern '{ps.pattern}'",
-                    ps.path, obj, kind,
-                )))
+                )
             if ps.node_kind is not None:
                 allowed = _NODEKIND_ALLOWED.get(
                     ps.node_kind, ("iri", "bnode", "literal")
                 )
-                structs.append(F.when(app & ~kind.isin(list(allowed)), _vstruct(
+                emit(
+                    ~kind.isin(list(allowed)),
                     SH + "NodeKindConstraintComponent",
                     ps.message or f"value is not of node kind <{ps.node_kind}>",
-                    ps.path, obj, kind,
-                )))
+                )
             if ps.min_length is not None:
-                bad = (kind == "bnode") | (F.length(obj) < ps.min_length)
-                structs.append(F.when(app & bad, _vstruct(
+                emit(
+                    (kind == "bnode") | (F.length(obj) < ps.min_length),
                     SH + "MinLengthConstraintComponent",
                     ps.message or f"value shorter than {ps.min_length}",
-                    ps.path, obj, kind,
-                )))
+                )
             if ps.max_length is not None:
-                bad = (kind == "bnode") | (F.length(obj) > ps.max_length)
-                structs.append(F.when(app & bad, _vstruct(
+                emit(
+                    (kind == "bnode") | (F.length(obj) > ps.max_length),
                     SH + "MaxLengthConstraintComponent",
                     ps.message or f"value longer than {ps.max_length}",
-                    ps.path, obj, kind,
-                )))
+                )
             if ps.in_values:
-                structs.append(F.when(app & ~obj.isin(list(ps.in_values)), _vstruct(
+                emit(
+                    ~obj.isin(list(ps.in_values)),
                     SH + "InConstraintComponent",
                     ps.message or "value not in allowed list",
-                    ps.path, obj, kind,
-                )))
+                )
         if shape.closed:
             allowed = (
                 {p.path for p in shape.properties} | set(shape.ignored_properties)
@@ -254,6 +272,7 @@ def _scan_violation_structs(shapes: ShapesGraph) -> list:
                     SH + "ClosedConstraintComponent",
                     "predicate not allowed by closed shape",
                     F.col("pred"), obj, kind,
+                    shape.iri,  # node-level constraint: the node shape itself
                 ),
             ))
     return structs
@@ -264,7 +283,7 @@ def _project(df: DataFrame) -> DataFrame:
         "doc_id", "shape", "focus_node", "result_path", "value", "value_kind",
         "constraint_component",
         F.lit(SEVERITY_VIOLATION).alias("severity"),
-        "message",
+        "message", "source_shape",
     )
 
 
@@ -328,17 +347,20 @@ def validate(
     # pass 3: cardinality + hasValue via one groupBy + broadcast specs
     max_rows = [
         (s.iri, p.path, p.max_count,
-         p.message or f"more than {p.max_count} values")
+         p.message or f"more than {p.max_count} values",
+         skolem_shape_id(s.iri, p))
         for s in shapes.shapes for p in s.properties if p.max_count is not None
     ]
     min_rows = [
         (s.iri, p.path, p.min_count,
-         p.message or f"fewer than {p.min_count} values")
+         p.message or f"fewer than {p.min_count} values",
+         skolem_shape_id(s.iri, p))
         for s in shapes.shapes for p in s.properties if p.min_count is not None
     ]
     hv_rows = [
         (s.iri, p.path, p.has_value,
-         p.message or f"missing required value {p.has_value}")
+         p.message or f"missing required value {p.has_value}",
+         skolem_shape_id(s.iri, p))
         for s in shapes.shapes for p in s.properties if p.has_value is not None
     ]
     counts = None
@@ -348,7 +370,7 @@ def validate(
         )
     if max_rows:
         spec = F.broadcast(spark.createDataFrame(
-            max_rows, "m_shape string, m_pred string, m_max int, m_msg string"
+            max_rows, "m_shape string, m_pred string, m_max int, m_msg string, m_src string"
         ))
         over = counts.join(
             spec,
@@ -363,10 +385,11 @@ def validate(
             F.lit(None).cast("string").alias("value_kind"),
             F.lit(SH + "MaxCountConstraintComponent").alias("constraint_component"),
             F.col("m_msg").alias("message"),
+            F.col("m_src").alias("source_shape"),
         )))
     if min_rows:
         spec = F.broadcast(spark.createDataFrame(
-            min_rows, "m_shape string, m_pred string, m_min int, m_msg string"
+            min_rows, "m_shape string, m_pred string, m_min int, m_msg string, m_src string"
         ))
         # rename the counts side fully: counts derives from focus, so a
         # bare join would be an ambiguous self-join
@@ -396,10 +419,11 @@ def validate(
             F.lit(None).cast("string").alias("value_kind"),
             F.lit(SH + "MinCountConstraintComponent").alias("constraint_component"),
             F.col("m_msg").alias("message"),
+            F.col("m_src").alias("source_shape"),
         )))
     if hv_rows:
         spec = F.broadcast(spark.createDataFrame(
-            hv_rows, "h_shape string, h_pred string, h_val string, h_msg string"
+            hv_rows, "h_shape string, h_pred string, h_val string, h_msg string, h_src string"
         ))
         having = (
             ftrip.join(
@@ -436,17 +460,19 @@ def validate(
             F.lit(None).cast("string").alias("value_kind"),
             F.lit(SH + "HasValueConstraintComponent").alias("constraint_component"),
             F.col("h_msg").alias("message"),
+            F.col("h_src").alias("source_shape"),
         )))
 
     # pass 4: all sh:class constraints via one join against typed nodes
     class_rows = [
         (s.iri, p.path, p.class_,
-         p.message or f"value is not an instance of <{p.class_}>")
+         p.message or f"value is not an instance of <{p.class_}>",
+         skolem_shape_id(s.iri, p))
         for s in shapes.shapes for p in s.properties if p.class_ is not None
     ]
     if class_rows:
         spec = F.broadcast(spark.createDataFrame(
-            class_rows, "c_shape string, c_pred string, c_class string, c_msg string"
+            class_rows, "c_shape string, c_pred string, c_class string, c_msg string, c_src string"
         ))
         typed = (
             triples.filter(F.col("pred") == RDF_TYPE)
@@ -475,6 +501,7 @@ def validate(
             F.col("obj_kind").alias("value_kind"),
             F.lit(SH + "ClassConstraintComponent").alias("constraint_component"),
             F.col("c_msg").alias("message"),
+            F.col("c_src").alias("source_shape"),
         )))
 
     result = _union_all(frames)
@@ -483,6 +510,7 @@ def validate(
             [],
             "doc_id string, shape string, focus_node string, "
             "result_path string, value string, value_kind string, "
-            "constraint_component string, severity string, message string",
+            "constraint_component string, severity string, message string, "
+            "source_shape string",
         )
     return result

@@ -42,7 +42,15 @@ def write_nt(
     {share_root}/{job_id}/{container}/ and append S5 metadata rows.
     Returns the lineage_files rows written."""
     out_dir = os.path.join(share_root, job_id, container)
-    lines = nt_lines(triples).select("line")
+    # range-partition + sort before export (SURVEY §4): file contents are
+    # deterministic functions of the data, so re-exports are byte-stable
+    # (golden-file diffs, resume idempotence) and no output file is skewed
+    lines = (
+        nt_lines(triples)
+        .select("line")
+        .repartitionByRange(max(1, triples.sparkSession.sparkContext.defaultParallelism // 4), "line")
+        .sortWithinPartitions("line")
+    )
     lines.write.mode("overwrite").text(out_dir)
 
     files = [
