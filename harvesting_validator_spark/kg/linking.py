@@ -155,6 +155,37 @@ def block_candidates(mentions: DataFrame, n_salt: int = 1) -> DataFrame:
     )
 
 
+def block_candidates_by_key(mentions: DataFrame) -> DataFrame:
+    """Exact blocking on identifying attributes: candidates = entity pairs
+    sharing ANY strong key (ssn-like). Deterministic and recall-complete
+    for key-bearing entities — the standard first blocking pass in record
+    linkage; minhash blocking (block_candidates) covers keyless mentions.
+    Shuffle is keyed by the strong key; a pathological hot key (one value
+    shared by millions of entities) is the classic skew case — AQE
+    skew-join splitting plus an upstream frequency cap handle it."""
+    keyed = mentions.select(
+        "doc_id", "entity", "attr_text", "strong_keys",
+        F.explode("strong_keys").alias("key"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .select(
+            F.col("a.entity").alias("entity_a"),
+            F.col("b.entity").alias("entity_b"),
+            F.col("a.attr_text").alias("text_a"),
+            F.col("b.attr_text").alias("text_b"),
+            F.col("a.strong_keys").alias("keys_a"),
+            F.col("b.strong_keys").alias("keys_b"),
+        )
+        .dropDuplicates(["entity_a", "entity_b"])
+    )
+
+
 @pandas_udf("double")
 def _pair_score(
     text_a: pd.Series, text_b: pd.Series, keys_a: pd.Series, keys_b: pd.Series

@@ -21,6 +21,7 @@ from harvesting_validator_spark.queries.common import tbl
 from harvesting_validator_spark.sources.synthetic import (
     APPLICATION_PROFILE,
     ENTITY_PROFILE,
+    generate_chain_sources,
     generate_entity_sources,
     generate_sources,
 )
@@ -238,6 +239,42 @@ GROUP BY 1
 """
 
 
+# --- multi-hop union-find over chain-shaped equivalences -------------------------
+_CHAIN_LEN = 8
+
+
+def q_kg_chain_clusters(spark, sf_dir):
+    """Chain corpus: E_i links E_{i+1} only (exact-key blocking); the
+    transitive closure needs O(log L) label-propagation rounds — this
+    checks the ITERATIVE part of union-find through the oracle, not just
+    one-hop cliques."""
+    from harvesting_validator_spark.kg.canonicalize import canonical_mapping
+    from harvesting_validator_spark.kg.linking import (
+        block_candidates_by_key,
+        extract_mentions,
+        link_edges,
+    )
+    from harvesting_validator_spark.kg.normalize import normalize_triples
+    from harvesting_validator_spark.sources.rdf_parse import parse_sources_to_triples
+
+    n = _corpus_n(spark, sf_dir)
+    sources = generate_chain_sources(spark, n, chain_len=_CHAIN_LEN)
+    triples = normalize_triples(parse_sources_to_triples(sources))
+    mentions = extract_mentions(triples)
+    edges = link_edges(block_candidates_by_key(mentions), threshold=0.9)
+    mapping = canonical_mapping(mentions.select("entity"), edges)
+    return mapping.groupBy("canonical").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+O_CHAIN_CLUSTERS = f"""
+SELECT printf('http://example.com/ns#E%06d', (doc_id // {_CHAIN_LEN}) * {_CHAIN_LEN})
+         AS canonical,
+       count(*) AS n_members
+FROM documents
+GROUP BY 1
+"""
+
+
 # --- deduplicated canonical (s,p,o) graph (north_rule materialization) ----------
 def q_kg_canonical_graph(spark, sf_dir):
     run = _kg_run(spark, sf_dir)
@@ -264,6 +301,7 @@ SELECT subj, pred_local, obj_value FROM (
 QUERIES = {
     "kg_verdicts": q_kg_verdicts,
     "kg_linked_clusters": q_kg_linked_clusters,
+    "kg_chain_clusters": q_kg_chain_clusters,
     "kg_canonical_graph": q_kg_canonical_graph,
     "kg_split_counts": q_kg_split_counts,
     "kg_report_rollup": q_kg_report_rollup,
@@ -275,6 +313,7 @@ QUERIES = {
 ORACLES = {
     "kg_verdicts": O_VERDICTS,
     "kg_linked_clusters": O_LINKED_CLUSTERS,
+    "kg_chain_clusters": O_CHAIN_CLUSTERS,
     "kg_canonical_graph": O_CANONICAL_GRAPH,
     "kg_split_counts": O_SPLIT,
     "kg_report_rollup": O_ROLLUP,

@@ -227,6 +227,45 @@ def generate_entity_sources(
     )
 
 
+def generate_chain_sources(
+    spark: SparkSession, n_docs: int, chain_len: int = 8
+) -> DataFrame:
+    """Chain-shaped entity-equivalence corpus: entity E_i shares a strong
+    key (ssn) with E_{i+1} only within the same chain of length L
+    (key k_j exists iff j % L != 0; E_i carries {k_i, k_{i+1}} where
+    defined). Consecutive entities link; transitive closure yields
+    ceil(n/L) clusters whose canonical is E_{(i//L)*L} — multi-hop
+    union-find with a closed-form oracle."""
+    df = spark.range(n_docs).withColumnRenamed("id", "i")
+    i = F.col("i")
+
+    def ssn(j):
+        return F.format_string(
+            "%03d-%02d-%04d", j % 1000, (j * 7) % 100, (j * 13) % 10000
+        )
+
+    has_low = (i % chain_len) != 0
+    has_high = ((i + 1) % chain_len) != 0
+    content = F.concat(
+        F.lit("@prefix ex: <http://example.com/ns#> .\n"),
+        F.format_string("ex:E%06d", i),
+        F.lit(" a ex:Person ;\n  ex:name "),
+        F.concat(F.lit('"Person '), i, F.lit(' Name"')),
+        F.when(has_low, F.concat(F.lit(' ;\n  ex:ssn "'), ssn(i), F.lit('"')))
+        .otherwise(F.lit("")),
+        F.when(has_high, F.concat(F.lit(' ;\n  ex:ssn "'), ssn(i + 1), F.lit('"')))
+        .otherwise(F.lit("")),
+        F.lit(" .\n"),
+    )
+    return df.select(
+        F.format_string("repo%d", i % 16).alias("repo"),
+        F.concat(F.lit("data/chain/e"), i, F.lit(".ttl")).alias("path"),
+        F.sha2(F.format_string("ccommit%d", i), 256).substr(1, 40).alias("commit"),
+        F.lit("turtle").alias("lang"),
+        content.alias("content"),
+    )
+
+
 def expected_verdict_counts(n_docs: int) -> dict[str, int]:
     """Closed-form truth for generate_sources: docs with i%10 in {7,8,9}
     are non-conforming."""
