@@ -442,6 +442,70 @@ def parse_document(content: str, fmt: str) -> list[Triple]:
     return fn(content)
 
 
+# --- vectorized N-Triples fast path ------------------------------------------
+#
+# Strict canonical N-Triples (one triple per line, quoted literals) parses
+# with pandas vectorized regex extraction — ~an order of magnitude faster
+# than the per-token Python loop. Docs containing anything the strict
+# grammar doesn't cover (escapes, bare numbers, comments mid-line) fall
+# back per-doc to the tokenizer parser, so behavior is unchanged.
+
+_NT_LINE_RE = (
+    r"^\s*(?:<(?P<s_iri>[^<>\s]*)>|(?P<s_bn>_:\S+))"
+    r"\s+<(?P<p>[^<>\s]*)>\s+"
+    r"(?:<(?P<o_iri>[^<>\s]*)>|(?P<o_bn>_:[^\s.]+)|"
+    r'"(?P<o_lit>[^"\\]*)"(?:\^\^<(?P<o_dt>[^<>\s]*)>|@(?P<o_lang>[A-Za-z]+(?:-[A-Za-z0-9]+)*))?)'
+    r"\s*\.\s*$"
+)
+
+
+def _parse_nt_vectorized(doc_ids, contents):
+    """(matched_df, fallback_doc_ids): vector-parse strict NT docs; return
+    triples for fully-matched docs and the ids needing the slow path."""
+    import pandas as pd
+
+    s = pd.Series(list(contents), index=list(doc_ids), dtype="object")
+    lines = s.str.split("\n").explode()
+    lines = lines[lines.str.strip().astype(bool)]
+    # comments / escapes / long strings -> slow path for the whole doc
+    unsafe = lines.str.contains(r"\\|^\s*#|\"\"\"", regex=True, na=True)
+    unsafe_docs = set(lines.index[unsafe])
+
+    m = lines.str.extract(_NT_LINE_RE)
+    bad_docs = set(lines.index[m["p"].isna()]) | unsafe_docs
+    ok = m[~m.index.isin(bad_docs)]
+    if ok.empty:
+        return None, list(dict.fromkeys(d for d in s.index if d in bad_docs))
+
+    subj = ok["s_iri"].fillna(ok["s_bn"])
+    obj_iri = ok["o_iri"]
+    obj_bn = ok["o_bn"]
+    obj_lit = ok["o_lit"]
+    kind = pd.Series("literal", index=ok.index, dtype="object")
+    kind[obj_iri.notna()] = "iri"
+    kind[obj_bn.notna()] = "bnode"
+    value = obj_lit.copy()
+    value[obj_iri.notna()] = obj_iri
+    value[obj_bn.notna()] = obj_bn
+    dt = ok["o_dt"]
+    lang = ok["o_lang"].str.lower()
+    # plain literal -> xsd:string; typed/lang as extracted
+    dt = dt.where(dt.notna() | lang.notna() | (kind != "literal"), XSD_STRING)
+    dt = dt.where(kind == "literal", None)
+    out = pd.DataFrame(
+        {
+            "doc_id": ok.index,
+            "subj": subj,
+            "pred": ok["p"],
+            "obj_value": value,
+            "obj_kind": kind,
+            "obj_datatype": dt.where(dt.notna(), None),
+            "obj_lang": lang.where(lang.notna(), None),
+        }
+    ).reset_index(drop=True)
+    return out, list(dict.fromkeys(d for d in s.index if d in bad_docs))
+
+
 # --- Spark integration -------------------------------------------------------
 
 TRIPLES_SCHEMA = (
@@ -476,9 +540,21 @@ def parse_sources_to_triples(
         cols = ["doc_id", "subj", "pred", "obj_value", "obj_kind",
                 "obj_datatype", "obj_lang"]
         for pdf in batches:
+            frames: list[pd.DataFrame] = []
+            nt_mask = pdf["lang"].str.lower().isin(["nt", "ntriples"])
+            slow = pdf[~nt_mask]
+            if nt_mask.any():
+                fast, fallback_ids = _parse_nt_vectorized(
+                    pdf.loc[nt_mask, "doc_id"], pdf.loc[nt_mask, "content"]
+                )
+                if fast is not None:
+                    frames.append(fast)
+                if fallback_ids:
+                    fb = pdf[nt_mask & pdf["doc_id"].isin(fallback_ids)]
+                    slow = pd.concat([slow, fb])
             rows: list[tuple] = []
             for doc_id, lang, content in zip(
-                pdf["doc_id"], pdf["lang"], pdf["content"]
+                slow["doc_id"], slow["lang"], slow["content"]
             ):
                 try:
                     for t in parse_document(content, lang):
@@ -488,7 +564,8 @@ def parse_sources_to_triples(
                         (doc_id, "", "__parse_error__", str(exc)[:1024],
                          "literal", None, None)
                     )
-            yield pd.DataFrame(rows, columns=cols)
+            frames.append(pd.DataFrame(rows, columns=cols))
+            yield pd.concat(frames, ignore_index=True)[cols]
 
     parsed = df.mapInPandas(batch_parse, schema=TRIPLES_SCHEMA)
     triples = parsed.filter(F.col("pred") != "__parse_error__")
