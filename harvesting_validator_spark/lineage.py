@@ -231,6 +231,15 @@ class CheckpointedRunner:
         }
 
 
+TASK_STAGE = "__task__"
+
+
+def task_status(store: LineageStore, run_id: str) -> str | None:
+    """Run-level status (the reference's task status machine,
+    `PipelineService.java:46-56`): scheduled -> busy -> success/failed."""
+    return store.stage_status(run_id, TASK_STAGE)
+
+
 def run_validation_checkpointed(
     spark: SparkSession,
     sources: DataFrame,
@@ -241,19 +250,39 @@ def run_validation_checkpointed(
     """The validation pipeline as resumable stages. Each stage is a pure
     function of materialized predecessors, so a crash between stages
     resumes exactly where it stopped (north_rule checkpoint demand)."""
+    from harvesting_validator_spark.plans.pipeline import add_doc_id
+    from harvesting_validator_spark.shacl.parse import parse_shapes_turtle
+
+    runner = CheckpointedRunner(spark, warehouse, run_id)
+    shapes = parse_shapes_turtle(shapes_turtle)
+    src = add_doc_id(sources)
+
+    # task-level status machine around the stage sequence
+    t0 = time.time()
+    attempt = runner.store.next_attempt(runner.run_id, TASK_STAGE)
+    runner.store.record_stage(runner.run_id, TASK_STAGE, STATUS_BUSY, attempt, t0)
+    try:
+        _run_stages(runner, spark, src, shapes)
+    except Exception:
+        runner.store.record_stage(
+            runner.run_id, TASK_STAGE, STATUS_FAILED, attempt, t0,
+            error=traceback.format_exc(),
+        )
+        raise
+    runner.store.record_stage(
+        runner.run_id, TASK_STAGE, STATUS_SUCCESS, attempt, t0
+    )
+    return runner
+
+
+def _run_stages(runner: CheckpointedRunner, spark, src, shapes) -> None:
     from harvesting_validator_spark.operators.filtering import (
         conformance_verdicts,
         report_triples,
         split_valid_error,
     )
-    from harvesting_validator_spark.plans.pipeline import add_doc_id
     from harvesting_validator_spark.shacl.compile import compute_focus, validate
-    from harvesting_validator_spark.shacl.parse import parse_shapes_turtle
     from harvesting_validator_spark.sources.rdf_parse import parse_sources_to_triples
-
-    runner = CheckpointedRunner(spark, warehouse, run_id)
-    shapes = parse_shapes_turtle(shapes_turtle)
-    src = add_doc_id(sources)
 
     triples_and_errors = runner.stage(
         "parse",
@@ -288,4 +317,3 @@ def run_validation_checkpointed(
     runner.stage("valid_triples", _split(0))
     runner.stage("error_triples", _split(1))
     runner.stage("report", lambda: report_triples(violations))
-    return runner

@@ -100,3 +100,8 @@ def test_checkpointed_pipeline_resume_identical(spark, tmp_path):
     assert set(m) >= {"parse", "validate", "verdicts"}
     assert all(v["status"] == STATUS_SUCCESS for v in m.values())
     assert m["verdicts"]["rows"] == 40
+
+    # run-level status machine landed on success
+    from harvesting_validator_spark.lineage import task_status
+
+    assert task_status(LineageStore(spark, wh), "pipe") == STATUS_SUCCESS
