@@ -6,13 +6,14 @@ Connected components over the link-edge graph; each component's canonical
 id is its lexicographically smallest member IRI (deterministic under any
 partitioning — no monotonically_increasing_id anywhere, C4).
 
-Scale notes: the classic large-star/small-star contraction converges in
-O(log n) rounds; each round is one groupBy-min + one join, both keyed on
-the node id so the exchange is reused. ``localCheckpoint`` truncates the
-lineage each round (iterative plans otherwise grow exponentially and
-re-execute from the source). Skew (one giant component) is bounded because
-propagation only ever materializes (node, label) pairs — never the
-component as a row.
+Scale notes: each round combines neighbor min-propagation with pointer
+jumping (label(n) <- label(label(n))), so convergence is O(log diameter)
+rounds — a 10^6-long equivalence chain resolves in ~20 rounds, not 10^6.
+Each round is one groupBy-min + two joins, all keyed on the node id so the
+exchange is reused. ``localCheckpoint`` truncates the lineage each round
+(iterative plans otherwise grow exponentially and re-execute from the
+source). Skew (one giant component) is bounded because propagation only
+ever materializes (node, label) pairs — never the component as a row.
 """
 
 from __future__ import annotations
@@ -48,12 +49,31 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nb_label"))
         )
-        new_labels = (
+        propagated = (
             labels.join(nb, labels.node == nb.a, "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer jumping: label(n) <- min(label(n), label(label(n))).
+        # Neighbor propagation alone needs O(diameter) rounds (a chain of
+        # length d takes d rounds); the jump halves the pointer depth each
+        # round, giving O(log d) total — the property that makes union-find
+        # viable on web-scale graphs with long equivalence chains.
+        parents = propagated.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            propagated.join(
+                parents, propagated.label == parents.p_node, "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
             )
         )

@@ -31,6 +31,20 @@ def test_connected_components_chain(spark):
     assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
 
 
+def test_long_chain_converges_logarithmically(spark):
+    """A 100-node chain must resolve well under 100 propagation rounds —
+    pointer jumping gives O(log d), so cap iterations at 12."""
+    n = 100
+    edges = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(n - 1)],
+        "src string, dst string",
+    )
+    comp = connected_components(edges, max_iterations=12)
+    labels = {r.entity: r.canonical for r in comp.collect()}
+    assert len(labels) == n
+    assert set(labels.values()) == {"n0000"}
+
+
 def test_canonical_mapping_includes_singletons(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     ents = spark.createDataFrame([("a",), ("b",), ("z",)], "entity string")
