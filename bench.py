@@ -62,6 +62,11 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
     total = round(time.time() - t_all, 3)
 
+    # flagship throughput: the kg_verdicts query runs the full
+    # parse -> SHACL validate -> verdict pipeline over n corpus docs
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    flagship_docs_per_s = round(n_docs / timings["kg_verdicts"], 1)
+
     print(
         json.dumps(
             {
@@ -70,6 +75,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "flagship_docs_per_s": flagship_docs_per_s,
+                "note": "kg_verdicts includes one-time session/JVM warmup; "
+                        "amortized throughput is in BENCH_SCALING.json",
             }
         )
     )
