@@ -258,8 +258,69 @@ WHERE round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
 )
 
 
+# --- embedding-cosine near-dup (task brief's fifth dedup variant) ----------------
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-space near-dup detection: hyperplane-LSH buckets block
+    the pair space (sign-hash collision is necessary for cos ~ 1), exact
+    cosine runs within buckets, and the top candidate pair per bucket is
+    reported (a production run filters `cos >= tau` instead; this corpus
+    has no true near-dups — max within-bucket cos ~ 0.51 — so the argmax
+    keeps the operator observable)."""
+    from pyspark.sql.window import Window
+
+    from harvesting_validator_spark.queries.similarity import (
+        _as_double,
+        _bucket_col,
+        _cosine,
+    )
+
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).withColumn("bucket", _bucket_col(F.col("v")))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = dround(_cosine(F.col("a.v"), F.col("b.v")), 6)
+    scored = pairs.select(
+        F.col("a.bucket").alias("bucket"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.desc("cos"), F.asc("vec_a"), F.asc("vec_b")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("bucket", "vec_a", "vec_b", "cos")
+    )
+
+
+def _o_dedup_cosine():
+    from harvesting_validator_spark.queries.similarity import (
+        _COS_SQL,
+        _PLANE_SQL_TERMS,
+    )
+
+    cos = _COS_SQL.replace("q.v", "a.v").replace("e.v", "b.v")
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+v AS (SELECT vec_id, v, CAST({_PLANE_SQL_TERMS} AS INT) AS bucket FROM base)
+SELECT bucket, vec_a, vec_b, cos FROM (
+  SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY cos DESC, vec_a, vec_b) = 1
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
@@ -269,6 +330,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": O_EXACT,
+    "dedup_embedding_cosine": _o_dedup_cosine(),
     "minhash_signatures": O_MINHASH,
     "minhash_lsh_pairs": O_LSH_PAIRS,
     "simhash": O_SIMHASH,

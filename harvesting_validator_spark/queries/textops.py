@@ -33,6 +33,28 @@ SELECT doc_id,
 FROM documents
 """
 
+# BPE-ish pre-tokenizer: word pieces OR single non-space symbols — the
+# regex family GPT-style tokenizers apply before merges
+_BPE_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+
+def q_token_stats_bpe(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_pieces"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_pieces"),
+    )
+
+
+O_TOKEN_BPE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_pieces,
+       len(list_distinct(regexp_extract_all(text, '{_BPE_RE}'))) AS n_distinct_pieces
+FROM documents
+"""
+
 
 # --- language ID (stopword-overlap heuristic) ----------------------------------
 def q_lang_id(spark, sf_dir):
@@ -140,6 +162,7 @@ FROM documents
 
 QUERIES = {
     "token_stats": q_token_stats,
+    "token_stats_bpe": q_token_stats_bpe,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "fingerprint": q_fingerprint,
@@ -147,6 +170,7 @@ QUERIES = {
 
 ORACLES = {
     "token_stats": O_TOKEN_STATS,
+    "token_stats_bpe": O_TOKEN_BPE,
     "lang_id": O_LANG_ID,
     "quality_score": O_QUALITY,
     "fingerprint": O_FINGERPRINT,
