@@ -120,46 +120,69 @@ def compute_focus(triples: DataFrame, shapes: ShapesGraph,
             [], "doc_id string, focus_node string, shape string"
         )
 
-    # nested sh:node: child focus = value nodes of the parent property
+    # nested sh:node: child focus = value nodes of the parent property.
+    # The loop depth is STATIC — the longest nesting path in the (tiny)
+    # shapes graph — so plan construction stays action-free (the previous
+    # data-driven isEmpty() probe cost one Spark job per level).
+    nest_rows = [
+        (s.iri, p.path, p.node_shape)
+        for s in shapes.shapes
+        for p in s.properties
+        if p.node_shape and p.node_shape in shapes.by_id
+    ]
+    depth = _static_nesting_depth(shapes) if nest_rows else 0
     all_frames = [base]
     frontier = base
-    for _ in range(_MAX_NESTING_DEPTH):
-        nest_rows = [
-            (s.iri, p.path, p.node_shape)
-            for s in shapes.shapes
-            for p in s.properties
-            if p.node_shape and p.node_shape in shapes.by_id
-        ]
-        if not nest_rows:
-            break
-        nspec = SparkSession.getActiveSession().createDataFrame(
+    if depth:
+        nspec = spark.createDataFrame(
             nest_rows, "parent_shape string, path string, child_shape string"
         )
-        child = (
-            frontier.alias("f")
-            .join(
-                triples.alias("t"),
-                (F.col("f.doc_id") == F.col("t.doc_id"))
-                & (F.col("f.focus_node") == F.col("t.subj")),
+        for _ in range(depth):
+            child = (
+                frontier.alias("f")
+                .join(
+                    triples.alias("t"),
+                    (F.col("f.doc_id") == F.col("t.doc_id"))
+                    & (F.col("f.focus_node") == F.col("t.subj")),
+                )
+                .join(
+                    F.broadcast(nspec),
+                    (F.col("f.shape") == F.col("parent_shape"))
+                    & (F.col("t.pred") == F.col("path")),
+                )
+                .filter(F.col("t.obj_kind") != "literal")
+                .select(
+                    F.col("t.doc_id").alias("doc_id"),
+                    F.col("t.obj_value").alias("focus_node"),
+                    F.col("child_shape").alias("shape"),
+                )
+                .distinct()
             )
-            .join(
-                F.broadcast(nspec),
-                (F.col("f.shape") == F.col("parent_shape"))
-                & (F.col("t.pred") == F.col("path")),
-            )
-            .filter(F.col("t.obj_kind") != "literal")
-            .select(
-                F.col("t.doc_id").alias("doc_id"),
-                F.col("t.obj_value").alias("focus_node"),
-                F.col("child_shape").alias("shape"),
-            )
-            .distinct()
-        )
-        if child.isEmpty():
-            break
-        all_frames.append(child)
-        frontier = child
+            all_frames.append(child)
+            frontier = child
     return _union_all(all_frames).distinct()
+
+
+def _static_nesting_depth(shapes: ShapesGraph) -> int:
+    """Longest sh:node nesting path in the shapes graph (cycle-capped)."""
+    children: dict[str, set[str]] = {}
+    for s in shapes.shapes:
+        for p in s.properties:
+            if p.node_shape and p.node_shape in shapes.by_id:
+                children.setdefault(s.iri, set()).add(p.node_shape)
+
+    def depth_of(sid: str, seen: frozenset) -> int:
+        if sid in seen or len(seen) >= _MAX_NESTING_DEPTH:
+            return 0
+        return max(
+            (1 + depth_of(c, seen | {sid}) for c in children.get(sid, ())),
+            default=0,
+        )
+
+    return min(
+        _MAX_NESTING_DEPTH,
+        max((depth_of(s.iri, frozenset()) for s in shapes.shapes), default=0),
+    )
 
 
 def skolem_shape_id(shape_iri: str, ps) -> str:
