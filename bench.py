@@ -52,6 +52,15 @@ def main() -> None:
     )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # steady-state warmup (declared): JVM codegen + Python workers + parquet
+    # footers, so recorded timings measure the operators, not JVM startup
+    from harvesting_validator_spark.sources.rdf_parse import parse_sources_to_triples
+    from harvesting_validator_spark.sources.synthetic import generate_sources
+
+    parse_sources_to_triples(generate_sources(spark, 256)).count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+
     timings: dict[str, float] = {}
     t_all = time.time()
     for name in HEADLINE:
