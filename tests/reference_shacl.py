@@ -1,0 +1,157 @@
+"""Independent pure-Python SHACL evaluator (test oracle only).
+
+A from-first-principles re-implementation of the constraint subset, with
+NO shared code with harvesting_validator_spark.shacl.compile — used by the
+differential property test to cross-check the Spark compiler on random
+corpora. Violation identity: (doc_id, shape, focus, component,
+result_path, value) where value is None for cardinality/hasValue.
+"""
+
+from __future__ import annotations
+
+import re
+
+SH = "http://www.w3.org/ns/shacl#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+LEXICAL = {
+    XSD + "integer": r"^[+-]?\d+$",
+    XSD + "int": r"^[+-]?\d+$",
+    XSD + "long": r"^[+-]?\d+$",
+    XSD + "decimal": r"^[+-]?(\d+(\.\d*)?|\.\d+)$",
+    XSD + "double": r"^([+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|NaN|INF|-INF)$",
+    XSD + "float": r"^([+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|NaN|INF|-INF)$",
+    XSD + "boolean": r"^(true|false|0|1)$",
+    XSD + "date": r"^-?\d{4}-\d{2}-\d{2}(Z|[+-]\d{2}:\d{2})?$",
+    XSD + "dateTime": r"^-?\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$",
+}
+
+NODEKIND = {
+    SH + "IRI": {"iri"},
+    SH + "BlankNode": {"bnode"},
+    SH + "Literal": {"literal"},
+    SH + "BlankNodeOrIRI": {"bnode", "iri"},
+    SH + "BlankNodeOrLiteral": {"bnode", "literal"},
+    SH + "IRIOrLiteral": {"iri", "literal"},
+}
+
+
+def _focus_set(doc_triples, shapes):
+    """(focus, shape) pairs incl. nested sh:node derivation."""
+    out = set()
+    for s in shapes.shapes:
+        for t in doc_triples:
+            if t.pred == RDF_TYPE and t.obj_value in s.target_classes:
+                out.add((t.subj, s.iri))
+        for n in s.target_nodes:
+            out.add((n, s.iri))
+    # nested: child focus = non-literal values of parent property
+    changed = True
+    guard = 0
+    while changed and guard < 6:
+        changed = False
+        guard += 1
+        for s in shapes.shapes:
+            for ps in s.properties:
+                if not ps.node_shape or ps.node_shape not in shapes.by_id:
+                    continue
+                for (focus, shape_iri) in list(out):
+                    if shape_iri != s.iri:
+                        continue
+                    for t in doc_triples:
+                        if (
+                            t.subj == focus
+                            and t.pred == ps.path
+                            and t.obj_kind != "literal"
+                            and (t.obj_value, ps.node_shape) not in out
+                        ):
+                            out.add((t.obj_value, ps.node_shape))
+                            changed = True
+    return out
+
+
+def validate_reference(triples_by_doc: dict, shapes) -> set:
+    """dict(doc_id -> list of Triple) -> set of violation identity tuples."""
+    violations = set()
+    for doc_id, doc in triples_by_doc.items():
+        typed = {
+            (t.subj, t.obj_value) for t in doc if t.pred == RDF_TYPE
+        }
+        for focus, shape_iri in _focus_set(doc, shapes):
+            shape = shapes.by_id[shape_iri]
+            own = [t for t in doc if t.subj == focus]
+            for ps in shape.properties:
+                vals = [t for t in own if t.pred == ps.path]
+                for t in vals:
+                    lit = t.obj_kind == "literal"
+                    if ps.datatypes:
+                        dt = t.obj_datatype or (XSD + "string")
+                        ok = lit and t.obj_lang is None and dt in ps.datatypes
+                        if ok:
+                            rx = LEXICAL.get(dt)
+                            if rx and not re.match(rx, t.obj_value):
+                                ok = False
+                        if not ok:
+                            violations.add((doc_id, shape_iri, focus,
+                                            SH + "DatatypeConstraintComponent",
+                                            ps.path, t.obj_value))
+                    if ps.pattern is not None:
+                        if t.obj_kind == "bnode" or not re.search(
+                            ps.pattern, t.obj_value
+                        ):
+                            violations.add((doc_id, shape_iri, focus,
+                                            SH + "PatternConstraintComponent",
+                                            ps.path, t.obj_value))
+                    if ps.node_kind is not None and t.obj_kind not in NODEKIND.get(
+                        ps.node_kind, {"iri", "bnode", "literal"}
+                    ):
+                        violations.add((doc_id, shape_iri, focus,
+                                        SH + "NodeKindConstraintComponent",
+                                        ps.path, t.obj_value))
+                    if ps.min_length is not None and (
+                        t.obj_kind == "bnode" or len(t.obj_value) < ps.min_length
+                    ):
+                        violations.add((doc_id, shape_iri, focus,
+                                        SH + "MinLengthConstraintComponent",
+                                        ps.path, t.obj_value))
+                    if ps.max_length is not None and (
+                        t.obj_kind == "bnode" or len(t.obj_value) > ps.max_length
+                    ):
+                        violations.add((doc_id, shape_iri, focus,
+                                        SH + "MaxLengthConstraintComponent",
+                                        ps.path, t.obj_value))
+                    if ps.in_values and t.obj_value not in ps.in_values:
+                        violations.add((doc_id, shape_iri, focus,
+                                        SH + "InConstraintComponent",
+                                        ps.path, t.obj_value))
+                    if ps.class_ is not None and (
+                        (t.obj_value, ps.class_) not in typed
+                    ):
+                        violations.add((doc_id, shape_iri, focus,
+                                        SH + "ClassConstraintComponent",
+                                        ps.path, t.obj_value))
+                if ps.max_count is not None and len(vals) > ps.max_count:
+                    violations.add((doc_id, shape_iri, focus,
+                                    SH + "MaxCountConstraintComponent",
+                                    ps.path, None))
+                if ps.min_count is not None and len(vals) < ps.min_count:
+                    violations.add((doc_id, shape_iri, focus,
+                                    SH + "MinCountConstraintComponent",
+                                    ps.path, None))
+                if ps.has_value is not None and not any(
+                    t.obj_value == ps.has_value for t in vals
+                ):
+                    violations.add((doc_id, shape_iri, focus,
+                                    SH + "HasValueConstraintComponent",
+                                    ps.path, None))
+            if shape.closed:
+                allowed = {p.path for p in shape.properties} | set(
+                    shape.ignored_properties
+                )
+                for t in own:
+                    if t.pred not in allowed:
+                        violations.add((doc_id, shape_iri, focus,
+                                        SH + "ClosedConstraintComponent",
+                                        t.pred, t.obj_value))
+    return violations
