@@ -258,9 +258,19 @@ def nt_lines(triples: DataFrame) -> DataFrame:
     """N-Triples serialization as a single `line` column — the S4 sink
     (`TaskService.java:229`, `ModelUtils.toFile(..., RDFLanguages.NT)`)
     expressed as Catalyst string ops + a text write."""
-    esc = F.regexp_replace(
-        F.regexp_replace(F.col("obj_value"), r"\\", r"\\\\"), '"', r'\"'
-    )
+    # N-Triples literal escaping. NB Java replacement-string semantics:
+    # emitting one literal backslash needs `\\\\` in the replacement, and
+    # a plain `\"` replacement emits just `"` (that bug shipped briefly —
+    # caught by the hypothesis round-trip test).
+    esc = F.col("obj_value")
+    for pat, rep in (
+        (r"\\", r"\\\\"),   # backslash first
+        ('"', r'\\"'),
+        ("\n", r"\\n"),
+        ("\r", r"\\r"),
+        ("\t", r"\\t"),
+    ):
+        esc = F.regexp_replace(esc, pat, rep)
     obj = (
         F.when(F.col("obj_kind") == "iri",
                F.concat(F.lit("<"), F.col("obj_value"), F.lit(">")))

@@ -14,10 +14,11 @@ XSD = "http://www.w3.org/2001/XMLSchema#"
 
 _iri = st.from_regex(r"https?://e\.org/[A-Za-z0-9_]{1,8}", fullmatch=True)
 _bnode = st.from_regex(r"_:[A-Za-z0-9]{1,6}", fullmatch=True)
-# printable, no control chars; escapes exercised via quotes/backslashes
+# escapes exercised deliberately: quotes, backslashes, newlines, tabs
 _lex = st.text(
-    alphabet=st.characters(
-        codec="utf-8", min_codepoint=0x20, max_codepoint=0x2FF
+    alphabet=st.one_of(
+        st.characters(codec="utf-8", min_codepoint=0x20, max_codepoint=0x2FF),
+        st.sampled_from(['"', "\\", "\n", "\r", "\t"]),
     ),
     max_size=24,
 )
