@@ -359,9 +359,13 @@ def parse_ntriples(text: str) -> list[Triple]:
 
 
 def parse_jsonld(text: str) -> list[Triple]:
-    """Flat (non-nested-context) JSON-LD subset: @graph list or a single
-    node object; values are node refs {"@id":...}, typed values
-    {"@value":..,"@type"/"@language":..}, or JSON scalars."""
+    """JSON-LD subset: @graph list or node object(s) with a flat string
+    @context; values are node refs {"@id":...}, typed values
+    {"@value":..,"@type"/"@language":..}, JSON scalars, or NESTED node
+    objects (minted as blank nodes and recursed, the Turtle `[...]`
+    analog). Full expansion-algorithm features (nested contexts, @list,
+    @reverse) are out of scope — the reference handles them via Jena and
+    no fixture exercises them."""
     doc = json.loads(text)
     ctx = doc.get("@context", {}) if isinstance(doc, dict) else {}
     if not isinstance(ctx, dict):
@@ -386,16 +390,17 @@ def parse_jsonld(text: str) -> list[Triple]:
         raise RdfParseError("unsupported JSON-LD document shape")
 
     out: list[Triple] = []
-    bnode_n = 0
-    for node in nodes:
+    counter = [0]
+
+    def fresh_bnode() -> str:
+        counter[0] += 1
+        return f"_:j{counter[0]}"
+
+    def emit_node(node: dict, subj: str | None = None) -> str:
         if not isinstance(node, dict):
             raise RdfParseError("JSON-LD node must be an object")
-        subj = node.get("@id")
         if subj is None:
-            bnode_n += 1
-            subj = f"_:j{bnode_n}"
-        else:
-            subj = expand(subj)
+            subj = expand(node["@id"]) if "@id" in node else fresh_bnode()
         for key, vals in node.items():
             if key in ("@id", "@context"):
                 continue
@@ -406,11 +411,7 @@ def parse_jsonld(text: str) -> list[Triple]:
             pred = expand(key)
             for v in vals if isinstance(vals, list) else [vals]:
                 if isinstance(v, dict):
-                    if "@id" in v:
-                        tgt = expand(v["@id"])
-                        kind = "bnode" if tgt.startswith("_:") else "iri"
-                        out.append(Triple(subj, pred, tgt, kind, None, None))
-                    elif "@value" in v:
+                    if "@value" in v:
                         dt = expand(v["@type"]) if "@type" in v else None
                         lang = v.get("@language")
                         lex, inferred = _json_scalar(v["@value"])
@@ -419,11 +420,25 @@ def parse_jsonld(text: str) -> list[Triple]:
                                    dt or (None if lang else inferred),
                                    lang.lower() if lang else None)
                         )
+                    elif set(v) <= {"@id"}:
+                        tgt = expand(v["@id"])
+                        kind = "bnode" if tgt.startswith("_:") else "iri"
+                        out.append(Triple(subj, pred, tgt, kind, None, None))
                     else:
-                        raise RdfParseError(f"bad JSON-LD value object {v!r}")
+                        # nested node object: link then recurse
+                        child = (
+                            expand(v["@id"]) if "@id" in v else fresh_bnode()
+                        )
+                        kind = "bnode" if child.startswith("_:") else "iri"
+                        out.append(Triple(subj, pred, child, kind, None, None))
+                        emit_node(v, subj=child)
                 else:
                     lex, inferred = _json_scalar(v)
                     out.append(Triple(subj, pred, lex, "literal", inferred, None))
+        return subj
+
+    for node in nodes:
+        emit_node(node)
     return out
 
 

@@ -119,3 +119,24 @@ def test_reference_fixture_roundtrip():
         subj_counts[t.subj] = subj_counts.get(t.subj, 0) + 1
     assert subj_counts[EX + "Bob"] == 3
     assert subj_counts[EX + "Calvin"] == 5
+
+
+def test_jsonld_nested_node_objects():
+    ts = parse_jsonld(
+        '{"@context": {"ex": "http://e.org/"},'
+        ' "@id": "ex:p1", "@type": "ex:Person",'
+        ' "ex:address": {"ex:city": "Ghent",'
+        '                "ex:country": {"@id": "ex:BE"}},'
+        ' "ex:knows": {"@id": "ex:p2", "ex:name": "Two"}}'
+    )
+    t = {(x.subj, x.pred, x.obj_value, x.obj_kind) for x in ts}
+    # nested bnode minted + linked, its own triples emitted
+    bnodes = {o for s, p, o, k in t if p == "http://e.org/address"}
+    assert len(bnodes) == 1
+    (b,) = bnodes
+    assert b.startswith("_:")
+    assert (b, "http://e.org/city", "Ghent", "literal") in t
+    assert (b, "http://e.org/country", "http://e.org/BE", "iri") in t
+    # nested node WITH @id keeps its IRI and emits nested props
+    assert ("http://e.org/p1", "http://e.org/knows", "http://e.org/p2", "iri") in t
+    assert ("http://e.org/p2", "http://e.org/name", "Two", "literal") in t
