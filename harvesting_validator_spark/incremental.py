@@ -44,7 +44,13 @@ DELTA_SCHEMA = (
 
 def scheduled_tasks_from_delta(deltas: DataFrame) -> DataFrame:
     """`delta.getInsertsFor(adms:status, scheduled)` (AppController.java:30-33):
-    subjects of inserted triples whose (pred, obj) mark a scheduled task."""
+    subjects of inserted triples whose (pred, obj) mark a scheduled task.
+
+    Deliberate deviation: the reference inspects only the FIRST delta
+    object in the POST body (`deltas.stream().findFirst()`,
+    AppController.java:30) — later patches in the same notification are
+    silently dropped. We process every row; at batch scale there is no
+    'first'."""
     return (
         deltas.filter(
             (F.col("op") == "insert")
