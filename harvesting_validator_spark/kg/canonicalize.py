@@ -22,11 +22,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sort_key(col):
+    """Canonical-id ordering: IRIs before blank nodes ('_:' would
+    lexicographically beat 'http://', and a doc-scoped bnode label must
+    never become the canonical id of a cluster that contains a stable
+    IRI). Encoded as a 1-char prefix, stripped by _strip_key."""
+    return F.when(
+        col.startswith("_:"), F.concat(F.lit("~"), col)
+    ).otherwise(F.concat(F.lit("!"), col))
+
+
+def _strip_key(col):
+    return F.substring(col, 2, 1 << 30)
+
+
 def connected_components(
     edges: DataFrame, max_iterations: int = 50, checkpoint_every: int = 1
 ) -> DataFrame:
     """edges(src, dst) -> (entity, canonical). Includes singletons only if
-    they appear in an edge; callers union isolated nodes afterwards."""
+    they appear in an edge; callers union isolated nodes afterwards.
+    Canonical = the IRI-preferring minimum member of the component."""
+    edges = edges.select(
+        _sort_key(F.col("src")).alias("src"), _sort_key(F.col("dst")).alias("dst")
+    )
     und = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
@@ -89,7 +107,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("node").alias("entity"), F.col("label").alias("canonical"))
+    return labels.select(
+        _strip_key(F.col("node")).alias("entity"),
+        _strip_key(F.col("label")).alias("canonical"),
+    )
 
 
 def canonical_mapping(

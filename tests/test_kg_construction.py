@@ -98,6 +98,41 @@ def test_kg_construction_end_to_end(spark):
     assert all(r["count"] == 3 for r in per_subj)
 
 
+def test_bnode_entity_linking(spark):
+    """north_star: equivalence classes span IRIs AND blank nodes — a bnode
+    mention sharing a strong key with an IRI mention joins its cluster,
+    and the canonical id is deterministic (bnode labels sort after the
+    http IRI, so the IRI wins the min)."""
+    from harvesting_validator_spark.kg.canonicalize import canonical_mapping
+    from harvesting_validator_spark.kg.linking import (
+        block_candidates_by_key,
+        extract_mentions,
+        link_edges,
+    )
+
+    docs = {
+        "d1": """@prefix ex: <http://example.com/ns#> .
+ex:Alice a ex:Person ; ex:name "A Person" ; ex:ssn "111-11-1111" .
+""",
+        "d2": """@prefix ex: <http://example.com/ns#> .
+_:someone a ex:Person ; ex:name "A Person" ; ex:ssn "111-11-1111" .
+""",
+    }
+    rows = [("r", f"{k}.ttl", k, "turtle", v) for k, v in docs.items()]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    from harvesting_validator_spark.sources.rdf_parse import parse_sources_to_triples
+
+    mentions = extract_mentions(parse_sources_to_triples(src))
+    assert mentions.count() == 2
+    edges = link_edges(block_candidates_by_key(mentions), threshold=0.9)
+    mapping = {r.entity: r.canonical
+               for r in canonical_mapping(mentions.select("entity"), edges).collect()}
+    assert mapping["_:someone"] == f"{EX}Alice"
+    assert mapping[f"{EX}Alice"] == f"{EX}Alice"
+
+
 def test_kg_salted_blocking_same_result(spark):
     """Salted band join (skew path) must produce the identical graph."""
     n, k = 30, 3
