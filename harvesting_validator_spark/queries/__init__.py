@@ -19,12 +19,13 @@ from harvesting_validator_spark.queries import (
     mm,
     relational,
     similarity,
+    sketches,
     textops,
 )
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
-for _m in (relational, textops, dedup, similarity, kg, mm):
+for _m in (relational, textops, dedup, similarity, kg, mm, sketches):
     overlap = set(ALL_QUERIES) & set(_m.QUERIES)
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
