@@ -275,6 +275,52 @@ def run_validation_checkpointed(
     return runner
 
 
+def run_kg_checkpointed(
+    spark: SparkSession,
+    sources: DataFrame,
+    shapes_turtle: str,
+    warehouse: str,
+    run_id: str | None = None,
+    link_threshold: float = 0.9,
+) -> CheckpointedRunner:
+    """The FULL north-star pipeline as resumable stages: validation stages
+    plus mentions -> link edges -> canonical mapping -> deduplicated
+    canonical graph, each materialized with per-partition lineage."""
+    from pyspark.sql import functions as F
+
+    from harvesting_validator_spark.kg.canonicalize import canonical_mapping
+    from harvesting_validator_spark.kg.graph import dedup_graph, rewrite_to_canonical
+    from harvesting_validator_spark.kg.linking import (
+        block_candidates,
+        extract_mentions,
+        link_edges,
+    )
+    from harvesting_validator_spark.kg.normalize import normalize_triples
+
+    runner = run_validation_checkpointed(
+        spark, sources, shapes_turtle, warehouse, run_id
+    )
+    valid = spark.read.parquet(runner._out("valid_triples"))
+    verdicts = spark.read.parquet(runner._out("verdicts"))
+    conforming = verdicts.filter(F.col("conforms")).select("doc_id")
+    triples = normalize_triples(valid.join(conforming, "doc_id", "left_semi"))
+
+    mentions = runner.stage("mentions", lambda: extract_mentions(triples))
+    edges = runner.stage(
+        "link_edges",
+        lambda: link_edges(block_candidates(mentions), threshold=link_threshold),
+    )
+    mapping = runner.stage(
+        "canonical_mapping",
+        lambda: canonical_mapping(mentions.select("entity"), edges),
+    )
+    runner.stage(
+        "canonical_graph",
+        lambda: dedup_graph(rewrite_to_canonical(triples, mapping)),
+    )
+    return runner
+
+
 def _run_stages(runner: CheckpointedRunner, spark, src, shapes) -> None:
     from harvesting_validator_spark.operators.filtering import (
         conformance_verdicts,

@@ -14,6 +14,8 @@ from harvesting_validator_spark.lineage import (
 )
 from harvesting_validator_spark.sources.synthetic import (
     APPLICATION_PROFILE,
+    ENTITY_PROFILE,
+    generate_entity_sources,
     generate_sources,
 )
 
@@ -105,3 +107,25 @@ def test_checkpointed_pipeline_resume_identical(spark, tmp_path):
     from harvesting_validator_spark.lineage import task_status
 
     assert task_status(LineageStore(spark, wh), "pipe") == STATUS_SUCCESS
+
+
+def test_kg_checkpointed_resume(spark, tmp_path):
+    from harvesting_validator_spark.lineage import run_kg_checkpointed
+
+    wh = str(tmp_path / "wh")
+    sources = generate_entity_sources(spark, 30, n_entities=3)
+
+    r1 = run_kg_checkpointed(spark, sources, ENTITY_PROFILE, wh, run_id="kg1")
+    assert "canonical_graph" in r1.executed
+    g1 = {tuple(r) for r in spark.read.parquet(f"{wh}/kg1/canonical_graph").collect()}
+    assert len(g1) == 9  # 3 entities x 3 deduplicated triples
+
+    r2 = run_kg_checkpointed(spark, sources, ENTITY_PROFILE, wh, run_id="kg1")
+    assert r2.executed == []
+    assert {"mentions", "link_edges", "canonical_mapping", "canonical_graph"} <= set(
+        r2.skipped
+    )
+    g2 = {tuple(r) for r in spark.read.parquet(f"{wh}/kg1/canonical_graph").collect()}
+    assert g1 == g2
+    m = r2.metrics()
+    assert m["canonical_graph"]["rows"] == 9
