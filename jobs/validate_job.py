@@ -56,16 +56,15 @@ def main(argv: list[str] | None = None) -> int:
     else:
         shapes_turtle = APPLICATION_PROFILE
 
-    runner = run_validation_checkpointed(
-        spark, sources, shapes_turtle, args.warehouse, run_id=args.run_id
-    )
-
     if args.kg:
-        from harvesting_validator_spark.plans.pipeline import run_kg_construction
+        from harvesting_validator_spark.lineage import run_kg_checkpointed
 
-        kg = run_kg_construction(spark, sources, shapes_turtle)
-        kg.graph.write.mode("overwrite").parquet(
-            f"{args.warehouse}/{runner.run_id}/canonical_graph"
+        runner = run_kg_checkpointed(
+            spark, sources, shapes_turtle, args.warehouse, run_id=args.run_id
+        )
+    else:
+        runner = run_validation_checkpointed(
+            spark, sources, shapes_turtle, args.warehouse, run_id=args.run_id
         )
 
     print(json.dumps({
