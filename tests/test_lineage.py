@@ -129,3 +129,25 @@ def test_kg_checkpointed_resume(spark, tmp_path):
     assert g1 == g2
     m = r2.metrics()
     assert m["canonical_graph"]["rows"] == 9
+
+
+def test_mid_pipeline_resume_validation_then_kg(spark, tmp_path):
+    """Crash-equivalent: a run that finished only the validation stages is
+    later resumed by the KG job — validation stages skip, KG stages run."""
+    from harvesting_validator_spark.lineage import (
+        run_kg_checkpointed,
+        run_validation_checkpointed,
+    )
+
+    wh = str(tmp_path / "wh")
+    sources = generate_entity_sources(spark, 30, n_entities=3)
+
+    r1 = run_validation_checkpointed(spark, sources, ENTITY_PROFILE, wh, "mid")
+    assert "report" in r1.executed and "mentions" not in r1.executed
+
+    r2 = run_kg_checkpointed(spark, sources, ENTITY_PROFILE, wh, "mid")
+    assert set(r2.skipped) >= {"parse", "validate", "verdicts", "valid_triples"}
+    assert {"mentions", "link_edges", "canonical_mapping", "canonical_graph"} <= set(
+        r2.executed
+    )
+    assert spark.read.parquet(f"{wh}/mid/canonical_graph").count() == 9
