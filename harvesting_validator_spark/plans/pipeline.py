@@ -72,15 +72,24 @@ def run_kg_construction(
     shapes_turtle: str,
     link_threshold: float = 0.9,
     n_salt: int = 1,
+    blocking: str = "minhash",
 ) -> KgRun:
     """North-star extension (SURVEY.md §7 stage 4): conforming documents ->
-    IRI-normalized triple extraction -> mention detection -> minhash/LSH
-    blocking -> Arrow-batched link scoring -> union-find canonicalization ->
-    deduplicated (subj, pred, obj) canonical graph."""
+    IRI-normalized triple extraction -> mention detection -> blocking ->
+    Arrow-batched link scoring -> union-find canonicalization ->
+    deduplicated (subj, pred, obj) canonical graph.
+
+    blocking: 'minhash' (LSH bands over the attribute token set) or 'key'
+    (exact blocking on strong identifying keys). Choose 'key' when strong
+    keys exist — minhash banding over LOW-ENTROPY attribute text (short
+    bundles sharing most tokens across distinct entities) degenerates
+    toward quadratic candidates; shingling longer text or raising the
+    rows-per-band restores selectivity when no keys are available."""
     from harvesting_validator_spark.kg.canonicalize import canonical_mapping
     from harvesting_validator_spark.kg.graph import dedup_graph, rewrite_to_canonical
     from harvesting_validator_spark.kg.linking import (
         block_candidates,
+        block_candidates_by_key,
         extract_mentions,
         link_edges,
     )
@@ -93,7 +102,10 @@ def run_kg_construction(
     ).persist()
 
     mentions = extract_mentions(triples)
-    candidates = block_candidates(mentions, n_salt=n_salt)
+    if blocking == "key":
+        candidates = block_candidates_by_key(mentions)
+    else:
+        candidates = block_candidates(mentions, n_salt=n_salt)
     edges = link_edges(candidates, threshold=link_threshold)
     mapping = canonical_mapping(
         mentions.select("entity"), edges
