@@ -102,17 +102,39 @@ def violation_stats(violations: DataFrame) -> DataFrame:
     return per_path.unionByName(total)
 
 
+def violation_details(violations: DataFrame) -> DataFrame:
+    """S6 detail rows — one per violation with the fields the reference
+    writes per path sheet (`XlsReportService.java:99-116`): path local
+    name, focusNode, value, abbreviated message."""
+    local = F.element_at(F.split("result_path", "[/#]"), -1)
+    return violations.select(
+        F.coalesce(local, F.lit("(node)")).alias("path"),
+        F.col("focus_node").alias("focusNode"),
+        F.col("value"),
+        F.substring(F.col("message"), 1, 1024).alias("message"),
+    )
+
+
 def write_violation_workbook(violations: DataFrame, path: str) -> str:
-    """Write the stats as xlsx when openpyxl exists, else CSV. Returns the
-    path written. Single-partition by design — the stats table is tiny
-    (one row per constrained path)."""
-    pdf = violation_stats(violations).toPandas()
+    """Summary sheet + one detail sheet per result path
+    (`XlsReportService.java:61-134`); xlsx when openpyxl exists, else CSV
+    files. Returns the summary path written. Single-partition by design —
+    violation stats are tiny relative to the corpus."""
+    stats = violation_stats(violations).toPandas()
+    details = violation_details(violations).toPandas()
     try:
         import openpyxl  # noqa: F401
+        import pandas as pd
 
         out = path if path.endswith(".xlsx") else path + ".xlsx"
-        pdf.to_excel(out, sheet_name="summary", index=False)
+        with pd.ExcelWriter(out) as xl:
+            stats.to_excel(xl, sheet_name="summary", index=False)
+            for p, grp in details.groupby("path"):
+                # sheet names: 31-char excel limit
+                grp.to_excel(xl, sheet_name=str(p)[:31], index=False)
     except ImportError:
-        out = (path[:-5] if path.endswith(".xlsx") else path) + ".csv"
-        pdf.to_csv(out, index=False)
+        base = path[:-5] if path.endswith(".xlsx") else path
+        out = base + ".csv"
+        stats.to_csv(out, index=False)
+        details.to_csv(base + "_details.csv", index=False)
     return out

@@ -64,3 +64,11 @@ def test_violation_stats_and_workbook(spark, tmp_path):
 
     out = write_violation_workbook(run.violations, str(tmp_path / "stats.xlsx"))
     assert os.path.exists(out)
+
+    # detail rows: one per violation, path local-names + focus nodes
+    from harvesting_validator_spark.sinks import violation_details
+
+    details = violation_details(run.violations).collect()
+    assert len(details) == 5
+    assert {d.path for d in details} == {"ssn", "worksFor", "birthDate", "www"}
+    assert all(d.focusNode.startswith("http://example.com/ns#") for d in details)
