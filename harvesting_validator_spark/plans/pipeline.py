@@ -37,6 +37,15 @@ class ValidationRun:
     valid_triples: DataFrame
     error_triples: DataFrame
     report: DataFrame
+    _persisted: list = None  # type: ignore[assignment]
+
+    def cleanup(self) -> None:
+        """Unpersist every intermediate this run cached. Call once the
+        run's outputs are materialized (written / collected) — looping
+        callers (streaming foreachBatch, bench suites) otherwise
+        accumulate cached DataFrames in executor storage."""
+        for df in self._persisted or []:
+            df.unpersist()
 
 
 def add_doc_id(sources: DataFrame) -> DataFrame:
@@ -64,6 +73,13 @@ class KgRun:
     edges: DataFrame
     mapping: DataFrame
     graph: DataFrame
+    _persisted: list = None  # type: ignore[assignment]
+
+    def cleanup(self) -> None:
+        """Unpersist this run's caches (including the validation stage's)."""
+        for df in self._persisted or []:
+            df.unpersist()
+        self.validation.cleanup()
 
 
 def run_kg_construction(
@@ -96,10 +112,12 @@ def run_kg_construction(
     from harvesting_validator_spark.kg.normalize import normalize_triples
 
     validation = run_validation(spark, sources, shapes_turtle)
+    persisted: list = []
     conforming = validation.verdicts.filter(F.col("conforms")).select("doc_id")
     triples = normalize_triples(
         validation.valid_triples.join(conforming, "doc_id", "left_semi")
     ).persist()
+    persisted.append(triples)
 
     mentions = extract_mentions(triples)
     if blocking == "key":
@@ -110,6 +128,7 @@ def run_kg_construction(
     mapping = canonical_mapping(
         mentions.select("entity"), edges
     ).persist()
+    persisted.append(mapping)
     graph = dedup_graph(rewrite_to_canonical(triples, mapping))
     return KgRun(
         validation=validation,
@@ -118,6 +137,7 @@ def run_kg_construction(
         edges=edges,
         mapping=mapping,
         graph=graph,
+        _persisted=persisted,
     )
 
 
@@ -129,24 +149,31 @@ def run_validation(
 ) -> ValidationRun:
     shapes = parse_shapes_turtle(shapes_turtle)
     sources = add_doc_id(sources)
+    persisted: list = []
     triples, parse_errors, raw = parse_sources_to_triples(
-        sources, with_errors=True, return_raw=True
+        sources, with_errors=True, return_raw=True,
+        # one exchange for the whole stage graph: every downstream op is
+        # keyed on a doc_id-prefixed superset (see parse_sources_to_triples)
+        repartition_by_doc=cache,
     )
     if cache:
         # persist the raw parse output: the triples AND parse-error branches
         # are filters over one cached Arrow-parse materialization
         raw.persist()
+        persisted.append(raw)
     focus = compute_focus(triples, shapes, spark)
     if cache:
         focus = focus.persist()
+        persisted.append(focus)
     violations = validate(triples, shapes, spark, focus=focus,
-                          cache_intermediate=cache)
+                          cache_intermediate=cache, persisted=persisted)
     if cache:
         # persist + force a full-width materialization: downstream
         # consumers (verdicts / splits / report) otherwise each trigger a
         # recompute of the whole constraint plan — empirically the cache
         # is only reliably reused once it has been scanned full-width
         violations = violations.persist()
+        persisted.append(violations)
         violations.count()
     verdicts = conformance_verdicts(
         sources.select("doc_id"), violations, parse_errors
@@ -163,4 +190,5 @@ def run_validation(
         valid_triples=valid,
         error_triples=error,
         report=report,
+        _persisted=persisted,
     )

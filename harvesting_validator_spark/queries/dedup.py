@@ -174,13 +174,23 @@ SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM t
 
 
 # --- n-gram (unigram-set) Jaccard on a sampled block --------------------------------
+# absolute block cap: <=1000 docs pass the filter at ANY scale factor, so
+# the pair space is bounded at 500k regardless of corpus size (a modulo
+# fraction alone would grow O((n/10)^2) with the corpus)
+_JACCARD_BLOCK_CAP = 10_000
+
+
 def q_ngram_jaccard(spark, sf_dir):
-    """Brute-force token-set Jaccard over a deterministic 10% block —
-    the verify step of near-dedup; at scale it runs only on LSH candidate
-    pairs (lsh_verified_pairs), never all-pairs."""
+    """Brute-force token-set Jaccard over a deterministic, ABSOLUTELY
+    bounded block (doc_id % 10 == 0 AND doc_id < 10000 -> <=1000 docs at
+    any sf) — the verify-step demo of near-dedup. At scale the verify
+    runs only on LSH candidate pairs (lsh_verified_pairs), never
+    all-pairs. The bounded side is broadcast, so the non-equi self-join
+    is a BroadcastNestedLoopJoin over a constant-size block — never a
+    CartesianProduct (guarded by tests/test_plans.py)."""
     d = (
         tbl(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 10 == 0)
+        .filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < _JACCARD_BLOCK_CAP))
         .select("doc_id", F.array_distinct(tokens()).alias("toks"))
     )
     a, b = d.alias("a"), d.alias("b")
@@ -188,7 +198,7 @@ def q_ngram_jaccard(spark, sf_dir):
     uni = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
     jac = dround(inter.cast("double") / uni, 6)
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -198,10 +208,10 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
-O_JACCARD = """
+O_JACCARD = f"""
 WITH t AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-  FROM documents WHERE doc_id % 10 = 0
+  FROM documents WHERE doc_id % 10 = 0 AND doc_id < {_JACCARD_BLOCK_CAP}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
@@ -220,10 +230,12 @@ def q_lsh_verified_pairs(spark, sf_dir):
     Plan notes: candidates ARE deduplicated before verification — on this
     near-dup-dense corpus a pair collides in ~4 bands, and computing the
     ~40-element array intersect 4x (measured 232s) costs far more than the
-    candidate dedup shuffle (31s total). Token sets attach via broadcast
-    (at 10^12-doc scale the token table outgrows a broadcast and this
-    becomes a bucket join on doc_id; the pair table is bucketed the same
-    way by construction)."""
+    candidate dedup shuffle (31s total). Token sets attach with NO forced
+    broadcast: the token table is the full documents corpus, which at
+    10^12-doc scale dwarfs any driver heap — a forced F.broadcast here
+    would OOM the driver. Statistics/AQE pick broadcast when the table is
+    actually small (it is at bench sf) and fall back to a shuffled join on
+    doc_id when it is not; guarded by tests/test_plans.py."""
     pairs = q_minhash_lsh_pairs(spark, sf_dir)
     # int-hashed token sets: array_intersect over bigints is ~30% faster
     # than over strings (measured 25.5s -> 18.1s at sf0.1); both engines
@@ -232,8 +244,8 @@ def q_lsh_verified_pairs(spark, sf_dir):
         "doc_id", F.array_distinct(F.transform(tokens(), md5_int)).alias("toks")
     )
     j = (
-        pairs.join(F.broadcast(d.alias("da")), pairs.doc_a == F.col("da.doc_id"))
-        .join(F.broadcast(d.alias("db")), pairs.doc_b == F.col("db.doc_id"))
+        pairs.join(d.alias("da"), pairs.doc_a == F.col("da.doc_id"))
+        .join(d.alias("db"), pairs.doc_b == F.col("db.doc_id"))
     )
     inter = F.size(F.array_intersect(F.col("da.toks"), F.col("db.toks")))
     uni = F.size(F.array_union(F.col("da.toks"), F.col("db.toks")))

@@ -22,23 +22,40 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
-    # local[N]: shuffle partitions ~ cores; a 1000-executor cluster run
-    # would set this to ~2-3x total cores via spark-submit conf instead.
+    # shuffle partitions = 2x cores: slack for stragglers without tiny-task
+    # overhead; a 1000-executor cluster run would set ~2-3x total cores via
+    # spark-submit conf instead.
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-        shuffle_partitions = cpus if n == "*" else int(n)
+        shuffle_partitions = 2 * (cpus if n == "*" else int(n))
 
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescing is BYTE-sized (minPartitionSize 1MB): this engine's
+        # shuffles are long repetitive IRI strings that compress ~20x, so
+        # AQE coalesced CPU-heavy stages to a handful of partitions and
+        # serialized validation at high core counts (measured: validate
+        # 50.6s -> 30.0s at local[32]/4M docs with coalescing off). We size
+        # spark.sql.shuffle.partitions explicitly instead; a cluster deploy
+        # that wants coalescing back can re-enable it via extra_conf.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # the whole pipeline is keyed (doc_id, ...): once triples are
+        # hash-partitioned by doc_id, every join/groupBy keyed on a
+        # doc_id-prefixed superset can reuse that single exchange. Joins
+        # only exploit subset co-partitioning with this off (aggregations
+        # always can); measured: validate() drops from 6 full-width
+        # exchanges to 0 beyond the initial partition-by-doc_id.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: driver heap IS the executor heap; 8g starved 32
+        # concurrent tasks (cache blocks + shuffle buffers -> GC churn)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         # default 10MB: bigger thresholds made AQE broadcast the focus-set
         # side of per-doc joins — a driver-serialized broadcast build per

@@ -316,6 +316,7 @@ def validate(
     spark: SparkSession | None = None,
     focus: DataFrame | None = None,
     cache_intermediate: bool = True,
+    persisted: list | None = None,
 ) -> DataFrame:
     """All violations for all shapes in four passes total, independent of
     how many shapes/constraints the profile declares:
@@ -352,8 +353,13 @@ def validate(
         # the scan/cardinality/class passes each consume ftrip; without a
         # persist, AQE re-derives it per pass — including a sequential
         # driver-blocking broadcast build per join — which serializes the
-        # whole validation (observed: 11 back-to-back broadcast jobs)
+        # whole validation (observed: 11 back-to-back broadcast jobs).
+        # Callers that loop (streaming foreachBatch, bench suites) pass a
+        # `persisted` list and unpersist once outputs are materialized, so
+        # executor storage doesn't accumulate over the session lifetime.
         ftrip = ftrip.persist()
+        if persisted is not None:
+            persisted.append(ftrip)
 
     frames: list[DataFrame] = []
 

@@ -542,7 +542,10 @@ PARSE_ERRORS_SCHEMA = "doc_id string, parse_error string"
 
 
 def parse_sources_to_triples(
-    sources_df, with_errors: bool = False, return_raw: bool = False
+    sources_df,
+    with_errors: bool = False,
+    return_raw: bool = False,
+    repartition_by_doc: bool = False,
 ):
     """sources(repo, path, commit, lang, content[, doc_id]) -> triples DF.
 
@@ -550,6 +553,14 @@ def parse_sources_to_triples(
     N triple rows inside a pandas batch, no per-row Python UDF. Rows that
     fail to parse yield a single error row with pred = '__parse_error__'
     which callers split off; this keeps one pass over the data.
+
+    repartition_by_doc: hash-partition the parse output by doc_id before
+    the triples/error filters split off. Every downstream operator
+    (focus derivation, focus⋈triples, cardinality groupBy, class join,
+    valid/error split, verdict rollup) is keyed on a doc_id-prefixed
+    superset, so with spark.sql.requireAllClusterKeysForCoPartition=false
+    (session.py) this ONE exchange replaces all of theirs — at 1000
+    executors the validation stage graph shuffles the corpus exactly once.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -593,6 +604,8 @@ def parse_sources_to_triples(
             yield pd.concat(frames, ignore_index=True)[cols]
 
     parsed = df.mapInPandas(batch_parse, schema=TRIPLES_SCHEMA)
+    if repartition_by_doc:
+        parsed = parsed.repartition("doc_id")
     triples = parsed.filter(F.col("pred") != "__parse_error__")
     if not with_errors:
         return triples

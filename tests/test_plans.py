@@ -71,3 +71,46 @@ def test_wholestage_codegen_on_scan_path(spark, sf_dir):
     # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
     plan = _plan(textops.q_token_stats(spark, sf_dir))
     assert "*(1)" in plan
+
+
+def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
+    """Global scale guard: no registered query may plan a CartesianProduct
+    at any sf. Non-equi joins must run against an absolutely bounded,
+    broadcastable side (BroadcastNestedLoopJoin) instead."""
+    from harvesting_validator_spark.queries import ALL_QUERIES as QUERIES
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        plan = _plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_lsh_verify_token_join_not_forced_broadcast(spark, sf_dir):
+    """The token-set table in lsh_verified_pairs derives from the FULL
+    documents corpus — a forced F.broadcast would OOM the driver at 100x
+    scale (VERDICT r1 #3). With the broadcast threshold disabled, the plan
+    must fall back to a shuffled join, proving the broadcast (when it does
+    appear at bench sf) is statistics-driven, not a hint."""
+    from harvesting_validator_spark.session import get_spark
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(dedup.q_lsh_verified_pairs(spark, sf_dir))
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ngram_jaccard_block_is_bounded_bnlj(spark, sf_dir):
+    """ngram_jaccard's non-equi self-join must be a BroadcastNestedLoopJoin
+    over the absolutely-capped block (never CartesianProduct), and the cap
+    filter must reach the parquet scan."""
+    df = dedup.q_ngram_jaccard(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    fmt = _formatted(df)
+    assert "LessThan(doc_id,10000)" in fmt  # cap pushed to the scan

@@ -5,6 +5,10 @@ DuckDB at the given sf dir, then compares row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted).
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+
+With no sf_dir argument, BOTH sf0.01 and sf0.1 are checked in one run —
+size-dependent bugs (plan changes at bigger inputs, fp drift in larger
+aggregations) surface locally before the driver snapshot does.
 """
 
 from __future__ import annotations
@@ -38,13 +42,25 @@ def normalize(rows: list[tuple], cols: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf_dirs = (
+        [sys.argv[1]] if len(sys.argv) > 1
+        else ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    )
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry_mod
     from harvesting_validator_spark.session import get_spark
 
     spark = get_spark(shuffle_partitions=8)
+    failures = []
+    for sf_dir in sf_dirs:
+        print(f"== {sf_dir} ==")
+        failures += check_sf(spark, entry_mod, sf_dir, only)
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+def check_sf(spark, entry_mod, sf_dir: str, only: set) -> list[str]:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -92,8 +108,7 @@ def main() -> int:
         )
         if status == "FAIL":
             failures.append(name)
-    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
-    return 1 if failures else 0
+    return [f"{f}@{sf_dir.rsplit('/', 1)[-1]}" for f in failures]
 
 
 if __name__ == "__main__":

@@ -2,28 +2,37 @@
 >=0.8 from N to 4N executors).
 
 No real cluster exists in this sandbox (BASELINE.json note), so the same
-job runs at local[8] and local[32] on identical input. Two caveats this
-script controls for, which a real N -> 4N EXECUTOR scale-up would not
-have:
+job runs at local[2]/local[8]/local[32] on identical input. Three caveats
+this script controls for, which a real N -> 4N EXECUTOR scale-up would
+not have:
 
 * single-box frequency/SMT effects: with 32 busy cores each core clocks
   lower than with 8 busy ones. A pure-CPU multiprocessing control measures
   the box's achievable ceiling, and the job's efficiency is reported both
   raw and normalized against that ceiling;
+* host contention: this VM shows CPU-steal and sample-to-sample noise of
+  +-30% under sustained load. Each configuration therefore runs in a
+  FRESH subprocess (own JVM — also the only way driver-memory config can
+  take effect per run), configurations are interleaved, and the BEST of
+  `repeats` samples per configuration is reported (throughput capability,
+  not average-under-noise);
 * fixed session overhead (JVM start, codegen, Python worker spawn) is
-  amortized by sizing the corpus so the parallel phase dominates.
+  amortized by sizing the corpus so the parallel phase dominates, plus an
+  explicit warm-up slice.
 
 Job under test: the flagship pipeline slice (synthesize corpus -> Arrow
-parse -> SHACL constraint evaluation -> per-doc verdicts), measured as
-docs/s and triples/s — the metric BASELINE.json defines.
+parse -> hash-partition by doc_id -> SHACL constraint evaluation ->
+per-doc verdicts), measured as docs/s and triples/s — the metric
+BASELINE.json defines.
 
-Usage: python tools/scaling_bench.py [n_docs]
+Usage: python tools/scaling_bench.py [n_docs] [repeats]
 """
 
 from __future__ import annotations
 
 import json
 import multiprocessing as mp
+import subprocess
 import sys
 import time
 
@@ -55,7 +64,7 @@ def cpu_ceiling(n_low: int = 8, n_high: int = 32) -> dict:
 
 
 def run_once(cores: int, n_docs: int) -> dict:
-    from pyspark.sql import functions as F
+    from pyspark.sql import functions as F  # noqa: F401
 
     from harvesting_validator_spark.session import get_spark
     from harvesting_validator_spark.shacl.compile import validate
@@ -79,7 +88,11 @@ def run_once(cores: int, n_docs: int) -> dict:
         parse_sources_to_triples(generate_sources(spark, 256)).count()
 
         t0 = time.time()
-        triples = parse_sources_to_triples(sources).persist()
+        # ONE exchange (repartition by doc_id) serves the whole validate
+        # stage graph — see parse_sources_to_triples/session.py notes
+        triples = parse_sources_to_triples(
+            sources, repartition_by_doc=True
+        ).persist()
         triples.count()
         violations = validate(triples, shapes, spark)
         n_nonconf = violations.select("doc_id").distinct().count()
@@ -102,16 +115,39 @@ def run_once(cores: int, n_docs: int) -> dict:
         spark.stop()
 
 
+def run_in_subprocess(cores: int, n_docs: int) -> dict:
+    """One sample in a fresh interpreter + JVM (isolates driver-memory
+    config, heap aging, and Python worker pools between configurations)."""
+    code = (
+        "import sys, json; sys.path.insert(0, '/root/repo'); "
+        "from tools.scaling_bench import run_once; "
+        f"print('RUN1 ' + json.dumps(run_once({cores}, {n_docs})))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=1800,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RUN1 "):
+            return json.loads(line[5:])
+    raise RuntimeError(
+        f"scaling run cores={cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    cores_list = [2, 8, 32]
     pairs = [(2, 8), (8, 32)]
-    results = {}
-    runs: dict[int, dict] = {}
-    for lo, hi in pairs:
-        for c in (lo, hi):
-            if c not in runs:
-                runs[c] = run_once(c, n_docs)
+    samples: dict[int, list[dict]] = {c: [] for c in cores_list}
+    # interleave configurations so slow host windows hit all of them alike
+    for _ in range(repeats):
+        for c in cores_list:
+            samples[c].append(run_in_subprocess(c, n_docs))
+    runs = {c: max(s, key=lambda r: r["docs_per_s"]) for c, s in samples.items()}
     ceiling = {f"{lo}->{hi}": cpu_ceiling(lo, hi) for lo, hi in pairs}
+    results = {}
     for lo, hi in pairs:
         raw_eff = (runs[hi]["docs_per_s"] / runs[lo]["docs_per_s"]) / (hi / lo)
         results[f"local[{lo}]->local[{hi}]"] = {
@@ -125,6 +161,8 @@ def main() -> None:
     print(json.dumps({
         "metric": "validation-pipeline throughput scaling at N -> 4N cores",
         "n_docs": n_docs,
+        "sampling": f"best of {repeats} interleaved fresh-JVM samples per config",
+        "all_samples": {f"local[{c}]": s for c, s in samples.items()},
         "runs": {f"local[{c}]": r for c, r in runs.items()},
         "scaling": results,
         "target": 0.8,
