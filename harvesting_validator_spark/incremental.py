@@ -114,11 +114,28 @@ def process_incremental(
         return 0, None
 
     run = run_validation(spark, batch, shapes_turtle)
-    run.verdicts.write.mode("append").parquet(
-        os.path.join(warehouse, "verdicts")
-    )
-    run.valid_triples.write.mode("append").parquet(
-        os.path.join(warehouse, "valid_triples")
-    )
+    # Replay idempotence: outputs append BEFORE ledger.mark, so a crash
+    # (or a foreachBatch retry) between them re-presents the same docs.
+    # Each output append therefore anti-joins its own table on doc_id:
+    # docs whose rows landed in a committed earlier attempt are skipped,
+    # so the retry converges instead of duplicating. (Each parquet write
+    # is atomic via the Hadoop commit protocol; at cluster scale an
+    # Iceberg MERGE with a single-table commit replaces this pattern.)
+    run.verdicts.transform(
+        lambda df: _anti_existing(spark, df, os.path.join(warehouse, "verdicts"))
+    ).write.mode("append").parquet(os.path.join(warehouse, "verdicts"))
+    run.valid_triples.transform(
+        lambda df: _anti_existing(
+            spark, df, os.path.join(warehouse, "valid_triples")
+        )
+    ).write.mode("append").parquet(os.path.join(warehouse, "valid_triples"))
     ledger.mark(batch.select("doc_id"), run_id)
     return n_new, run.verdicts
+
+
+def _anti_existing(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Drop rows whose doc_id already exists at `path` (replay dedupe)."""
+    if not os.path.exists(path):
+        return df
+    seen = spark.read.parquet(path).select("doc_id").distinct()
+    return df.join(seen, "doc_id", "left_anti")

@@ -15,17 +15,24 @@ _SCHEME_HOST = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)"
 
 
 def normalize_iri(col: Column) -> Column:
-    """Lowercase scheme+authority, drop default ports, collapse /./
-    segments, strip a single trailing slash (keeps the root slash)."""
+    """Lowercase scheme+authority, drop default ports (scheme-matched:
+    :80 only for http, :443 only for https — http://h:443/x is a REAL
+    non-default port and must NOT merge with http://h/x during linking),
+    collapse /./ segments, strip a single trailing slash after a
+    non-empty path (the root slash http://h/ is kept)."""
     # Catalyst regexp_replace has no replace callback, so lowercase the
     # scheme://authority prefix by splitting it off explicitly:
     prefix = F.regexp_extract(col, _SCHEME_HOST, 0)
     rest = F.substring(col, F.length(prefix) + 1, F.lit(1 << 30))
     lowered = F.concat(F.lower(prefix), rest)
     c = F.when(prefix != "", lowered).otherwise(col)
-    c = F.regexp_replace(c, r"^(https?://[^/?#]*):(?:80|443)(/|$)", "$1$2")
+    c = F.regexp_replace(c, r"^(http://[^/?#:]*):80(/|$)", "$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/?#:]*):443(/|$)", "$1$2")
     c = F.regexp_replace(c, r"/\./", "/")
-    c = F.regexp_replace(c, r"(.)/$", "$1")
+    # trailing slash: only when a path segment precedes it, so the
+    # authority-root form `scheme://host/` survives
+    c = F.regexp_replace(c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*/.+?)/$", "$1")
+    c = F.regexp_replace(c, r"^([^:/]+[^/])/$", "$1")
     return c
 
 

@@ -53,13 +53,27 @@ _PATH_LEVEL = [SH + "MaxCountConstraintComponent"]
 
 
 def split_valid_error(
-    triples: DataFrame, focus: DataFrame, violations: DataFrame
+    triples: DataFrame, focus: DataFrame, violations: DataFrame,
+    strict: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """F1 + F2: (valid_triples, error_triples).
 
     valid = triples whose subject is a focus node of some shape, minus
     value-implicating violations; error = input − valid (set difference
     via left_anti on the full key, `FilteringService.java:97`).
+
+    strict mirrors the reference's ``shacl.strictModeFiltering`` toggle
+    (`ApplicationConfig.java:38-39,52-56`, default false at
+    `application.yml:7`), which is passed straight to the mu-java lib's
+    ``new ShaclService(shapes, strictModeFiltering)`` and consumed by
+    ``shaclService.filter(model, report)`` (`FilteringService.java:122`).
+    Chosen strict semantics (the lib source isn't vendored in the
+    reference tree, so this is pinned here and fixture-tested): a focus
+    node with ANY violation — value-level, cardinality, or absence
+    (minCount/hasValue) — is dropped WHOLE (all its triples, including
+    rdf:type), instead of dropping only the offending values.
+    Non-targeted subjects are filtered in both modes; strict=False output
+    is byte-identical to the pre-toggle behavior.
     """
     # classify ONCE: three left joins attach markers, then both outputs are
     # filters over the same classified plan — the error side never
@@ -72,6 +86,40 @@ def split_valid_error(
         .distinct()
         .withColumn("_targeted", F.lit(True))
     )
+    if strict:
+        # strict: one marker join — every triple of a violated focus node
+        # drops, regardless of which constraint fired or whether the
+        # violation implicates an existing value
+        bad_focus = (
+            violations.select(
+                F.col("doc_id").alias("b_doc"),
+                F.col("focus_node").alias("b_subj"),
+            )
+            .distinct()
+            .withColumn("_b_hit", F.lit(True))
+        )
+        classified = (
+            triples.join(
+                focus_any,
+                (triples.doc_id == focus_any.f_doc)
+                & (triples.subj == focus_any.f_node),
+                "left",
+            )
+            .join(
+                bad_focus,
+                (triples.doc_id == bad_focus.b_doc)
+                & (triples.subj == bad_focus.b_subj),
+                "left",
+            )
+            .withColumn(
+                "_valid",
+                F.coalesce("_targeted", F.lit(False)) & F.col("_b_hit").isNull(),
+            )
+        )
+        valid = classified.filter(F.col("_valid")).select(*TRIPLE_KEY)
+        error = classified.filter(~F.col("_valid")).select(*TRIPLE_KEY)
+        return valid, error
+
     drop_value = (
         violations.filter(F.col("constraint_component").isin(_VALUE_LEVEL))
         .select(

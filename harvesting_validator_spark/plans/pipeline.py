@@ -146,7 +146,10 @@ def run_validation(
     sources: DataFrame,
     shapes_turtle: str,
     cache: bool = True,
+    strict: bool = False,
 ) -> ValidationRun:
+    """strict mirrors the reference's shacl.strictModeFiltering env toggle
+    (default false, `application.yml:7`): see split_valid_error."""
     shapes = parse_shapes_turtle(shapes_turtle)
     sources = add_doc_id(sources)
     persisted: list = []
@@ -178,7 +181,7 @@ def run_validation(
     verdicts = conformance_verdicts(
         sources.select("doc_id"), violations, parse_errors
     )
-    valid, error = split_valid_error(triples, focus, violations)
+    valid, error = split_valid_error(triples, focus, violations, strict=strict)
     report = report_triples(violations)
     return ValidationRun(
         sources=sources,

@@ -53,11 +53,25 @@ def write_nt(
     )
     lines.write.mode("overwrite").text(out_dir)
 
-    files = [
+    # Spark task-output names embed a per-write UUID; rename to stable
+    # ordinal names so share_uri (and thus file_id = sha2(share_uri)) is a
+    # pure function of (job_id, container, partition) — re-exports
+    # converge instead of minting fresh ids (C4 determinism).
+    raw = sorted(
         f
         for f in os.listdir(out_dir)
         if f.startswith("part-") and not f.endswith(".crc")
-    ]
+    )
+    files = []
+    for i, name in enumerate(raw):
+        stable = f"{container}-{i:05d}.{NT_EXTENSION}"
+        os.replace(
+            os.path.join(out_dir, name), os.path.join(out_dir, stable)
+        )
+        crc = os.path.join(out_dir, f".{name}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        files.append(stable)
     now = time.time()
     rows = [
         (
@@ -83,6 +97,16 @@ def write_nt(
         F.sha2(F.col("share_uri"), 256),
     )
     meta_path = os.path.join(share_root, "_lineage_files")
+    # re-running the same (job_id, container) export overwrites the text
+    # files byte-identically; the metadata append must converge the same
+    # way, so drop rows whose deterministic file_id is already recorded
+    # (resume/retry otherwise duplicates _lineage_files rows — ADVICE r1).
+    # NB os.listdir above confines this sink to local filesystems; the
+    # Iceberg/remote-FS seam replaces the enumeration with the Hadoop
+    # FileSystem API.
+    if os.path.exists(meta_path):
+        seen = spark.read.parquet(meta_path).select("file_id").distinct()
+        meta = meta.join(seen, "file_id", "left_anti")
     meta.write.mode("append").parquet(meta_path)
     return meta
 

@@ -420,10 +420,17 @@ def parse_jsonld(text: str) -> list[Triple]:
                                    dt or (None if lang else inferred),
                                    lang.lower() if lang else None)
                         )
-                    elif set(v) <= {"@id"}:
+                    elif "@id" in v and len(v) == 1:
+                        # NB: empty {} must NOT take this branch (empty set
+                        # is a subset of {"@id"}; that shipped briefly and
+                        # raised an uncaught KeyError — ADVICE r1)
                         tgt = expand(v["@id"])
                         kind = "bnode" if tgt.startswith("_:") else "iri"
                         out.append(Triple(subj, pred, tgt, kind, None, None))
+                    elif not v:
+                        raise RdfParseError(
+                            f"empty JSON-LD value object for predicate {pred}"
+                        )
                     else:
                         # nested node object: link then recurse
                         child = (
@@ -595,7 +602,12 @@ def parse_sources_to_triples(
                 try:
                     for t in parse_document(content, lang):
                         rows.append((doc_id, *t))
-                except (RdfParseError, ValueError, RecursionError) as exc:
+                # broad on purpose: one malformed harvested doc must yield a
+                # __parse_error__ row, never fail the whole Spark job — a
+                # parser-kernel bug class outside this list (KeyError etc.)
+                # would otherwise kill a 10^12-doc run on one bad input
+                except (RdfParseError, ValueError, RecursionError, KeyError,
+                        TypeError, AttributeError, IndexError) as exc:
                     rows.append(
                         (doc_id, "", "__parse_error__", str(exc)[:1024],
                          "literal", None, None)

@@ -161,3 +161,62 @@ def test_report_is_deterministic(run, spark):
         (r.subj, r.pred, r.obj_value) for r in run.report.collect()
     )
     assert a == b
+
+
+class TestStrictMode:
+    """shacl.strictModeFiltering=true analog (ApplicationConfig.java:38-39,
+    52-56; default false at application.yml:7): a violated focus node is
+    dropped WHOLE; non-strict output stays byte-identical to the default
+    fixtures above (which this class re-derives and compares)."""
+
+    @pytest.fixture(scope="class")
+    def strict_run(self, spark):
+        return run_validation(
+            spark, golden_sources(spark), APPLICATION_PROFILE, strict=True
+        )
+
+    def test_strict_valid_triples(self, strict_run, spark):
+        key = _doc_key(strict_run, spark)
+        valid = {}
+        for r in strict_run.valid_triples.collect():
+            valid.setdefault(r.doc_id, set()).add((r.subj, r.pred, r.obj_value))
+        rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        # Alice/Bob/Calvin each have >=1 violation -> dropped whole
+        assert key["alice"] not in valid
+        assert key["bob"] not in valid
+        assert key["calvin"] not in valid
+        # Momo conforms -> kept whole; Agrougrou untargeted -> filtered
+        assert valid[key["momo"]] == {
+            (EX + "Momo", rdf_type, EX + "Person"),
+            (EX + "Momo", EX + "ssn", "987-65-4321"),
+        }
+        assert key["agrougrou"] not in valid
+
+    def test_strict_error_complement(self, strict_run, spark):
+        n_in = strict_run.triples.count()
+        assert (
+            strict_run.valid_triples.count() + strict_run.error_triples.count()
+            == n_in
+        )
+        key = _doc_key(strict_run, spark)
+        errs = {}
+        for r in strict_run.error_triples.collect():
+            errs.setdefault(r.doc_id, set()).add((r.subj, r.pred, r.obj_value))
+        # Bob's type triple now lands in errors too (whole node dropped)
+        rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        assert (EX + "Bob", rdf_type, EX + "Person") in errs[key["bob"]]
+
+    def test_non_strict_unchanged(self, run, strict_run, spark):
+        """The toggle must not perturb default-mode output: re-run with
+        strict=False explicitly and compare full valid/error sets."""
+        explicit = run_validation(
+            spark, golden_sources(spark), APPLICATION_PROFILE, strict=False
+        )
+        for a, b in (
+            (run.valid_triples, explicit.valid_triples),
+            (run.error_triples, explicit.error_triples),
+        ):
+            sa = sorted(map(tuple, a.collect()))
+            sb = sorted(map(tuple, b.collect()))
+            assert sa == sb
+        explicit.cleanup()

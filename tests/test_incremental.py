@@ -59,3 +59,34 @@ def test_incremental_processes_only_new(spark, tmp_path):
     a = {tuple(r) for r in verdicts.collect()}
     b = {tuple(r) for r in full.verdicts.collect()}
     assert a == b
+
+
+def test_crash_replay_does_not_duplicate_outputs(spark, tmp_path):
+    """ADVICE r1: outputs append BEFORE ledger.mark — simulate a crash in
+    that window (outputs written, ledger row missing) and replay. The
+    retry must converge: no duplicate verdict/valid rows."""
+    from harvesting_validator_spark.plans.pipeline import (
+        add_doc_id,
+        run_validation,
+    )
+
+    wh = str(tmp_path / "wh")
+    corpus = add_doc_id(generate_sources(spark, 20))
+
+    # simulate the crashed first attempt: outputs land, mark() never runs
+    run = run_validation(spark, corpus, APPLICATION_PROFILE)
+    run.verdicts.write.mode("append").parquet(f"{wh}/verdicts")
+    run.valid_triples.write.mode("append").parquet(f"{wh}/valid_triples")
+
+    # driver retry: the ledger says nothing was processed -> full replay
+    n, _ = process_incremental(spark, corpus, APPLICATION_PROFILE, wh, "retry")
+    assert n == 20
+    verdicts = spark.read.parquet(f"{wh}/verdicts")
+    assert verdicts.count() == 20
+    assert verdicts.select("doc_id").distinct().count() == 20
+    valid = spark.read.parquet(f"{wh}/valid_triples")
+    assert valid.count() == valid.distinct().count()
+
+    # and the batch after the replay is a clean no-op
+    n2, out = process_incremental(spark, corpus, APPLICATION_PROFILE, wh, "r2")
+    assert n2 == 0 and out is None

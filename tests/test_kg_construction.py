@@ -59,6 +59,12 @@ def test_normalize_iri(spark):
             ("https://host:443/x",),
             ("http://ok.org/path",),
             ("urn:uuid:abc",),
+            # scheme-mismatched ports are REAL ports — must survive
+            ("http://h:443/x",),
+            ("https://h:80/x",),
+            # root slash is kept; deeper trailing slash is stripped
+            ("http://h/",),
+            ("http://h/a/",),
         ],
         "iri string",
     )
@@ -68,6 +74,10 @@ def test_normalize_iri(spark):
         "https://host/x",
         "http://ok.org/path",
         "urn:uuid:abc",
+        "http://h:443/x",
+        "https://h:80/x",
+        "http://h/",
+        "http://h/a",
     ]
 
 

@@ -140,3 +140,33 @@ def test_jsonld_nested_node_objects():
     # nested node WITH @id keeps its IRI and emits nested props
     assert ("http://e.org/p1", "http://e.org/knows", "http://e.org/p2", "iri") in t
     assert ("http://e.org/p2", "http://e.org/name", "Two", "literal") in t
+
+
+def test_jsonld_empty_value_object_degrades_not_crashes():
+    """ADVICE r1 (medium): {} slipped through the set(v) <= {'@id'} branch
+    and raised an uncaught KeyError that failed the whole job. It must be
+    an RdfParseError kernel-side and a __parse_error__ row Spark-side."""
+    bad = '{"@id": "http://s", "http://p": {}}'
+    with pytest.raises(RdfParseError):
+        parse_jsonld(bad)
+
+
+def test_parser_kernel_bug_yields_error_row_not_job_failure(spark):
+    """Any exception class escaping the parse kernel must degrade to a
+    per-doc parse_error row — one malformed harvested doc must never kill
+    the batch."""
+    from harvesting_validator_spark.sources.rdf_parse import (
+        parse_sources_to_triples,
+    )
+
+    rows = [
+        ("r", "a.jsonld", "c1", "jsonld", '{"@id": "http://s", "http://p": {}}'),
+        ("r", "b.jsonld", "c2", "jsonld", '{"@id": "http://s", "http://p": "ok"}'),
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    triples, errors = parse_sources_to_triples(src, with_errors=True)
+    assert triples.count() == 1
+    errs = errors.collect()
+    assert len(errs) == 1 and "value object" in errs[0].parse_error

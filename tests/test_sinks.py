@@ -37,8 +37,8 @@ def test_nt_roundtrip_and_file_metadata(spark, tmp_path):
     # round-trip: re-parse the written NT and compare the triple set
     out_dir = f"{share}/job1/filter"
     text = ""
-    for name in os.listdir(out_dir):
-        if name.startswith("part-") and not name.endswith(".crc"):
+    for name in sorted(os.listdir(out_dir)):
+        if name.endswith(".nt"):
             with open(os.path.join(out_dir, name)) as fh:
                 text += fh.read()
     reparsed = {
@@ -72,3 +72,21 @@ def test_violation_stats_and_workbook(spark, tmp_path):
     assert len(details) == 5
     assert {d.path for d in details} == {"ssn", "worksFor", "birthDate", "www"}
     assert all(d.focusNode.startswith("http://example.com/ns#") for d in details)
+
+
+def test_reexport_does_not_duplicate_lineage_rows(spark, tmp_path):
+    """ADVICE r1: re-running the same (job_id, container) export must not
+    append duplicate _lineage_files rows (file_id is deterministic)."""
+    from harvesting_validator_spark.sources.rdf_parse import (
+        parse_sources_to_triples,
+    )
+    from harvesting_validator_spark.sources.synthetic import golden_sources
+
+    share = str(tmp_path / "share")
+    triples = parse_sources_to_triples(golden_sources(spark))
+    write_nt(triples, share, "job1", "valid", spark)
+    first = spark.read.parquet(f"{share}/_lineage_files").collect()
+    write_nt(triples, share, "job1", "valid", spark)
+    again = spark.read.parquet(f"{share}/_lineage_files").collect()
+    assert sorted(r.file_id for r in again) == sorted(r.file_id for r in first)
+    assert len({r.file_id for r in again}) == len(again)
