@@ -36,6 +36,9 @@ HEADLINE = [
     "dedup_exact",
     "cosine_topk",
     "quality_score",
+    # the KG linking path (blocking -> pair scoring -> union-find ->
+    # canonical graph), so round-over-round linking perf is visible
+    "kg_canonical_graph",
 ]
 
 

@@ -218,7 +218,17 @@ def _kg_run(spark, sf_dir):
     if key not in _KG_CACHE:
         n = _corpus_n(spark, sf_dir)
         sources = generate_entity_sources(spark, n, n_entities=n // 10)
-        _KG_CACHE[key] = run_kg_construction(spark, sources, ENTITY_PROFILE)
+        # strong keys (ssn) exist in this corpus -> exact key blocking,
+        # per the run_kg_construction selection rule: minhash banding over
+        # its LOW-ENTROPY attribute text (4 of ~6 tokens shared by every
+        # doc) degenerates toward quadratic candidates (measured 7.37M
+        # candidate pairs for 22.5k true pairs at 5k docs). The LSH
+        # blocking operator itself is exercised (and benched) on the
+        # high-entropy documents corpus via minhash_lsh_pairs /
+        # lsh_verified_pairs.
+        _KG_CACHE[key] = run_kg_construction(
+            spark, sources, ENTITY_PROFILE, blocking="key"
+        )
     return _KG_CACHE[key]
 
 
