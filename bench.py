@@ -64,15 +64,30 @@ def main() -> None:
     parse_sources_to_triples(generate_sources(spark, 256)).count()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
 
+    # two passes, min per query: this box is a shared VM with CPU-steal
+    # windows of ±30% (BENCH.md §3); the min of two samples measures the
+    # operator, not the neighbor load. Declared in the JSON note.
     timings: dict[str, float] = {}
-    t_all = time.time()
-    for name in HEADLINE:
-        fn = ALL_QUERIES[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
-    total = round(time.time() - t_all, 3)
+    for _pass in range(2):
+        # drop the per-session pipeline-run caches between passes so pass 2
+        # re-times the full kg pipelines (cold per-query cost), not a
+        # cache read; also release the executor storage those runs pinned
+        from harvesting_validator_spark.queries import kg as _kg
+
+        for stale in list(_kg._RUN_CACHE.values()):
+            stale.cleanup()
+        for stale in list(_kg._KG_CACHE.values()):
+            stale.cleanup()
+        _kg._RUN_CACHE.clear()
+        _kg._KG_CACHE.clear()
+        for name in HEADLINE:
+            fn = ALL_QUERIES[name]
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            print(f"# pass{_pass} {name}: {n} rows in {dt}s", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
 
     # flagship throughput: the kg_verdicts query runs the full
     # parse -> SHACL validate -> verdict pipeline over n corpus docs
@@ -88,8 +103,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "flagship_docs_per_s": flagship_docs_per_s,
-                "note": "kg_verdicts includes one-time session/JVM warmup; "
-                        "amortized throughput is in BENCH_SCALING.json",
+                "note": "per-query timings are min of 2 passes (shared-VM "
+                        "host shows +-30% CPU-steal windows; BENCH.md s3); "
+                        "pipeline-run caches cleared between passes so kg_* "
+                        "re-run cold; amortized corpus throughput is in "
+                        "BENCH_SCALING.json",
             }
         )
     )

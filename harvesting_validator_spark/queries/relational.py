@@ -92,6 +92,8 @@ def q_twohop_region_rollup(spark, sf_dir):
     c = tbl(spark, sf_dir, "customer")
     n = tbl(spark, sf_dir, "nation")
     r = tbl(spark, sf_dir, "region")
+    # nation (25 rows) and region (5 rows) are CONSTANT-size TPC-H dims at
+    # every sf — the forced broadcast can never outgrow the driver
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -120,9 +122,11 @@ def q_threehop_segment_revenue(spark, sf_dir):
     o = tbl(spark, sf_dir, "orders")
     c = tbl(spark, sf_dir, "customer")
     rev = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))
+    # customer GROWS with sf (unlike the constant nation/region dims) — no
+    # forced broadcast; statistics/AQE pick one while it fits the threshold
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             dround(F.sum(rev), 2).alias("revenue"),

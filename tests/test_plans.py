@@ -114,3 +114,45 @@ def test_ngram_jaccard_block_is_bounded_bnlj(spark, sf_dir):
     assert "CartesianProduct" not in plan
     fmt = _formatted(df)
     assert "LessThan(doc_id,10000)" in fmt  # cap pushed to the scan
+
+
+def test_validate_reuses_single_doc_id_exchange(spark):
+    """The headline scale property of the validation stage graph: with the
+    parse output hash-partitioned by doc_id (repartition_by_doc) and
+    subset co-partitioning enabled (session.py), EVERY downstream
+    join/groupBy (focus distinct, focus⋈triples, cardinality groupBy,
+    class join) is keyed on a doc_id-prefixed superset and reuses that
+    one exchange. With broadcasts disabled (the at-100TB shape), the
+    physical plan must contain NO hash exchange on any key other than the
+    repartition's own (doc_id,) — i.e. the corpus shuffles exactly once."""
+    import re
+
+    from harvesting_validator_spark.shacl.compile import validate
+    from harvesting_validator_spark.shacl.parse import parse_shapes_turtle
+    from harvesting_validator_spark.sources.rdf_parse import (
+        parse_sources_to_triples,
+    )
+    from harvesting_validator_spark.sources.synthetic import (
+        APPLICATION_PROFILE,
+        generate_sources,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        t = parse_sources_to_triples(
+            generate_sources(spark, 100), repartition_by_doc=True
+        )
+        shapes = parse_shapes_turtle(APPLICATION_PROFILE)
+        v = validate(t, shapes, spark, cache_intermediate=False)
+        plan = _plan(v.select("doc_id").distinct())
+        keys = {
+            re.sub(r"#\d+L?", "", m).strip()
+            for m in re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)
+        }
+        assert keys == {"doc_id"}, f"unexpected exchange keys: {keys}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)

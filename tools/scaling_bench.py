@@ -123,16 +123,19 @@ def run_in_subprocess(cores: int, n_docs: int) -> dict:
         "from tools.scaling_bench import run_once; "
         f"print('RUN1 ' + json.dumps(run_once({cores}, {n_docs})))"
     )
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=1800,
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("RUN1 "):
-            return json.loads(line[5:])
-    raise RuntimeError(
-        f"scaling run cores={cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
-    )
+    last = ""
+    for attempt in range(2):  # host noise can reset a worker socket
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=1800,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("RUN1 "):
+                return json.loads(line[5:])
+        last = f"{out.stdout[-1000:]}\n{out.stderr[-1000:]}"
+        print(f"# cores={cores} attempt {attempt} failed, retrying",
+              file=sys.stderr)
+    raise RuntimeError(f"scaling run cores={cores} failed twice:\n{last}")
 
 
 def main() -> None:
@@ -144,7 +147,11 @@ def main() -> None:
     # interleave configurations so slow host windows hit all of them alike
     for _ in range(repeats):
         for c in cores_list:
-            samples[c].append(run_in_subprocess(c, n_docs))
+            try:
+                samples[c].append(run_in_subprocess(c, n_docs))
+            except RuntimeError as exc:  # lose the sample, not the study
+                print(f"# dropped sample: {exc}", file=sys.stderr)
+    assert all(samples[c] for c in cores_list), "a config has zero samples"
     runs = {c: max(s, key=lambda r: r["docs_per_s"]) for c, s in samples.items()}
     ceiling = {f"{lo}->{hi}": cpu_ceiling(lo, hi) for lo, hi in pairs}
     results = {}
