@@ -246,10 +246,13 @@ def run_validation_checkpointed(
     shapes_turtle: str,
     warehouse: str,
     run_id: str | None = None,
+    strict: bool = False,
 ) -> CheckpointedRunner:
     """The validation pipeline as resumable stages. Each stage is a pure
     function of materialized predecessors, so a crash between stages
-    resumes exactly where it stopped (north_rule checkpoint demand)."""
+    resumes exactly where it stopped (north_rule checkpoint demand).
+    strict mirrors the reference's shacl.strictModeFiltering toggle (see
+    operators/filtering.py::split_valid_error)."""
     from harvesting_validator_spark.plans.pipeline import add_doc_id
     from harvesting_validator_spark.shacl.parse import parse_shapes_turtle
 
@@ -262,7 +265,7 @@ def run_validation_checkpointed(
     attempt = runner.store.next_attempt(runner.run_id, TASK_STAGE)
     runner.store.record_stage(runner.run_id, TASK_STAGE, STATUS_BUSY, attempt, t0)
     try:
-        _run_stages(runner, spark, src, shapes)
+        _run_stages(runner, spark, src, shapes, strict=strict)
     except Exception:
         runner.store.record_stage(
             runner.run_id, TASK_STAGE, STATUS_FAILED, attempt, t0,
@@ -321,7 +324,8 @@ def run_kg_checkpointed(
     return runner
 
 
-def _run_stages(runner: CheckpointedRunner, spark, src, shapes) -> None:
+def _run_stages(runner: CheckpointedRunner, spark, src, shapes,
+                strict: bool = False) -> None:
     from harvesting_validator_spark.operators.filtering import (
         conformance_verdicts,
         report_triples,
@@ -354,7 +358,7 @@ def _run_stages(runner: CheckpointedRunner, spark, src, shapes) -> None:
         def build():
             if valid_err[0] is None:
                 valid_err[0], valid_err[1] = split_valid_error(
-                    triples_and_errors, focus, violations
+                    triples_and_errors, focus, violations, strict=strict
                 )
             return valid_err[i]
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -32,6 +33,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--kg", action="store_true",
                     help="also run entity linking + canonical graph")
+    ap.add_argument("--strict", action="store_true",
+                    default=os.environ.get("STRICT_MODE_FILTERING", "false")
+                    .lower() == "true",
+                    help="strict SHACL filtering: drop a violated focus "
+                         "node whole (reference: shacl.strictModeFiltering "
+                         "/ STRICT_MODE_FILTERING env, default false)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -64,7 +71,8 @@ def main(argv: list[str] | None = None) -> int:
         )
     else:
         runner = run_validation_checkpointed(
-            spark, sources, shapes_turtle, args.warehouse, run_id=args.run_id
+            spark, sources, shapes_turtle, args.warehouse, run_id=args.run_id,
+            strict=args.strict,
         )
 
     print(json.dumps({
