@@ -140,25 +140,140 @@ def violation_details(violations: DataFrame) -> DataFrame:
 
 
 def write_violation_workbook(violations: DataFrame, path: str) -> str:
-    """Summary sheet + one detail sheet per result path
-    (`XlsReportService.java:61-134`); xlsx when openpyxl exists, else CSV
-    files. Returns the summary path written. Single-partition by design —
-    violation stats are tiny relative to the corpus."""
+    """Summary sheet + one detail sheet per result path — a REAL .xlsx
+    binary like the reference's POI workbook (`XlsReportService.java:
+    61-134`), written via openpyxl when available and otherwise by the
+    stdlib OOXML writer below (an .xlsx is a zip of sheet XML parts; no
+    third-party dependency needed). Returns the path written.
+    Single-partition by design — violation stats are tiny relative to the
+    corpus."""
     stats = violation_stats(violations).toPandas()
     details = violation_details(violations).toPandas()
+    out = path if path.endswith(".xlsx") else path + ".xlsx"
+    # sheet names: 31-char excel limit; summary first like the reference
+    sheets = [("summary", stats)] + [
+        (str(p)[:31], grp) for p, grp in details.groupby("path")
+    ]
     try:
         import openpyxl  # noqa: F401
         import pandas as pd
 
-        out = path if path.endswith(".xlsx") else path + ".xlsx"
         with pd.ExcelWriter(out) as xl:
-            stats.to_excel(xl, sheet_name="summary", index=False)
-            for p, grp in details.groupby("path"):
-                # sheet names: 31-char excel limit
-                grp.to_excel(xl, sheet_name=str(p)[:31], index=False)
+            for name, df in sheets:
+                df.to_excel(xl, sheet_name=name, index=False)
     except ImportError:
-        base = path[:-5] if path.endswith(".xlsx") else path
-        out = base + ".csv"
-        stats.to_csv(out, index=False)
-        details.to_csv(base + "_details.csv", index=False)
+        _write_xlsx_minimal(sheets, out)
     return out
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def _write_xlsx_minimal(sheets, out: str) -> None:
+    """Dependency-free OOXML spreadsheet writer: the minimal part set
+    ([Content_Types], root rels, workbook + rels, one worksheet XML per
+    sheet) with inline-string cells (numbers as numeric cells). Fixed zip
+    timestamps keep re-exports byte-identical (C4 determinism)."""
+    import zipfile
+
+    def cell(ref: str, v) -> str:
+        if v is None or (isinstance(v, float) and v != v):
+            return f'<c r="{ref}"/>'
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return (
+            f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+            f"{_xml_escape(str(v))}</t></is></c>"
+        )
+
+    def col_ref(i: int) -> str:  # 0 -> A, 26 -> AA
+        ref = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            ref = chr(65 + r) + ref
+        return ref
+
+    def sheet_xml(df) -> str:
+        rows = []
+        header = list(df.columns)
+        for rn, vals in enumerate([header] + df.values.tolist(), start=1):
+            cells = "".join(
+                cell(f"{col_ref(ci)}{rn}", v) for ci, v in enumerate(vals)
+            )
+            rows.append(f'<row r="{rn}">{cells}</row>')
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheetData>'
+            + "".join(rows)
+            + "</sheetData></worksheet>"
+        )
+
+    ns_ct = "http://schemas.openxmlformats.org/package/2006/content-types"
+    ns_rel = "http://schemas.openxmlformats.org/package/2006/relationships"
+    ns_doc = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    overrides = "".join(
+        f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.'
+        'spreadsheetml.worksheet+xml"/>'
+        for i in range(len(sheets))
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Types xmlns="{ns_ct}">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        f"{overrides}</Types>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{ns_rel}">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    sheet_entries = "".join(
+        f'<sheet name="{_xml_escape(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, (name, _) in enumerate(sheets)
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/'
+        f'spreadsheetml/2006/main" xmlns:r="{ns_doc}">'
+        f"<sheets>{sheet_entries}</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{ns_rel}">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" Type="http://schemas.'
+            "openxmlformats.org/officeDocument/2006/relationships/worksheet"
+            f'" Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(sheets))
+        )
+        + "</Relationships>"
+    )
+    parts = [
+        ("[Content_Types].xml", content_types),
+        ("_rels/.rels", root_rels),
+        ("xl/workbook.xml", workbook),
+        ("xl/_rels/workbook.xml.rels", wb_rels),
+    ] + [
+        (f"xl/worksheets/sheet{i + 1}.xml", sheet_xml(df))
+        for i, (_, df) in enumerate(sheets)
+    ]
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in parts:
+            info = zipfile.ZipInfo(name, date_time=(2020, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, data)

@@ -63,7 +63,27 @@ def test_violation_stats_and_workbook(spark, tmp_path):
     assert stats["__total__"] == 5
 
     out = write_violation_workbook(run.violations, str(tmp_path / "stats.xlsx"))
-    assert os.path.exists(out)
+    assert os.path.exists(out) and out.endswith(".xlsx")
+
+    # the output must be a REAL OOXML workbook (reference: POI xlsx,
+    # XlsReportService.java:61-134) — even without openpyxl in the image.
+    # Verify with stdlib: valid zip, expected parts, summary sheet values.
+    import re
+    import zipfile
+
+    with zipfile.ZipFile(out) as zf:
+        names = set(zf.namelist())
+        assert "[Content_Types].xml" in names
+        assert "xl/workbook.xml" in names
+        wb = zf.read("xl/workbook.xml").decode()
+        sheet_names = re.findall(r'name="([^"]+)"', wb)
+        assert sheet_names[0] == "summary"
+        assert {"ssn", "worksFor", "birthDate", "www"} <= set(sheet_names)
+        sheet1 = zf.read("xl/worksheets/sheet1.xml").decode()
+        texts = re.findall(r"<t[^>]*>([^<]*)</t>", sheet1)
+        nums = re.findall(r"<v>([^<]*)</v>", sheet1)
+        assert "__total__" in texts and "ssn" in texts
+        assert "5" in nums and "2" in nums  # total=5, ssn=2
 
     # detail rows: one per violation, path local-names + focus nodes
     from harvesting_validator_spark.sinks import violation_details
