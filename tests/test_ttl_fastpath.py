@@ -117,3 +117,24 @@ def test_fast_kernel_never_diverges(doc):
         # tokenizer rejects what the fast path accepted -> divergence
         raise AssertionError(f"fast parsed a doc the tokenizer rejects: {doc!r}")
     assert sorted(fast) == sorted(want), doc
+
+
+def test_spark_level_differential(spark, monkeypatch):
+    """Through mapInPandas: the whole mixed-format corpus parsed with the
+    fast kernel enabled vs force-disabled yields identical triple sets."""
+    from harvesting_validator_spark.sources import rdf_parse
+    from harvesting_validator_spark.sources.rdf_parse import (
+        parse_sources_to_triples,
+    )
+    from harvesting_validator_spark.sources.synthetic import (
+        generate_sources,
+        golden_sources,
+    )
+
+    corpus = generate_sources(spark, 120).unionByName(golden_sources(spark))
+    with_fast = {tuple(r) for r in parse_sources_to_triples(corpus).collect()}
+    monkeypatch.setattr(rdf_parse, "_fast_parse_turtle", lambda text: None)
+    tokenizer_only = {
+        tuple(r) for r in parse_sources_to_triples(corpus).collect()
+    }
+    assert with_fast == tokenizer_only and len(with_fast) > 200
