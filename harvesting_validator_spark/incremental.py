@@ -10,25 +10,44 @@ distributed analog has two parts:
 * ``IncrementalLedger`` — "new work = source rows not in the processed
   ledger" (the Iceberg snapshot-diff analog): each batch processes ONLY
   unseen doc_ids, appends outputs + ledger rows atomically-enough for
-  rerun-idempotence (doc-level dedup on append), and re-presenting an
-  already-processed corpus is a no-op. Combined with lineage.py this gives
-  the north_rule's resumable incremental pipeline.
+  rerun-idempotence, and re-presenting an already-processed corpus is a
+  no-op. Combined with lineage.py this gives the north_rule's resumable
+  incremental pipeline.
 
-Scale notes: the ledger is (doc_id, run_id, processed_at) — an anti-join
-key table, pruned by the same bucket(doc_id) partitioning as every other
-per-doc table. No Structured Streaming is needed (the reference has no
-event-time/watermark semantics to honor, SURVEY §2.10): incremental batch
-over an append-only table IS the semantics.
+Crash-replay protocol (VERDICT r2 #5 — bounded, not O(total history)):
+
+1. an INTENT row (doc_id, batch_id) lands in ``_inflight`` BEFORE any
+   output append;
+2. outputs append under a ``batch_id=<run_id>`` partition;
+3. ``mark`` appends the processed rows LAST.
+
+A batch is *in doubt* iff any of its inflight docs is missing from the
+processed ledger — exactly the crash window between (2) and (3). Replay
+dedup therefore anti-joins ONLY the in-doubt batch partitions of the
+output tables (parquet partition pruning on batch_id); in the no-crash
+steady state the in-doubt set is empty and the output tables are never
+read at all. The per-batch cost is O(ledger keys), not O(output rows) —
+on a long-lived warehouse the ledgers stay narrow key tables (and are
+periodically compactable: inflight rows of fully-processed batches are
+dead), while r2's code re-read the full wide output tables every batch.
+
+Scale notes: the ledgers are key tables pruned by the same bucket(doc_id)
+partitioning as every other per-doc table; all path probes go through the
+Hadoop FileSystem seam (fs.py), so the warehouse may live on any
+Hadoop-supported filesystem. No Structured Streaming is needed (the
+reference has no event-time/watermark semantics to honor, SURVEY §2.10):
+incremental batch over an append-only table IS the semantics.
 """
 
 from __future__ import annotations
 
-import os
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from harvesting_validator_spark import fs
 
 # IRI-for-IRI with Constants.java:4-10
 TASK_HARVESTING_FILTERING = (
@@ -63,18 +82,25 @@ def scheduled_tasks_from_delta(deltas: DataFrame) -> DataFrame:
 
 
 class IncrementalLedger:
-    """Processed-docs ledger backing incremental batch runs."""
+    """Processed-docs + in-flight-intent ledgers backing incremental runs."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
-        self.path = path
+        self.processed_path = fs.join(warehouse, "_processed")
+        self.inflight_path = fs.join(warehouse, "_inflight")
+
+    def _read(self, path: str, schema: str) -> DataFrame:
+        if not fs.exists(self.spark, path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path)
 
     def read(self) -> DataFrame:
-        if not os.path.exists(self.path):
-            return self.spark.createDataFrame(
-                [], "doc_id string, run_id string, processed_at double"
-            )
-        return self.spark.read.parquet(self.path)
+        return self._read(
+            self.processed_path, "doc_id string, run_id string, processed_at double"
+        )
+
+    def read_inflight(self) -> DataFrame:
+        return self._read(self.inflight_path, "doc_id string, batch_id string")
 
     def new_docs(self, sources: DataFrame) -> DataFrame:
         """Source rows whose doc_id has never been processed (snapshot-diff
@@ -82,13 +108,34 @@ class IncrementalLedger:
         seen = self.read().select("doc_id")
         return sources.join(seen, "doc_id", "left_anti")
 
+    def record_intent(self, doc_ids: DataFrame, run_id: str) -> None:
+        """Step 1 of the replay protocol: persist (doc_id, batch_id)
+        BEFORE any output append, so a crashed attempt is identifiable."""
+        doc_ids.select("doc_id").distinct().select(
+            "doc_id", F.lit(run_id).alias("batch_id")
+        ).write.mode("append").parquet(self.inflight_path)
+
+    def in_doubt_batches(self, current_run_id: str) -> list[str]:
+        """batch_ids with intent rows whose docs never reached the
+        processed ledger — i.e. attempts that may have crashed between
+        output append and mark. Ledger-keys-only join; empty in the
+        steady state."""
+        doubt = (
+            self.read_inflight()
+            .filter(F.col("batch_id") != current_run_id)
+            .join(self.read().select("doc_id"), "doc_id", "left_anti")
+            .select("batch_id")
+            .distinct()
+        )
+        return [r.batch_id for r in doubt.collect()]
+
     def mark(self, doc_ids: DataFrame, run_id: str) -> None:
         rows = doc_ids.select("doc_id").distinct().select(
             "doc_id",
             F.lit(run_id).alias("run_id"),
             F.lit(time.time()).alias("processed_at"),
         )
-        rows.write.mode("append").parquet(self.path)
+        rows.write.mode("append").parquet(self.processed_path)
 
 
 def process_incremental(
@@ -99,43 +146,68 @@ def process_incremental(
     run_id: str | None = None,
 ):
     """One incremental batch: validate ONLY unseen docs, append their
-    verdicts/valid-triples to the output tables, mark them processed.
-    Returns (n_new_docs, verdicts_df_for_this_batch)."""
+    verdicts/valid-triples under a batch_id=<run_id> output partition,
+    mark them processed. Returns (n_new_docs, verdicts_df_for_this_batch)."""
     from harvesting_validator_spark.plans.pipeline import (
         add_doc_id,
         run_validation,
     )
 
     run_id = run_id or uuid.uuid4().hex[:12]
-    ledger = IncrementalLedger(spark, os.path.join(warehouse, "_processed"))
+    ledger = IncrementalLedger(spark, warehouse)
     batch = ledger.new_docs(add_doc_id(sources))
     n_new = batch.count()
     if n_new == 0:
         return 0, None
 
+    # intent first (crash-replay protocol step 1), then find attempts in
+    # doubt — replay dedup below reads ONLY those output partitions
+    ledger.record_intent(batch.select("doc_id"), run_id)
+    doubt = ledger.in_doubt_batches(run_id)
+
     run = run_validation(spark, batch, shapes_turtle)
-    # Replay idempotence: outputs append BEFORE ledger.mark, so a crash
-    # (or a foreachBatch retry) between them re-presents the same docs.
-    # Each output append therefore anti-joins its own table on doc_id:
-    # docs whose rows landed in a committed earlier attempt are skipped,
-    # so the retry converges instead of duplicating. (Each parquet write
-    # is atomic via the Hadoop commit protocol; at cluster scale an
-    # Iceberg MERGE with a single-table commit replaces this pattern.)
-    run.verdicts.transform(
-        lambda df: _anti_existing(spark, df, os.path.join(warehouse, "verdicts"))
-    ).write.mode("append").parquet(os.path.join(warehouse, "verdicts"))
-    run.valid_triples.transform(
-        lambda df: _anti_existing(
-            spark, df, os.path.join(warehouse, "valid_triples")
-        )
-    ).write.mode("append").parquet(os.path.join(warehouse, "valid_triples"))
+    _append_batch(
+        spark, run.verdicts, fs.join(warehouse, "verdicts"), run_id, doubt
+    )
+    _append_batch(
+        spark, run.valid_triples, fs.join(warehouse, "valid_triples"),
+        run_id, doubt,
+    )
     ledger.mark(batch.select("doc_id"), run_id)
     return n_new, run.verdicts
 
 
-def _anti_existing(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
-    """Drop rows whose doc_id already exists at `path` (replay dedupe)."""
-    if not os.path.exists(path):
+def _append_batch(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    run_id: str,
+    doubt: list[str],
+) -> None:
+    """Append under batch_id=<run_id>, dropping rows whose doc_id already
+    landed in a committed write of an in-doubt attempt. The existence
+    probe is scoped to the in-doubt batch partitions (parquet partition
+    pruning on batch_id); with no attempts in doubt the table is not read
+    at all. (Each parquet write is atomic via the Hadoop commit protocol;
+    at cluster scale an Iceberg MERGE with a single-table commit replaces
+    this pattern.)"""
+    out = anti_in_doubt(spark, df, path, doubt)
+    out.withColumn("batch_id", F.lit(run_id)).write.mode("append").partitionBy(
+        "batch_id"
+    ).parquet(path)
+
+
+def anti_in_doubt(
+    spark: SparkSession, df: DataFrame, path: str, doubt: list[str]
+) -> DataFrame:
+    """Drop rows whose doc_id exists in `path` under an in-doubt batch
+    partition (replay dedupe, bounded to the crash window)."""
+    if not doubt or not fs.exists(spark, path):
         return df
-    seen = spark.read.parquet(path).select("doc_id").distinct()
+    seen = (
+        spark.read.parquet(path)
+        .filter(F.col("batch_id").isin(doubt))
+        .select("doc_id")
+        .distinct()
+    )
     return df.join(seen, "doc_id", "left_anti")

@@ -10,8 +10,9 @@ Stages, all DataFrame-native:
    banded; candidate pairs = entities sharing a band. The band join is the
    only shuffle; hot bands (stopword-heavy mentions) are split by AQE
    skew-join handling, and the band key can be salted via ``n_salt``.
-3. ``score_pairs`` — vectorized pandas UDF (Arrow batches, numpy ops; no
-   per-row Python) computing token-Jaccard + strong-key agreement.
+3. ``score_pairs`` — pure-Catalyst token-Jaccard + strong-key agreement
+   (array_intersect/array_union/arrays_overlap inside whole-stage
+   codegen; no Python anywhere in the hot path).
 4. ``link_edges`` — score >= threshold -> (src, dst) edge list for
    union-find canonicalization (canonicalize.py).
 
@@ -22,10 +23,8 @@ scorer runs on candidates only — never on the quadratic all-pairs space.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -186,34 +185,24 @@ def block_candidates_by_key(mentions: DataFrame) -> DataFrame:
     )
 
 
-@pandas_udf("double")
-def _pair_score(
-    text_a: pd.Series, text_b: pd.Series, keys_a: pd.Series, keys_b: pd.Series
-) -> pd.Series:
-    """Arrow-batched link scorer: token-set Jaccard of the attribute
-    bundles, +0.5 bonus when any strong key agrees (capped at 1.0).
-    Vectorized over the batch; no per-row Python UDF."""
-    sa = text_a.str.split(" ").map(set)
-    sb = text_b.str.split(" ").map(set)
-    inter = [len(x & y) for x, y in zip(sa, sb)]
-    union = [max(1, len(x | y)) for x, y in zip(sa, sb)]
-    jac = pd.Series(inter, dtype="float64") / pd.Series(union, dtype="float64")
-    key_hit = pd.Series(
-        [
-            bool(set(ka) & set(kb)) if ka is not None and kb is not None else False
-            for ka, kb in zip(keys_a, keys_b)
-        ],
-        dtype="float64",
-    )
-    return (jac + 0.5 * key_hit).clip(upper=1.0)
-
-
 def score_pairs(candidates: DataFrame) -> DataFrame:
+    """Link scorer, pure Catalyst (stays inside whole-stage codegen — the
+    r2 pandas-UDF version re-did in Python the same array Jaccard
+    lsh_verified_pairs already computes JVM-side; VERDICT r2 #7):
+    token-set Jaccard of the attribute bundles, +0.5 bonus when any
+    strong key agrees (arrays_overlap), capped at 1.0. Semantics pinned
+    to the old scorer bit-for-bit: split(' ') keeps the '' token for
+    empty bundles on both sides, and int/int division is double."""
+    ta = F.array_distinct(F.split(F.col("text_a"), " "))
+    tb = F.array_distinct(F.split(F.col("text_b"), " "))
+    jac = F.size(F.array_intersect(ta, tb)) / F.greatest(
+        F.lit(1), F.size(F.array_union(ta, tb))
+    )
+    key_hit = F.coalesce(
+        F.arrays_overlap("keys_a", "keys_b"), F.lit(False)
+    ).cast("double")
     return candidates.withColumn(
-        "score",
-        _pair_score(
-            F.col("text_a"), F.col("text_b"), F.col("keys_a"), F.col("keys_b")
-        ),
+        "score", F.least(F.lit(1.0), jac + F.lit(0.5) * key_hit)
     )
 
 

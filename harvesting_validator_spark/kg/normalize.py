@@ -32,7 +32,12 @@ def normalize_iri(col: Column) -> Column:
     # trailing slash: only when a path segment precedes it, so the
     # authority-root form `scheme://host/` survives
     c = F.regexp_replace(c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*/.+?)/$", "$1")
-    c = F.regexp_replace(c, r"^([^:/]+[^/])/$", "$1")
+    # non-hierarchical scheme IRIs (urn:a/) — [^/?#] keeps '//' authorities
+    # out of this branch so scheme://host/ roots stay untouched above
+    c = F.regexp_replace(c, r"^([A-Za-z][A-Za-z0-9+.-]*:[^/?#](?:.*[^/])?)/$", "$1")
+    # relative IRIs, incl. multi-segment a/b/ (ADVICE r2: the r2 narrowing
+    # silently un-merged these from their slash-less forms during linking)
+    c = F.regexp_replace(c, r"^([^:?#]*[^/])/$", "$1")
     return c
 
 

@@ -27,7 +27,6 @@ lineage table itself is append-only; readers take the LATEST row per
 
 from __future__ import annotations
 
-import os
 import time
 import traceback
 import uuid
@@ -35,6 +34,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from harvesting_validator_spark import fs
 
 STATUS_SCHEDULED = "scheduled"
 STATUS_BUSY = "busy"
@@ -64,14 +65,14 @@ class LineageStore:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.warehouse = warehouse
-        self.path = os.path.join(warehouse, "_lineage")
+        self.path = fs.join(warehouse, "_lineage")
 
     def _append(self, rows: list[tuple]) -> None:
         df = self.spark.createDataFrame(rows, _LINEAGE_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self.path)
 
     def read(self) -> DataFrame:
-        if not os.path.exists(self.path):
+        if not fs.exists(self.spark, self.path):
             return self.spark.createDataFrame([], _LINEAGE_SCHEMA)
         return self.spark.read.parquet(self.path)
 
@@ -157,14 +158,14 @@ class CheckpointedRunner:
         self.executed: list[str] = []
 
     def _out(self, stage: str) -> str:
-        return os.path.join(self.warehouse, self.run_id, stage)
+        return fs.join(self.warehouse, self.run_id, stage)
 
     def stage(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
         """Run (or skip) one stage; returns the materialized output DF."""
         out = self._out(name)
         if (
             self.store.stage_status(self.run_id, name) == STATUS_SUCCESS
-            and os.path.exists(out)
+            and fs.exists(self.spark, out)
         ):
             self.skipped.append(name)
             return self.spark.read.parquet(out)

@@ -82,11 +82,9 @@ FROM idx
 
 
 # --- valid/error split sizes (F1+F2, FilteringService.java:94-131) ------------
-def q_kg_split_counts(spark, sf_dir):
-    run = _run(spark, sf_dir)
-    docs = run.verdicts.select("doc_id")
-    nv = run.valid_triples.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nv"))
-    ne = run.error_triples.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ne"))
+def _split_rollup(docs, valid, error):
+    nv = valid.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nv"))
+    ne = error.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ne"))
     return (
         docs.join(nv, "doc_id", "left")
         .join(ne, "doc_id", "left")
@@ -98,12 +96,47 @@ def q_kg_split_counts(spark, sf_dir):
     )
 
 
+def q_kg_split_counts(spark, sf_dir):
+    run = _run(spark, sf_dir)
+    return _split_rollup(
+        run.verdicts.select("doc_id"), run.valid_triples, run.error_triples
+    )
+
+
+def q_kg_strict_split_counts(spark, sf_dir):
+    """strictModeFiltering=true split (`ApplicationConfig.java:38-39,52-56`,
+    default false at `application.yml:7`): any violated focus node is
+    dropped WHOLE. Same pinned semantics run_validation(strict=True) uses —
+    strict only changes the split stage, so the cached run's
+    triples/focus/violations are reused (see split_valid_error)."""
+    from harvesting_validator_spark.operators.filtering import split_valid_error
+
+    run = _run(spark, sf_dir)
+    valid, error = split_valid_error(
+        run.triples, run.focus, run.violations, strict=True
+    )
+    return _split_rollup(run.verdicts.select("doc_id"), valid, error)
+
+
 O_SPLIT = (
     _ORACLE_BASE
     + """
 SELECT doc_id,
        CAST(CASE mode WHEN 7 THEN 1 WHEN 8 THEN 1 WHEN 9 THEN 2 ELSE 2 END AS BIGINT) AS n_valid,
        CAST(CASE mode WHEN 7 THEN 1 WHEN 8 THEN 2 WHEN 9 THEN 2 ELSE 0 END AS BIGINT) AS n_error
+FROM idx
+"""
+)
+
+# strict: every triple of a violated focus drops — doc totals are
+# 2/3/3/4 triples for modes <7/7/8/9 (mode 8 has 2 ssns, mode 9 adds
+# hobby+worksFor), all of them valid when conforming, all error otherwise
+O_STRICT_SPLIT = (
+    _ORACLE_BASE
+    + """
+SELECT doc_id,
+       CAST(CASE WHEN mode < 7 THEN 2 ELSE 0 END AS BIGINT) AS n_valid,
+       CAST(CASE mode WHEN 7 THEN 2 WHEN 8 THEN 3 WHEN 9 THEN 4 ELSE 0 END AS BIGINT) AS n_error
 FROM idx
 """
 )
@@ -314,6 +347,7 @@ QUERIES = {
     "kg_chain_clusters": q_kg_chain_clusters,
     "kg_canonical_graph": q_kg_canonical_graph,
     "kg_split_counts": q_kg_split_counts,
+    "kg_strict_split_counts": q_kg_strict_split_counts,
     "kg_report_rollup": q_kg_report_rollup,
     "kg_violation_paths": q_kg_violation_paths,
     "kg_report_sizes": q_kg_report_sizes,
@@ -326,6 +360,7 @@ ORACLES = {
     "kg_chain_clusters": O_CHAIN_CLUSTERS,
     "kg_canonical_graph": O_CANONICAL_GRAPH,
     "kg_split_counts": O_SPLIT,
+    "kg_strict_split_counts": O_STRICT_SPLIT,
     "kg_report_rollup": O_ROLLUP,
     "kg_violation_paths": O_PATHS,
     "kg_report_sizes": O_REPORT_SIZES,

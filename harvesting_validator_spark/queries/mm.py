@@ -83,11 +83,17 @@ def q_mm_meta_rollup(spark, sf_dir):
     )
 
 
+# NB DuckDB's bare integer sum() yields HUGEINT (int128) — the driver's
+# Arrow fetch renders that differently from Spark's BIGINT, so every
+# aggregate in oracle output MUST be cast to a concrete type (CLAUDE.md
+# invariant). total_bytes uses strlen (DuckDB's BYTE length for VARCHAR;
+# octet_length only accepts BLOB here) so byte-vs-char parity with
+# F.length(binary media) survives a non-ASCII corpus.
 O_MM_META = """
 SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        count(*) AS n,
-       sum(length(text)) AS total_width,
-       sum(length(text)) AS total_bytes
+       CAST(sum(length(text)) AS BIGINT) AS total_width,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
 FROM documents
 GROUP BY 1
 """

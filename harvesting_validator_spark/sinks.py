@@ -19,12 +19,12 @@
 
 from __future__ import annotations
 
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from harvesting_validator_spark import fs
 from harvesting_validator_spark.operators.filtering import nt_lines
 
 NT_FORMAT = "application/n-triples"
@@ -41,7 +41,7 @@ def write_nt(
     """Serialize a triple table to N-Triples text files under
     {share_root}/{job_id}/{container}/ and append S5 metadata rows.
     Returns the lineage_files rows written."""
-    out_dir = os.path.join(share_root, job_id, container)
+    out_dir = fs.join(share_root, job_id, container)
     # range-partition + sort before export (SURVEY §4): file contents are
     # deterministic functions of the data, so re-exports are byte-stable
     # (golden-file diffs, resume idempotence) and no output file is skewed
@@ -56,27 +56,31 @@ def write_nt(
     # Spark task-output names embed a per-write UUID; rename to stable
     # ordinal names so share_uri (and thus file_id = sha2(share_uri)) is a
     # pure function of (job_id, container, partition) — re-exports
-    # converge instead of minting fresh ids (C4 determinism).
+    # converge instead of minting fresh ids (C4 determinism). All path ops
+    # go through the Hadoop FS seam (fs.py): the share may be file://,
+    # hdfs://, s3a://... The renames are driver-side metadata calls, one
+    # per output partition; repartitionByRange above keeps partition
+    # counts ~cores, so this never becomes a 10^5-rename storm (an
+    # object-store deploy with huge exports would move the rename into the
+    # commit protocol instead).
     raw = sorted(
         f
-        for f in os.listdir(out_dir)
+        for f in fs.listdir(spark, out_dir)
         if f.startswith("part-") and not f.endswith(".crc")
     )
     files = []
     for i, name in enumerate(raw):
         stable = f"{container}-{i:05d}.{NT_EXTENSION}"
-        os.replace(
-            os.path.join(out_dir, name), os.path.join(out_dir, stable)
-        )
-        crc = os.path.join(out_dir, f".{name}.crc")
-        if os.path.exists(crc):
-            os.remove(crc)
+        fs.rename(spark, fs.join(out_dir, name), fs.join(out_dir, stable))
+        crc = fs.join(out_dir, f".{name}.crc")
+        if fs.exists(spark, crc):
+            fs.delete(spark, crc)
         files.append(stable)
     now = time.time()
     rows = [
         (
             f"share://{job_id}/{container}/{name}",
-            os.path.getsize(os.path.join(out_dir, name)),
+            fs.file_size(spark, fs.join(out_dir, name)),
             name,
             NT_FORMAT,
             NT_EXTENSION,
@@ -96,15 +100,12 @@ def write_nt(
         "file_id",
         F.sha2(F.col("share_uri"), 256),
     )
-    meta_path = os.path.join(share_root, "_lineage_files")
+    meta_path = fs.join(share_root, "_lineage_files")
     # re-running the same (job_id, container) export overwrites the text
     # files byte-identically; the metadata append must converge the same
     # way, so drop rows whose deterministic file_id is already recorded
     # (resume/retry otherwise duplicates _lineage_files rows — ADVICE r1).
-    # NB os.listdir above confines this sink to local filesystems; the
-    # Iceberg/remote-FS seam replaces the enumeration with the Hadoop
-    # FileSystem API.
-    if os.path.exists(meta_path):
+    if fs.exists(spark, meta_path):
         seen = spark.read.parquet(meta_path).select("file_id").distinct()
         meta = meta.join(seen, "file_id", "left_anti")
     meta.write.mode("append").parquet(meta_path)

@@ -562,8 +562,13 @@ _TTL_UNSAFE = re.compile(r'\\|"[^"\n]*@prefix')
 _TTL_PREFIX = re.compile(r"@prefix\s+([A-Za-z][\w.-]*)?:\s*<([^>]*)>\s*\.")
 _TTL_PN = r"[A-Za-z][\w.-]*:[\w.%-]*|:[\w.%-]*"
 _TTL_TERM = rf'<[^<>\s]*>|_:[\w.-]+|"[^"\n]*"|\ba\b|{_TTL_PN}'
+# predicate-object pairs MUST be ';'-separated (an optional trailing ';'
+# before '.' is legal Turtle): with ';' merely optional, invalid docs like
+# `ex:s ex:p1 ex:o1 ex:p2 ex:o2 .` silently parsed instead of falling back
+# to the tokenizer (which rejects them) — ADVICE r2.
+_TTL_PAIR = rf"(?:{_TTL_TERM})\s+(?:{_TTL_TERM})"
 _TTL_STMT = re.compile(
-    rf"({_TTL_TERM})((?:\s+(?:{_TTL_TERM})\s+(?:{_TTL_TERM})\s*;?)+)\s*\.",
+    rf"({_TTL_TERM})(\s+{_TTL_PAIR}(?:\s*;\s*{_TTL_PAIR})*)\s*;?\s*\.",
     re.DOTALL,
 )
 _TTL_PO = re.compile(rf"({_TTL_TERM})\s+({_TTL_TERM})\s*;?", re.DOTALL)
@@ -583,10 +588,16 @@ def _fast_parse_turtle(text: str) -> list[Triple] | None:
     if _TTL_UNSAFE.search(text):
         return None
     prefixes = {}
-    for pfx, iri in _TTL_PREFIX.findall(text):
+    decls = _TTL_PREFIX.findall(text)
+    for pfx, iri in decls:
         if not _is_absolute(iri):
             return None  # relative prefix IRI needs @base semantics
         prefixes[pfx or ""] = iri
+    if len(decls) != len(prefixes):
+        # redeclared prefix: hoisting is last-wins, so statements ABOVE
+        # the redeclaration would resolve against the LATER IRI while the
+        # tokenizer scopes decls textually — fall back (ADVICE r2).
+        return None
     body = _TTL_PREFIX.sub(" ", text)
 
     triples: list[Triple] = []
@@ -600,7 +611,9 @@ def _fast_parse_turtle(text: str) -> list[Triple] | None:
         if c0 == '"':
             return (None if as_pred else (tok[1:-1], "literal"))
         if tok == "a":
-            return RDF_TYPE, "iri"
+            # 'a' means rdf:type ONLY in the predicate slot; in subject or
+            # object position it is invalid Turtle -> fallback (ADVICE r2)
+            return (RDF_TYPE, "iri") if as_pred else None
         if tok.startswith("_:"):
             return (None if as_pred else (tok, "bnode"))
         pfx, _, local = tok.partition(":")

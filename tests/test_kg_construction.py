@@ -65,6 +65,12 @@ def test_normalize_iri(spark):
             # root slash is kept; deeper trailing slash is stripped
             ("http://h/",),
             ("http://h/a/",),
+            # ADVICE r2: URN and relative IRIs must merge with their
+            # slash-less spellings during linking
+            ("urn:a/",),
+            ("urn:x:a/b/",),
+            ("a/b/",),
+            ("name/",),
         ],
         "iri string",
     )
@@ -78,6 +84,10 @@ def test_normalize_iri(spark):
         "https://h:80/x",
         "http://h/",
         "http://h/a",
+        "urn:a",
+        "urn:x:a/b",
+        "a/b",
+        "name",
     ]
 
 

@@ -94,6 +94,50 @@ def test_violation_stats_and_workbook(spark, tmp_path):
     assert all(d.focusNode.startswith("http://example.com/ns#") for d in details)
 
 
+def test_write_nt_via_filesystem_uri_scheme(spark, tmp_path):
+    """VERDICT r2 #6: the sink layer runs through the Hadoop FileSystem
+    API, so an explicit file:// URI share root (the stand-in for any
+    hdfs://-style warehouse) must work end-to-end — export, stable
+    renames, metadata rows, re-export idempotence."""
+    share = f"file://{tmp_path}/share"
+    run = run_validation(spark, golden_sources(spark), APPLICATION_PROFILE)
+
+    meta = write_nt(run.valid_triples, share, "jobU", "filter", spark)
+    rows = meta.collect()
+    assert rows and all(
+        r.share_uri.startswith("share://jobU/filter/") for r in rows
+    )
+    # stable ordinal names landed on disk (rename went through Hadoop FS)
+    local = tmp_path / "share" / "jobU" / "filter"
+    names = sorted(p.name for p in local.iterdir() if p.suffix == ".nt")
+    assert names == [f"filter-{i:05d}.nt" for i in range(len(names))]
+    assert len(names) == len(rows)
+
+    # metadata table readable through the same URI; re-export converges
+    first = spark.read.parquet(f"{share}/_lineage_files").collect()
+    write_nt(run.valid_triples, share, "jobU", "filter", spark)
+    again = spark.read.parquet(f"{share}/_lineage_files").collect()
+    assert sorted(r.file_id for r in again) == sorted(r.file_id for r in first)
+
+
+def test_checkpointed_runner_via_filesystem_uri_scheme(spark, tmp_path):
+    """The lineage store + stage-skip probes also route through the FS
+    seam: a file:// warehouse resumes correctly."""
+    from harvesting_validator_spark.lineage import (
+        run_validation_checkpointed,
+    )
+
+    wh = f"file://{tmp_path}/wh"
+    r1 = run_validation_checkpointed(
+        spark, golden_sources(spark), APPLICATION_PROFILE, wh, run_id="ck1"
+    )
+    assert r1.executed and not r1.skipped
+    r2 = run_validation_checkpointed(
+        spark, golden_sources(spark), APPLICATION_PROFILE, wh, run_id="ck1"
+    )
+    assert not r2.executed and set(r2.skipped) == set(r1.executed)
+
+
 def test_reexport_does_not_duplicate_lineage_rows(spark, tmp_path):
     """ADVICE r1: re-running the same (job_id, container) export must not
     append duplicate _lineage_files rows (file_id is deterministic)."""

@@ -66,8 +66,29 @@ def test_known_fallback_constructs():
         'PREFIX ex: <http://e/>\nex:M a ex:T .\n',
         'ex:NoPrefix a ex:Person .',
         '@prefix ex: <http://e/> .\nex:s ex:p "see @prefix y: <http://z/> ." .\n',
+        # ADVICE r2: prefix redeclaration — hoisting would resolve the
+        # FIRST statement against the second IRI (tokenizer scopes decls)
+        '@prefix p: <http://a/> .\np:x p:y p:z .\n'
+        '@prefix p: <http://b/> .\np:q p:r p:s .\n',
+        # ADVICE r2: invalid shapes the tokenizer rejects — missing ';'
+        # between pairs, and 'a' outside the predicate slot
+        '@prefix ex: <http://e/> .\nex:s ex:p1 ex:o1 ex:p2 ex:o2 .\n',
+        '@prefix ex: <http://e/> .\nex:s ex:p a .\n',
+        '@prefix ex: <http://e/> .\na ex:p ex:o .\n',
     ]:
         assert _fast_parse_turtle(doc) is None, doc
+
+
+def test_prefix_redeclaration_matches_tokenizer():
+    """Conforming doc that redeclares a prefix: must parse (via the
+    tokenizer) with each statement bound to the decl in scope AT that
+    point — p:x under <http://a/>, p:q under <http://b/>."""
+    doc = (
+        "@prefix p: <http://a/> .\np:x p:y p:z .\n"
+        "@prefix p: <http://b/> .\np:q p:r p:s .\n"
+    )
+    subjects = {t[0] for t in parse_turtle(doc)}
+    assert subjects == {"http://a/x", "http://b/q"}
 
 
 _pname = st.sampled_from(["ex:A", "ex:b.c", ":root", "ex:x%20y"])
@@ -79,9 +100,9 @@ _literal = st.text(
     ),
     max_size=20,
 ).map(lambda s: f'"{s}"')
-_subject = st.one_of(_pname, _iri, _bnode)
+_subject = st.one_of(_pname, _iri, _bnode, st.just("a"))
 _predicate = st.one_of(_pname, _iri, st.just("a"))
-_object = st.one_of(_pname, _iri, _bnode, _literal)
+_object = st.one_of(_pname, _iri, _bnode, _literal, st.just("a"))
 # sprinkle in constructs the fast path must REJECT, not mis-parse
 _object_any = st.one_of(
     _object,
@@ -93,13 +114,18 @@ _object_any = st.one_of(
 @st.composite
 def _ttl_doc(draw):
     lines = ["@prefix ex: <http://e/> .", "@prefix : <http://d/> ."]
+    if draw(st.booleans()):
+        # occasionally redeclare a prefix mid-doc (fast path must fall back)
+        lines.append("@prefix ex: <http://e2/> .")
     for _ in range(draw(st.integers(1, 4))):
         subj = draw(_subject)
+        # ' ' (missing ';') is INVALID Turtle the fast path must reject
+        sep = draw(st.sampled_from([" ; ", " "]))
         pos = [
             f"{draw(_predicate)} {draw(_object_any)}"
             for _ in range(draw(st.integers(1, 3)))
         ]
-        lines.append(f"{subj} {' ; '.join(pos)} .")
+        lines.append(f"{subj} {sep.join(pos)} .")
     return "\n".join(lines) + "\n"
 
 

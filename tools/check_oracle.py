@@ -4,11 +4,18 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given sf dir, then compares row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted).
 
-Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--driver-fetch] [sf_dir] [query_name ...]
 
 With no sf_dir argument, BOTH sf0.01 and sf0.1 are checked in one run —
 size-dependent bugs (plan changes at bigger inputs, fp drift in larger
 aggregations) surface locally before the driver snapshot does.
+
+--driver-fetch routes DuckDB results through a pandas fetch (fetchdf)
+instead of fetchall(): untyped aggregates surface as their COERCED types
+(e.g. a bare integer sum() is HUGEINT, which pandas renders float64 —
+"6000.0" vs Spark BIGINT "6000"). That coercion is how mm_meta_rollup
+stayed green locally while red at the driver for two rounds; run with
+this flag before shipping any new oracle.
 """
 
 from __future__ import annotations
@@ -42,11 +49,15 @@ def normalize(rows: list[tuple], cols: list[str]) -> str:
 
 
 def main() -> int:
+    args = list(sys.argv[1:])
+    driver_fetch = "--driver-fetch" in args
+    if driver_fetch:
+        args.remove("--driver-fetch")
     sf_dirs = (
-        [sys.argv[1]] if len(sys.argv) > 1
+        [args[0]] if args
         else ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
     )
-    only = set(sys.argv[2:])
+    only = set(args[1:])
 
     import __spark_entry__ as entry_mod
     from harvesting_validator_spark.session import get_spark
@@ -55,12 +66,14 @@ def main() -> int:
     failures = []
     for sf_dir in sf_dirs:
         print(f"== {sf_dir} ==")
-        failures += check_sf(spark, entry_mod, sf_dir, only)
+        failures += check_sf(spark, entry_mod, sf_dir, only, driver_fetch)
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
 
-def check_sf(spark, entry_mod, sf_dir: str, only: set) -> list[str]:
+def check_sf(
+    spark, entry_mod, sf_dir: str, only: set, driver_fetch: bool = False
+) -> list[str]:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -89,7 +102,11 @@ def check_sf(spark, entry_mod, sf_dir: str, only: set) -> list[str]:
         try:
             res = con.execute(oracles[name])
             dcols = sorted(d[0] for d in res.description)
-            drows = res.fetchall()
+            if driver_fetch:
+                pdf = res.fetchdf()
+                drows = [tuple(r) for r in pdf.itertuples(index=False)]
+            else:
+                drows = res.fetchall()
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)
