@@ -359,27 +359,44 @@ def parse_ntriples(text: str) -> list[Triple]:
 
 
 def parse_jsonld(text: str) -> list[Triple]:
-    """JSON-LD subset: @graph list or node object(s) with a flat string
-    @context; values are node refs {"@id":...}, typed values
+    """JSON-LD subset: @graph list or node object(s) with a flat root
+    @context (string mappings or expanded term definitions that are
+    exactly {"@id": str}); values are node refs {"@id":...}, typed values
     {"@value":..,"@type"/"@language":..}, JSON scalars, or NESTED node
     objects (minted as blank nodes and recursed, the Turtle `[...]`
-    analog). Full expansion-algorithm features (nested contexts, @list,
-    @reverse) are out of scope — the reference handles them via Jena and
-    no fixture exercises them."""
+    analog). Everything needing the full expansion algorithm — remote
+    (string) or array contexts, scoped @context inside child nodes, term
+    definitions carrying coercion (@type/@container/@reverse), @list —
+    RAISES RdfParseError so the doc degrades to a parse_error row instead
+    of silently emitting wrong triples (ADVICE r2 polish; the reference
+    handles those via Jena and no fixture exercises them)."""
     doc = json.loads(text)
     ctx = doc.get("@context", {}) if isinstance(doc, dict) else {}
     if not isinstance(ctx, dict):
-        ctx = {}
+        # remote-URL or array contexts need the full expansion algorithm
+        raise RdfParseError("unsupported JSON-LD @context shape")
+    for term, d in ctx.items():
+        if isinstance(d, dict) and (set(d) != {"@id"} or not isinstance(d["@id"], str)):
+            raise RdfParseError(
+                f"unsupported JSON-LD term definition for {term!r}"
+            )
 
     def expand(term: str) -> str:
-        if term in ctx and isinstance(ctx[term], str):
-            return ctx[term]
+        d = ctx.get(term)
+        if isinstance(d, str):
+            return d
+        if isinstance(d, dict):
+            return d["@id"]
         prefix, sep, local = term.partition(":")
-        if sep and prefix in ctx and isinstance(ctx[prefix], str):
-            return ctx[prefix] + local
+        p = ctx.get(prefix) if sep else None
+        if isinstance(p, str):
+            return p + local
+        if isinstance(p, dict):
+            return p["@id"] + local
         return term
 
     nodes: list[dict]
+    root_node = doc if isinstance(doc, dict) else None
     if isinstance(doc, list):
         nodes = doc
     elif isinstance(doc, dict) and "@graph" in doc:
@@ -401,6 +418,11 @@ def parse_jsonld(text: str) -> list[Triple]:
             raise RdfParseError("JSON-LD node must be an object")
         if subj is None:
             subj = expand(node["@id"]) if "@id" in node else fresh_bnode()
+        if "@context" in node and node is not root_node:
+            # scoped contexts rebind terms mid-tree — full expansion
+            # algorithm territory; degrade to a parse error, never to
+            # triples resolved against the wrong context
+            raise RdfParseError("unsupported nested JSON-LD @context")
         for key, vals in node.items():
             if key in ("@id", "@context"):
                 continue

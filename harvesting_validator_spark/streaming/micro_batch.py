@@ -17,10 +17,10 @@ checkpoint (offsets) + our ledger (doc-level) + lineage.py (stage-level)
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import SparkSession
 from pyspark.sql.types import StructType
+
+from harvesting_validator_spark import fs
 
 SOURCE_SCHEMA = (
     StructType()
@@ -62,7 +62,7 @@ def run_streaming_validation(
     writer = (
         stream_sources(spark, landing_dir)
         .writeStream.foreachBatch(handle_batch)
-        .option("checkpointLocation", os.path.join(warehouse, "_stream_checkpoint"))
+        .option("checkpointLocation", fs.join(warehouse, "_stream_checkpoint"))
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -101,6 +101,38 @@ def test_jsonld_graph_and_context():
     assert ts[0].obj_lang == "en"
 
 
+def test_jsonld_expanded_term_definitions():
+    """ADVICE r2 polish: {"@id": str} term definitions must expand (both
+    as a term and as a prefix); everything needing the full expansion
+    algorithm must RAISE (-> parse_error row), never resolve terms
+    against the wrong context."""
+    ts = parse_jsonld(
+        '{"@context": {"name": {"@id": "http://e.org/name"},'
+        '              "ex": {"@id": "http://e.org/"}},'
+        ' "@id": "http://e.org/p1", "name": "Alice", "ex:age": 3}'
+    )
+    t = {(x.pred, x.obj_value) for x in ts}
+    assert ("http://e.org/name", "Alice") in t
+    assert ("http://e.org/age", "3") in t
+
+    for bad in [
+        # remote (string) and array contexts
+        '{"@context": "http://e.org/ctx.jsonld", "@id": "http://s"}',
+        '{"@context": [{"ex": "http://e.org/"}], "@id": "http://s"}',
+        # term definition with coercion
+        '{"@context": {"w": {"@id": "http://e.org/w", "@type": "@id"}},'
+        ' "@id": "http://s", "w": "http://o"}',
+        # scoped @context in a child node / graph member / list element
+        '{"@id": "http://s", "http://p":'
+        ' {"@context": {"ex": "http://x/"}, "ex:q": "v"}}',
+        '{"@graph": [{"@context": {"ex": "http://x/"},'
+        ' "@id": "http://s", "ex:q": "v"}]}',
+        '[{"@context": {"ex": "http://x/"}, "@id": "http://s", "ex:q": "v"}]',
+    ]:
+        with pytest.raises(RdfParseError):
+            parse_jsonld(bad)
+
+
 def test_malformed_raises():
     with pytest.raises(RdfParseError):
         parse_turtle("ex:NoPrefix a ex:Person .")

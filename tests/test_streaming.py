@@ -37,9 +37,10 @@ def test_streaming_validation_end_to_end(spark, tmp_path):
     assert verdicts.count() == 40  # doc-level dedup absorbed the replays
     assert verdicts.select("doc_id").distinct().count() == 40
 
-    # equality with the batch pipeline over the same corpus
+    # equality with the batch pipeline over the same corpus (modulo the
+    # batch_id partition column the incremental appends add)
     batch = run_validation(spark, corpus, APPLICATION_PROFILE)
-    assert {tuple(r) for r in verdicts.collect()} == {
+    assert {tuple(r) for r in verdicts.select(*batch.verdicts.columns).collect()} == {
         tuple(r) for r in batch.verdicts.collect()
     }
     corpus.unpersist()

@@ -6,10 +6,12 @@ job runs at local[2]/local[8]/local[32] on identical input. Three caveats
 this script controls for, which a real N -> 4N EXECUTOR scale-up would
 not have:
 
-* single-box frequency/SMT effects: with 32 busy cores each core clocks
-  lower than with 8 busy ones. A pure-CPU multiprocessing control measures
-  the box's achievable ceiling, and the job's efficiency is reported both
-  raw and normalized against that ceiling;
+* single-box frequency/SMT/memory-bandwidth effects: with 32 busy cores
+  each core clocks lower than with 8, and the memory subsystem saturates
+  near ~20 GB/s (8 workers already reach ~10 GB/s — measured r3). TWO
+  pure multiprocessing controls (ALU loop + parallel memcpy) bracket the
+  box's achievable ceiling; the job's efficiency is reported raw and
+  normalized against their blend;
 * host contention: this VM shows CPU-steal and sample-to-sample noise of
   +-30% under sustained load. Each configuration therefore runs in a
   FRESH subprocess (own JVM — also the only way driver-memory config can
@@ -46,21 +48,57 @@ def _burn(_):
     return s
 
 
+def _copy_burn(_):
+    # 8 x 64MB memcpys per worker: measures aggregate memory bandwidth,
+    # the resource a string-shuffle Catalyst stage actually contends on
+    src = bytes(64 * 1024 * 1024)
+    tot = 0
+    for _ in range(8):
+        tot += len(bytearray(src))
+    return tot
+
+
+def _pool_rate(fn, n: int) -> float:
+    t0 = time.time()
+    with mp.Pool(n) as p:
+        p.map(fn, range(n * 2))
+    return (n * 2) / (time.time() - t0)
+
+
 def cpu_ceiling(n_low: int = 8, n_high: int = 32) -> dict:
-    """Pure-CPU control: the box's own N->4N scaling ceiling."""
-    rates = {}
-    for n in (n_low, n_high):
-        t0 = time.time()
-        with mp.Pool(n) as p:
-            p.map(_burn, range(n * 2))
-        rates[n] = (n * 2) / (time.time() - t0)
-    return {
-        "low_rate": round(rates[n_low], 2),
-        "high_rate": round(rates[n_high], 2),
-        "ceiling_efficiency": round(
-            (rates[n_high] / rates[n_low]) / (n_high / n_low), 3
-        ),
-    }
+    """Two hardware controls for the box's own N->4N scaling ceiling:
+
+    * `alu` — a register-only integer loop (scales with core count until
+      the host steals cycles); the r2 study used only this, which
+      over-states the ceiling for shuffle-heavy stages;
+    * `membw` — parallel 64MB memcpys (aggregate memory bandwidth). On
+      this VM memcpy throughput saturates near ~20 GB/s: 8 workers
+      already reach ~10 GB/s, so the 8->32 memcpy ceiling is ~0.5.
+      String-heavy exchange/groupBy stages (the validate phase: 64-char
+      doc_id keys, long IRI values) are bandwidth-bound and cannot beat
+      this ceiling no matter the plan — cores show busy while stalled on
+      cache misses. A real 4x-EXECUTOR scale-up multiplies memory
+      channels along with cores, so this ceiling is a single-box artifact
+      the north_rule's cluster framing would not have.
+    """
+    out = {}
+    for name, fn in (("alu", _burn), ("membw", _copy_burn)):
+        rates = {n: _pool_rate(fn, n) for n in (n_low, n_high)}
+        out[name] = {
+            "low_rate": round(rates[n_low], 2),
+            "high_rate": round(rates[n_high], 2),
+            "ceiling_efficiency": round(
+                (rates[n_high] / rates[n_low]) / (n_high / n_low), 3
+            ),
+        }
+    # blended reference: the pipeline is part ALU-bound (Arrow parse,
+    # regex) and part bandwidth-bound (exchange + hash agg/join over wide
+    # string keys); phase walls put it roughly half and half
+    out["blend_half"] = round(
+        (out["alu"]["ceiling_efficiency"] + out["membw"]["ceiling_efficiency"])
+        / 2, 3,
+    )
+    return out
 
 
 def run_once(cores: int, n_docs: int) -> dict:
@@ -157,12 +195,15 @@ def main() -> None:
     results = {}
     for lo, hi in pairs:
         raw_eff = (runs[hi]["docs_per_s"] / runs[lo]["docs_per_s"]) / (hi / lo)
+        c = ceiling[f"{lo}->{hi}"]
         results[f"local[{lo}]->local[{hi}]"] = {
             "speedup": round(runs[hi]["docs_per_s"] / runs[lo]["docs_per_s"], 2),
             "scaling_efficiency_raw": round(raw_eff, 3),
-            "hw_ceiling_efficiency": ceiling[f"{lo}->{hi}"]["ceiling_efficiency"],
-            "scaling_efficiency_vs_hw_ceiling": round(
-                raw_eff / ceiling[f"{lo}->{hi}"]["ceiling_efficiency"], 3
+            "alu_ceiling_efficiency": c["alu"]["ceiling_efficiency"],
+            "membw_ceiling_efficiency": c["membw"]["ceiling_efficiency"],
+            "blend_ceiling_efficiency": c["blend_half"],
+            "scaling_efficiency_vs_blend_ceiling": round(
+                raw_eff / c["blend_half"], 3
             ),
         }
     print(json.dumps({
