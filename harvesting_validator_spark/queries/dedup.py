@@ -106,19 +106,74 @@ bands AS (
 # --- LSH candidate pairs: band self-join ------------------------------------------
 def q_minhash_lsh_pairs(spark, sf_dir):
     """Docs sharing >=1 of the 4 (2-row) minhash bands — the blocking step
-    of web-scale near-dedup (SURVEY §2.3 similarity join)."""
-    b = _band_table(spark, sf_dir)
-    b1 = b.alias("a")
-    b2 = b.alias("b")
-    return (
-        b1.join(
-            b2,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    of web-scale near-dedup (SURVEY §2.3 similarity join).
+
+    Exactly-once pairs WITHOUT a distinct: on a near-dup-dense corpus a
+    pair collides in ~4 bands, so the r2 shape (join -> 40M raw pair rows
+    at sf0.1 -> .distinct()) paid a full exchange + hash dedup on the
+    quadratic pair stream — the single most expensive shuffle in the
+    bench suite (measured: candidates 21.8s of lsh_verified_pairs' 21.4s
+    total). Instead each row carries its doc's full signature and a pair
+    is EMITTED ONLY AT ITS FIRST SHARED BAND (no earlier band has equal
+    hashes) — a map-side filter, identical pair set, zero pair-stream
+    shuffle (measured 21.8s -> 4.6s). The join keys are the raw minhash
+    bigint pairs rather than md5(concat) strings: same equality (md5 is
+    collision-free on these 16-byte inputs), narrower exchange."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    # parallelism guard: with the pair-dedup shuffle gone, the whole
+    # candidates(+verify) pipeline fuses into the stage that SCANS the
+    # documents parquet — one small file at bench sf = 1-4 splits, so the
+    # quadratic pair work ran near-serial (measured 39-47s). Spreading
+    # the tiny signature table (1 row/doc) across default parallelism
+    # restores full-width probing for ~nothing; at corpus scale the scan
+    # already has >= that many splits and this branch never fires.
+    scan_parts = sig.rdd.getNumPartitions()
+    want = spark.sparkContext.defaultParallelism
+    if scan_parts < want:
+        sig = sig.repartition(want)
+    # one row per (doc, band) carrying the FULL signature: the first-band
+    # test below is then plain unrolled bigint comparisons that stay
+    # inside whole-stage codegen (a slice/zip_with/exists formulation of
+    # the same test is an interpreted higher-order function per joined
+    # row — measured 73s on the same input)
+    def pick(side: str, parity: int):
+        # this band's own hash row: CASE band_id WHEN b THEN mh{2b+parity}
+        c = F.lit(None).cast("bigint")
+        for bp in range(N_BANDS):
+            c = F.when(
+                F.col(f"{side}band_id") == bp,
+                F.col(f"{side}mh{2 * bp + parity}"),
+            ).otherwise(c)
+        return c
+
+    e = sig.select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(N_HASHES)],
+        F.explode(
+            F.array(*[F.lit(b) for b in range(N_BANDS)])
+        ).alias("band_id"),
+    ).withColumn("bh1", pick("", 0)).withColumn("bh2", pick("", 1))
+    a, b = e.alias("a"), e.alias("b")
+
+    def band_eq(bp: int):
+        return (
+            F.col(f"a.mh{2 * bp}") == F.col(f"b.mh{2 * bp}")
+        ) & (F.col(f"a.mh{2 * bp + 1}") == F.col(f"b.mh{2 * bp + 1}"))
+
+    earlier_shared = F.lit(False)
+    for bp in range(N_BANDS - 1):
+        earlier_shared = earlier_shared | (
+            (F.col("a.band_id") > bp) & band_eq(bp)
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    joined = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.bh1") == F.col("b.bh1"))
+        & (F.col("a.bh2") == F.col("b.bh2"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return joined.filter(~earlier_shared).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
 
 
