@@ -14,6 +14,8 @@ here certifies the parser, the constraint compiler, the filter semantics
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import functions as F
 
 from harvesting_validator_spark.plans.pipeline import run_kg_construction, run_validation
@@ -34,6 +36,26 @@ def _corpus_n(spark, sf_dir: str) -> int:
     return tbl(spark, sf_dir, "documents").count()
 
 
+@contextmanager
+def _sized_shuffle(spark, n_docs: int):
+    """Size shuffle width to the corpus while a pipeline BUILDS (the
+    builders materialize their heavy stages eagerly: violations.count(),
+    union-find probes). AQE partition coalescing is deliberately OFF
+    (session.py — byte-sized coalescing collapses this engine's highly
+    compressible IRI shuffles), so small driver-gate corpora otherwise
+    pay ~64 near-empty reduce tasks per exchange across ~10 stages —
+    pure scheduling overhead. Same sizing idea as the union-find loop
+    (kg/canonicalize.py); width never exceeds the session setting, so
+    corpus-scale runs keep their configured parallelism."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    small = max(8, min(int(prev), n_docs // 250 + 4))
+    spark.conf.set("spark.sql.shuffle.partitions", str(small))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _run(spark, sf_dir):
     """One validation run per (session, sf_dir); queries share the cached
     triples/violations so the driver's per-query calls don't re-parse."""
@@ -41,7 +63,8 @@ def _run(spark, sf_dir):
     if key not in _RUN_CACHE:
         n = _corpus_n(spark, sf_dir)
         sources = generate_sources(spark, n)
-        _RUN_CACHE[key] = run_validation(spark, sources, APPLICATION_PROFILE)
+        with _sized_shuffle(spark, n):
+            _RUN_CACHE[key] = run_validation(spark, sources, APPLICATION_PROFILE)
     return _RUN_CACHE[key]
 
 
@@ -259,9 +282,10 @@ def _kg_run(spark, sf_dir):
         # blocking operator itself is exercised (and benched) on the
         # high-entropy documents corpus via minhash_lsh_pairs /
         # lsh_verified_pairs.
-        _KG_CACHE[key] = run_kg_construction(
-            spark, sources, ENTITY_PROFILE, blocking="key"
-        )
+        with _sized_shuffle(spark, n):
+            _KG_CACHE[key] = run_kg_construction(
+                spark, sources, ENTITY_PROFILE, blocking="key"
+            )
     return _KG_CACHE[key]
 
 
@@ -302,10 +326,11 @@ def q_kg_chain_clusters(spark, sf_dir):
 
     n = _corpus_n(spark, sf_dir)
     sources = generate_chain_sources(spark, n, chain_len=_CHAIN_LEN)
-    triples = normalize_triples(parse_sources_to_triples(sources))
-    mentions = extract_mentions(triples)
-    edges = link_edges(block_candidates_by_key(mentions), threshold=0.9)
-    mapping = canonical_mapping(mentions.select("entity"), edges)
+    with _sized_shuffle(spark, n):
+        triples = normalize_triples(parse_sources_to_triples(sources))
+        mentions = extract_mentions(triples)
+        edges = link_edges(block_candidates_by_key(mentions), threshold=0.9)
+        mapping = canonical_mapping(mentions.select("entity"), edges)
     return mapping.groupBy("canonical").agg(F.count(F.lit(1)).alias("n_members"))
 
 
