@@ -44,7 +44,11 @@ def listdir(spark: SparkSession, p: str) -> list[str]:
 def rename(spark: SparkSession, src: str, dst: str) -> None:
     fs, s = _fs_path(spark, src)
     d = spark._jvm.org.apache.hadoop.fs.Path(dst)
-    if not fs.rename(s, d):
+    try:
+        ok = fs.rename(s, d)
+    except Exception as exc:  # filesystem-specific JVM exceptions
+        raise IOError(f"rename failed: {src} -> {dst}: {exc}") from None
+    if not ok:
         raise IOError(f"rename failed: {src} -> {dst}")
 
 

@@ -122,8 +122,17 @@ def run_once(cores: int, n_docs: int) -> dict:
     try:
         sources = generate_sources(spark, n_docs, n_partitions=cores * 3)
         shapes = parse_shapes_turtle(APPLICATION_PROFILE)
-        # warm-up: JVM codegen + python workers on a tiny slice
-        parse_sources_to_triples(generate_sources(spark, 256)).count()
+        # warm-up: run the FULL pipeline on a tiny slice so JVM codegen +
+        # catalyst planning of the validate plan and the python worker
+        # pool are all hot before the clock starts — the r2 warm-up only
+        # parsed, so every measured sample paid ~2-3s of SERIAL driver
+        # plan/codegen time, an Amdahl term that is pure measurement
+        # artifact (steady-state throughput is the metric; a long-lived
+        # cluster job compiles its plan once)
+        warm = parse_sources_to_triples(
+            generate_sources(spark, 256), repartition_by_doc=True
+        )
+        validate(warm, shapes, spark).select("doc_id").distinct().count()
 
         t0 = time.time()
         # ONE exchange (repartition by doc_id) serves the whole validate
