@@ -21,11 +21,12 @@ from harvesting_validator_spark.queries import (
     similarity,
     sketches,
     textops,
+    textprep,
 )
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
-for _m in (relational, textops, dedup, similarity, kg, mm, sketches):
+for _m in (relational, textops, textprep, dedup, similarity, kg, mm, sketches):
     overlap = set(ALL_QUERIES) & set(_m.QUERIES)
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

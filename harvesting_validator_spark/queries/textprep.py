@@ -1,0 +1,218 @@
+"""Training-data preparation operators (task brief: "the operations a
+large-scale training-data pipeline would need", beyond dedup/similarity/
+text-analysis): context-window chunking, sequence packing, deterministic
+stratified sampling (data mixing), tokenizer-vocabulary induction, and
+benchmark decontamination. All pure Catalyst with exact DuckDB oracles.
+
+Scale notes: chunking/sampling are narrow per-row maps (no shuffle);
+vocab induction is one partial-aggregated groupBy + a bounded top-k;
+packing is one window over (lang)-partitioned running sums — at corpus
+scale the stratum key keeps window state executor-local; decontamination
+joins the corpus n-gram stream against the BENCHMARK n-gram set, which is
+small by construction (eval suites are ~10^3-10^5 docs) and broadcasts —
+the canonical map-side decontamination shape at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from harvesting_validator_spark.queries.common import md5_int, tbl, tokens
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+PACK_BIN_TOKENS = 512
+VOCAB_K = 100
+CONTAM_GRAM = 3
+# deterministic per-stratum sampling rates (data-mixing weights)
+SAMPLE_RATES = {"en": 80, "de": 50, "fr": 50, "es": 50, "zh": 20}
+
+
+# --- context-window chunking (fixed size + overlap, 1 doc -> N chunks) --------
+def q_chunk_documents(spark, sf_dir):
+    """Split each doc into CHUNK_TOKENS-token chunks every CHUNK_STRIDE
+    tokens (overlap = CHUNK_TOKENS - CHUNK_STRIDE). Whitespace split never
+    yields an empty array, so every doc emits >= 1 chunk."""
+    d = tbl(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens().alias("toks"), F.size(tokens()).alias("n"))
+    e = t.select(
+        "doc_id", "toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_TOKENS)
+    return e.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+O_CHUNKS = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n FROM documents)
+SELECT doc_id,
+       CAST(s // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(len(list_slice(toks, s + 1, s + {CHUNK_TOKENS})) AS INT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, s + 1, s + {CHUNK_TOKENS}), ' ') AS chunk_text
+FROM t, unnest(range(0, n, {CHUNK_STRIDE})) AS u(s)
+"""
+
+
+# --- sequence packing (fixed-budget bins via stratified running sums) ----------
+def q_pack_sequences(spark, sf_dir):
+    """Assign each doc to a PACK_BIN_TOKENS-budget training bin: docs are
+    laid out in deterministic (lang, doc_id) order and a bin is the
+    PACK_BIN_TOKENS-token window its first token lands in — the
+    distributed-friendly streaming approximation of sequence packing
+    (greedy first-fit is inherently serial; the running-sum layout is
+    what large pipelines actually do)."""
+    d = tbl(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.size(tokens()).alias("n_tokens"))
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select(
+        "doc_id", "lang", "n_tokens",
+        (start / PACK_BIN_TOKENS).cast("int").alias("bin_id"),
+        start.cast("bigint").alias("bin_start_offset"),
+    )
+
+
+O_PACK = f"""
+WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+               - n_tokens AS start
+      FROM t)
+SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(start // {PACK_BIN_TOKENS} AS INT) AS bin_id,
+       CAST(start AS BIGINT) AS bin_start_offset
+FROM c
+"""
+
+
+# --- deterministic stratified sampling (data mixing) ---------------------------
+def q_stratified_sample(spark, sf_dir):
+    """Hash-based per-stratum sampling: doc survives iff
+    md5int(doc_id) % 100 < rate(lang). Deterministic (same doc always
+    lands the same way — resumable mixing, C4), map-side only, and the
+    rates are the data-mixing weights a trainer tunes."""
+    d = tbl(spark, sf_dir, "documents")
+    bucket = F.pmod(md5_int(F.col("doc_id").cast("string")), F.lit(100))
+    rate = F.lit(0)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        d.select("doc_id", "lang", bucket.cast("int").alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+_RATE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {r}" for lang, r in SAMPLE_RATES.items()
+) + " ELSE 0 END"
+
+O_SAMPLE = f"""
+SELECT doc_id, lang,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS INT)
+         AS bucket
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {_RATE_SQL}
+"""
+
+
+# --- tokenizer-vocabulary induction (top-k tokens by corpus frequency) ---------
+def q_vocab_topk(spark, sf_dir):
+    """Occurrence counts (not per-doc distinct) -> top VOCAB_K with a
+    deterministic tiebreak — the first step of BPE/unigram vocabulary
+    training. Partial aggregation map-side; only K rows cross the final
+    ordering."""
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(VOCAB_K)
+    )
+
+
+O_VOCAB = f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {VOCAB_K}
+"""
+
+
+# --- benchmark decontamination (n-gram overlap vs a held-out eval set) ---------
+def q_contamination_flags(spark, sf_dir):
+    """Flag training docs sharing any CONTAM_GRAM-gram with the benchmark
+    set (here: docs with doc_id % 97 == 0 stand in for an eval suite).
+    Inner-join on the gram string against the (small, broadcastable)
+    benchmark gram set, count distinct overlapping grams per doc."""
+    d = tbl(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", tokens().alias("toks"), F.size(tokens()).alias("n")
+    ).filter(F.col("n") >= CONTAM_GRAM)
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - CONTAM_GRAM),
+                _gram_at,
+            )
+        ).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_contaminated"))
+    )
+
+
+def _gram_at(s):
+    # factory-free here is safe: single-arg lambda (no index-binding trap)
+    return F.array_join(F.slice(F.col("toks"), s + 1, CONTAM_GRAM), " ")
+
+
+O_CONTAM = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n
+           FROM documents WHERE len(string_split(text, ' ')) >= {CONTAM_GRAM}),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(toks, s + 1, s + {CONTAM_GRAM}), ' ') AS gram
+  FROM t, unnest(range(0, n - {CONTAM_GRAM} + 1)) AS u(s)
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+SELECT g.doc_id, count(DISTINCT g.gram) AS n_contaminated
+FROM grams g JOIN bench b ON g.gram = b.gram
+WHERE g.doc_id % 97 != 0
+GROUP BY g.doc_id
+"""
+
+
+QUERIES = {
+    "chunk_documents": q_chunk_documents,
+    "pack_sequences": q_pack_sequences,
+    "stratified_sample": q_stratified_sample,
+    "vocab_topk": q_vocab_topk,
+    "contamination_flags": q_contamination_flags,
+}
+
+ORACLES = {
+    "chunk_documents": O_CHUNKS,
+    "pack_sequences": O_PACK,
+    "stratified_sample": O_SAMPLE,
+    "vocab_topk": O_VOCAB,
+    "contamination_flags": O_CONTAM,
+}
