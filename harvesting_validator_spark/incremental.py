@@ -137,6 +137,24 @@ class IncrementalLedger:
         )
         rows.write.mode("append").parquet(self.processed_path)
 
+    def compact_inflight(self) -> int:
+        """Drop intent rows whose docs are fully processed — dead entries
+        that can never re-enter the in-doubt window. Keeps the inflight
+        table at exactly the in-doubt set (empty in the steady state), so
+        its per-batch read stays O(crash window) instead of growing one
+        row per doc ever processed. Returns the number of rows kept."""
+        if not fs.exists(self.spark, self.inflight_path):
+            return 0
+        live = self.read_inflight().join(
+            self.read().select("doc_id"), "doc_id", "left_anti"
+        )
+        tmp = self.inflight_path + ".compacting"
+        live.write.mode("overwrite").parquet(tmp)
+        n = self.spark.read.parquet(tmp).count()
+        fs.delete(self.spark, self.inflight_path, recursive=True)
+        fs.rename(self.spark, tmp, self.inflight_path)
+        return n
+
 
 def process_incremental(
     spark: SparkSession,
@@ -174,6 +192,10 @@ def process_incremental(
         run_id, doubt,
     )
     ledger.mark(batch.select("doc_id"), run_id)
+    # keep the intent ledger at exactly the in-doubt set (cheap: both
+    # ledgers are narrow key tables; a crash between mark and here just
+    # leaves dead rows for the next batch's compaction)
+    ledger.compact_inflight()
     return n_new, run.verdicts
 
 

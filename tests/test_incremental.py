@@ -100,8 +100,10 @@ def test_crash_replay_does_not_duplicate_outputs(spark, tmp_path):
     valid = spark.read.parquet(f"{wh}/valid_triples")
     assert valid.count() == valid.distinct().count()
 
-    # the crashed batch left the in-doubt window once its docs were marked
+    # the crashed batch left the in-doubt window once its docs were marked,
+    # and the post-mark compaction emptied the intent ledger entirely
     assert ledger.in_doubt_batches("r2") == []
+    assert ledger.read_inflight().count() == 0
     # and the batch after the replay is a clean no-op
     n2, out = process_incremental(spark, corpus, APPLICATION_PROFILE, wh, "r2")
     assert n2 == 0 and out is None
