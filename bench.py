@@ -39,6 +39,11 @@ HEADLINE = [
     # the KG linking path (blocking -> pair scoring -> union-find ->
     # canonical graph), so round-over-round linking perf is visible
     "kg_canonical_graph",
+    # training-data prep (r3): 1->N chunk explosion, stratified-window
+    # packing, broadcast-shaped n-gram decontamination
+    "chunk_documents",
+    "pack_sequences",
+    "contamination_flags",
 ]
 
 

@@ -128,9 +128,11 @@ def connected_components(
                     != F.col("old_label")
                 ).alias("chg"),
             )
-            probe = (
-                (it + 1) % checkpoint_every == 0 or it == max_iterations - 1
-            )
+            # probe at it = 0, k, 2k...: round 0 catches the (common)
+            # graphs already converged by the min-of-neighbors init —
+            # cliques/stars — after ONE round; deep chains amortize the
+            # probes at 1/k per round thereafter
+            probe = it % checkpoint_every == 0 or it == max_iterations - 1
             if probe:
                 # eager checkpoint materializes the fused rounds; the probe
                 # then reads cached rows. chg reflects only the LAST
