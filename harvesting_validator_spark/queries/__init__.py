@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from harvesting_validator_spark.queries import (
     dedup,
+    eventops,
     kg,
     mm,
     relational,
@@ -26,7 +27,7 @@ from harvesting_validator_spark.queries import (
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
-for _m in (relational, textops, textprep, dedup, similarity, kg, mm, sketches):
+for _m in (relational, textops, textprep, eventops, dedup, similarity, kg, mm, sketches):
     overlap = set(ALL_QUERIES) & set(_m.QUERIES)
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

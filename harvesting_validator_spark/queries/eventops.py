@@ -1,0 +1,221 @@
+"""Event-analytics operators over the ``events`` table: gap-based
+sessionization, an as-of (most-recent-preceding) join, and grouped
+top-k — the window-function surface a harvest-monitoring deployment of
+the reference would ask for next (task brief: analytics capabilities
+beyond the reference's own operator set; SURVEY.md §2.8 notes the
+reference itself needs no windows, so these are extension coverage).
+
+Scale notes: every operator here is ONE shuffle keyed by its natural
+partition key (``user_id`` / ``lang``), then narrow window arithmetic —
+no self-join materializes. The as-of join deliberately avoids the
+range-join/cartesian formulation (quadratic in events-per-user) in
+favor of the union-tag + ``last(ignorenulls)`` merge shape, which is
+how as-of joins stay linear at 100 TB: sort within the user partition
+once, carry the last-seen left-side row forward. All timestamps cross
+the oracle boundary as epoch microseconds (BIGINT) so no engine-side
+timestamp rendering can diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from harvesting_validator_spark.queries.common import tbl
+
+SESSION_GAP_US = 1800 * 1_000_000  # 30 min, the classic web-session gap
+
+
+def _t_us(col="ts"):
+    """Epoch microseconds for a parquet TIMESTAMP_NTZ column. The session
+    timezone is pinned to UTC (session.py), so NTZ -> TIMESTAMP is a
+    no-op reinterpretation and matches DuckDB's naive epoch_us(ts)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+# --- gap-based sessionization -------------------------------------------------
+def q_sessionize_events(spark, sf_dir):
+    """Per-user 30-minute-gap sessionization + per-session rollup.
+
+    lag() over (user_id, ts, event_id) marks session starts; a running
+    sum of the marks numbers sessions 1..n per user. The (ts, event_id)
+    ordering is total, so session assignment is deterministic even under
+    timestamp ties. Exactly one shuffle (user_id); the rollup reuses the
+    same partitioning (session key is user_id-prefixed).
+    """
+    e = tbl(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        _t_us().alias("t_us"),
+        F.col("value").cast("decimal(18,2)").alias("val"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    prev = F.lag("t_us").over(w)
+    is_start = (prev.isNull() | (F.col("t_us") - prev > SESSION_GAP_US)).cast("int")
+    sess = e.withColumn(
+        "session_seq",
+        F.sum(is_start).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("t_us").alias("session_start_us"),
+        F.max("t_us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("val").cast("double"), 2).alias("total_value"),
+        F.sum((F.col("event_type") == "error").cast("bigint")).alias("n_errors"),
+    )
+
+
+O_SESSIONS = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
+         CAST(value AS DECIMAL(18,2)) AS val
+  FROM events
+),
+m AS (
+  SELECT *,
+         CASE WHEN lag(t_us) OVER w IS NULL
+                OR t_us - lag(t_us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_start
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+),
+s AS (
+  SELECT *,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM m
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       min(t_us) AS session_start_us,
+       max(t_us) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(val) AS DOUBLE), 2) AS total_value,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors
+FROM s
+GROUP BY user_id, session_seq
+"""
+
+
+# --- as-of join (most recent preceding action before each error) --------------
+def q_asof_last_action(spark, sf_dir):
+    """For every ``error`` event, the user's most recent STRICTLY
+    preceding non-error event and the gap to it — an as-of join.
+
+    Spark has no ASOF JOIN operator; the linear-scale formulation is a
+    single sorted pass per user: order the merged stream by
+    (t_us, event_id), carry ``last(non-error row, ignorenulls)`` over a
+    ROWS ... 1 PRECEDING frame, then keep the error rows. Both carried
+    columns (id, t_us) come from the same gated CASE under the same
+    total order, so they always describe the same row. No-match rows
+    surface as -1 (coalesced, so null rendering can't diverge across
+    engines).
+    """
+    e = tbl(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        _t_us().alias("t_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    action = F.when(F.col("event_type") != "error", F.col("event_id"))
+    action_ts = F.when(F.col("event_type") != "error", F.col("t_us"))
+    out = e.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        "event_type",
+        F.last(action, ignorenulls=True).over(w).alias("last_action_id"),
+        F.last(action_ts, ignorenulls=True).over(w).alias("last_action_us"),
+    )
+    return (
+        out.filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            "t_us",
+            F.coalesce("last_action_id", F.lit(-1)).alias("last_action_id"),
+            F.coalesce(
+                F.col("t_us") - F.col("last_action_us"), F.lit(-1)
+            ).alias("gap_us"),
+        )
+    )
+
+
+O_ASOF = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us FROM events
+),
+c AS (
+  SELECT event_id, user_id, t_us, event_type,
+         last_value(CASE WHEN event_type <> 'error' THEN event_id END
+                    IGNORE NULLS) OVER w AS last_action_id,
+         last_value(CASE WHEN event_type <> 'error' THEN t_us END
+                    IGNORE NULLS) OVER w AS last_action_us
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, t_us,
+       COALESCE(last_action_id, -1) AS last_action_id,
+       COALESCE(t_us - last_action_us, -1) AS gap_us
+FROM c
+WHERE event_type = 'error'
+"""
+
+
+# --- grouped top-k (window rank within stratum) -------------------------------
+TOPK_PER_LANG = 5
+
+
+def q_topk_docs_per_lang(spark, sf_dir):
+    """Top-k longest documents per language via row_number() over a
+    (lang)-partitioned window — the grouped top-k shape (global top-k is
+    ``topk_orders``). Deterministic tiebreak on doc_id. One shuffle on
+    the stratum key; only k rows per stratum survive the rank filter, so
+    at corpus scale this is a partial top-k per partition + k·strata
+    rows to the final stage.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= TOPK_PER_LANG)
+        .select("lang", F.col("rank").cast("int").alias("rank"), "doc_id", "n_chars")
+    )
+
+
+O_TOPK_LANG = f"""
+SELECT lang, CAST(rank AS INT) AS rank, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents
+)
+WHERE rank <= {TOPK_PER_LANG}
+"""
+
+
+QUERIES = {
+    "sessionize_events": q_sessionize_events,
+    "asof_last_action": q_asof_last_action,
+    "topk_docs_per_lang": q_topk_docs_per_lang,
+}
+
+ORACLES = {
+    "sessionize_events": O_SESSIONS,
+    "asof_last_action": O_ASOF,
+    "topk_docs_per_lang": O_TOPK_LANG,
+}

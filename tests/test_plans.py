@@ -191,3 +191,40 @@ def test_validate_reuses_single_doc_id_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_quality_repetition_is_shuffle_free(spark, sf_dir):
+    """The top-token run-length fold must stay a narrow per-row
+    expression: no Exchange (the explode+groupBy formulation the DuckDB
+    oracle uses would shuffle twice per corpus at 100 TB) and no Python
+    eval nodes."""
+    from harvesting_validator_spark.queries import textops
+
+    plan = _plan(textops.q_quality_repetition(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    plan_pii = _plan(textops.q_pii_scrub(spark, sf_dir))
+    assert "Exchange" not in plan_pii
+    assert "BatchEvalPython" not in plan_pii
+
+
+def test_eventops_single_user_exchange(spark, sf_dir):
+    """Sessionization and the as-of join are one-shuffle operators: every
+    hash exchange in their plans is keyed by user_id alone (the window
+    partition key); the rollup reuses the window's partitioning."""
+    import re
+
+    from harvesting_validator_spark.queries import eventops
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        for q in (eventops.q_sessionize_events, eventops.q_asof_last_action):
+            plan = _plan(q(spark, sf_dir))
+            keys = {
+                re.sub(r"#\d+L?", "", m).strip()
+                for m in re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)
+            }
+            assert keys <= {"user_id"}, f"unexpected exchange keys: {keys}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
