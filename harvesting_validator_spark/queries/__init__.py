@@ -16,6 +16,7 @@ from __future__ import annotations
 from harvesting_validator_spark.queries import (
     dedup,
     eventops,
+    graphops,
     kg,
     mm,
     relational,
@@ -27,7 +28,18 @@ from harvesting_validator_spark.queries import (
 
 ALL_QUERIES = {}
 ALL_ORACLES = {}
-for _m in (relational, textops, textprep, eventops, dedup, similarity, kg, mm, sketches):
+for _m in (
+    relational,
+    textops,
+    textprep,
+    eventops,
+    graphops,
+    dedup,
+    similarity,
+    kg,
+    mm,
+    sketches,
+):
     overlap = set(ALL_QUERIES) & set(_m.QUERIES)
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

@@ -228,3 +228,16 @@ def test_eventops_single_user_exchange(spark, sf_dir):
             assert keys <= {"user_id"}, f"unexpected exchange keys: {keys}"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_range_join_is_bucketized_equi_join(spark, sf_dir):
+    """The incident range join must plan as an equi-join on
+    (user_id, bucket) — never BroadcastNestedLoopJoin/CartesianProduct,
+    which is what a naive inequality join degenerates to and what melts
+    at corpus scale."""
+    from harvesting_validator_spark.queries import graphops
+
+    plan = _plan(graphops.q_range_join_incidents(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # it IS a join, just an equi one
