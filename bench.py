@@ -44,6 +44,13 @@ HEADLINE = [
     "chunk_documents",
     "pack_sequences",
     "contamination_flags",
+    # r3 wave 2: window-function analytics (one user_id shuffle), the
+    # shuffle-free repetition filter, and iterative graph analytics
+    # (K pregel-by-join rounds, integer fixed-point)
+    "sessionize_events",
+    "range_join_incidents",
+    "quality_repetition",
+    "pagerank_bipartite",
 ]
 
 

@@ -290,6 +290,44 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# --- multidimensional aggregation (CUBE / grouping sets) ----------------------
+def q_orders_cube(spark, sf_dir):
+    """CUBE over (status, priority): all four grouping sets in ONE pass —
+    Spark expands the sets map-side and partial-aggregates each, so the
+    corpus is scanned once regardless of dimension count (the OLAP
+    rollup shape). grouping_id() disambiguates subtotal rows; group
+    values are never null here so 'ALL' backfill is a plain coalesce on
+    both engines."""
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum(money("o_totalprice")), 2).alias("total_price"),
+        )
+        .select(
+            "gid",
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+O_CUBE = """
+SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 QUERIES = {
     "delta_status_filter": q_delta_status_filter,
     "ask_exists_semi": q_ask_exists_semi,
@@ -306,6 +344,7 @@ QUERIES = {
     "sha_invariant": q_sha_invariant,
     "rlike_filter": q_rlike_filter,
     "tpch_q1": q_tpch_q1,
+    "orders_cube": q_orders_cube,
 }
 
 ORACLES = {
@@ -324,4 +363,5 @@ ORACLES = {
     "sha_invariant": O_SHA,
     "rlike_filter": O_RLIKE,
     "tpch_q1": O_Q1,
+    "orders_cube": O_CUBE,
 }

@@ -258,12 +258,58 @@ FROM embeddings
 """
 
 
+# --- per-label centroids (the k-means / IVF training step) --------------------
+def q_embedding_centroids(spark, sf_dir):
+    """Element-wise mean embedding per label — the centroid update step
+    of k-means / IVF coarse-quantizer training. posexplode → one
+    (label, pos)-keyed groupBy with map-side partial sums; at 10^9
+    vectors the shuffle carries only dim × labels partials per map task.
+
+    Fp determinism: each element is summed as DECIMAL(28,9) (double →
+    decimal is unambiguous at scale ≥ 1: a binary double can never land
+    exactly on a decimal half-boundary), so the sum is exact and
+    order-independent; the mean divides once in double at the end.
+    """
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    return (
+        e.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("val").cast("double").cast("decimal(28,9)")).alias("s"),
+        )
+        .select(
+            "label",
+            "pos",
+            "n_vectors",
+            dround(F.col("s").cast("double") / F.col("n_vectors"), 6).alias(
+                "mean_val"
+            ),
+        )
+    )
+
+
+O_CENTROIDS = """
+WITH t AS (
+  SELECT label, u.pos AS pos,
+         CAST(CAST(embedding[u.pos + 1] AS DOUBLE) AS DECIMAL(28,9)) AS val
+  FROM embeddings, unnest(range(0, len(embedding))) AS u(pos)
+)
+SELECT label, CAST(pos AS INT) AS pos,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(sum(val) AS DOUBLE) / count(*), 6) AS mean_val
+FROM t GROUP BY label, pos
+"""
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "cosine_topk_ivf": q_cosine_topk_ivf,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_norms": q_embedding_norms,
+    "embedding_centroids": q_embedding_centroids,
 }
 
 ORACLES = {
@@ -272,4 +318,5 @@ ORACLES = {
     "ann_lsh_buckets": O_ANN_BUCKETS,
     "ann_lsh_topk": O_ANN_TOPK,
     "embedding_norms": O_NORMS,
+    "embedding_centroids": O_CENTROIDS,
 }
