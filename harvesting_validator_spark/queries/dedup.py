@@ -451,6 +451,52 @@ QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY cos DESC, vec_a, vec_b) 
 """
 
 
+# --- incremental dedup: new batch vs an existing LSH index --------------------
+def q_dedup_incremental_novel(spark, sf_dir):
+    """Dedup a NEW crawl batch against the EXISTING corpus index without
+    ever forming doc-doc pairs: the index is the distinct (band_id,
+    band_hash) set of already-ingested docs (here: doc_id % 10 != 0
+    stands in for the corpus, % 10 == 0 for the new batch); each batch
+    doc probes its own bands with a left join and is novel iff NO band
+    hits. This is the steady-state shape of corpus-scale dedup — the
+    index is an append-only band table, the per-batch cost is
+    |batch| × bands probes (one keyed equi-join), never the quadratic
+    candidate stream a full self-join re-pays every ingest."""
+    bands = _band_table(spark, sf_dir)
+    idx = (
+        bands.filter(F.col("doc_id") % 10 != 0)
+        .select("band_id", "band_hash")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    batch = bands.filter(F.col("doc_id") % 10 == 0)
+    joined = batch.join(idx, ["band_id", "band_hash"], "left")
+    return joined.groupBy("doc_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias(
+            "n_hit_bands"
+        ),
+        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) == 0).alias("is_novel"),
+    )
+
+
+O_INCREMENTAL_NOVEL = (
+    _BAND_SQL
+    + """
+, idx AS (
+  SELECT DISTINCT band_id, band_hash FROM bands WHERE doc_id % 10 != 0
+),
+batch AS (SELECT * FROM bands WHERE doc_id % 10 = 0)
+SELECT b.doc_id,
+       CAST(sum(CASE WHEN i.band_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit_bands,
+       sum(CASE WHEN i.band_hash IS NOT NULL THEN 1 ELSE 0 END) = 0 AS is_novel
+FROM batch b
+LEFT JOIN idx i ON b.band_id = i.band_id AND b.band_hash = i.band_hash
+GROUP BY b.doc_id
+"""
+)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -460,6 +506,7 @@ QUERIES = {
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "lsh_verified_pairs": q_lsh_verified_pairs,
+    "dedup_incremental_novel": q_dedup_incremental_novel,
 }
 
 ORACLES = {
@@ -471,4 +518,5 @@ ORACLES = {
     "simhash": O_SIMHASH,
     "ngram_jaccard": O_JACCARD,
     "lsh_verified_pairs": O_LSH_VERIFIED,
+    "dedup_incremental_novel": O_INCREMENTAL_NOVEL,
 }
