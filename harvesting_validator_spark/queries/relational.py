@@ -290,6 +290,35 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# --- exact grouped percentiles ------------------------------------------------
+def q_price_percentiles(spark, sf_dir):
+    """Exact p25/p50/p75 of order totals per status — Spark's
+    `percentile` (exact, linear interpolation at h = (n-1)·p, the
+    type-7 definition DuckDB's quantile_cont shares). Exact percentile
+    sorts within each group — the right tool for low-cardinality group
+    keys; the sketch pair (`sketch_price_quantiles`) is the
+    corpus-scale approximation with error bounds."""
+    o = tbl(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))")
+    g = o.groupBy("o_orderstatus").agg(pct.alias("p"))
+    return g.select(
+        "o_orderstatus",
+        dround(F.col("p")[0], 4).alias("p25"),
+        dround(F.col("p")[1], 4).alias("p50"),
+        dround(F.col("p")[2], 4).alias("p75"),
+    )
+
+
+O_PERCENTILES = """
+SELECT o_orderstatus,
+       round(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE), 4) AS p25,
+       round(CAST(quantile_cont(o_totalprice, 0.5)  AS DOUBLE), 4) AS p50,
+       round(CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE), 4) AS p75
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 # --- multidimensional aggregation (CUBE / grouping sets) ----------------------
 def q_orders_cube(spark, sf_dir):
     """CUBE over (status, priority): all four grouping sets in ONE pass —
@@ -345,6 +374,7 @@ QUERIES = {
     "rlike_filter": q_rlike_filter,
     "tpch_q1": q_tpch_q1,
     "orders_cube": q_orders_cube,
+    "price_percentiles": q_price_percentiles,
 }
 
 ORACLES = {
@@ -364,4 +394,5 @@ ORACLES = {
     "rlike_filter": O_RLIKE,
     "tpch_q1": O_Q1,
     "orders_cube": O_CUBE,
+    "price_percentiles": O_PERCENTILES,
 }

@@ -358,20 +358,10 @@ def parse_ntriples(text: str) -> list[Triple]:
     return _TurtleParser(text).parse()
 
 
-def parse_jsonld(text: str) -> list[Triple]:
-    """JSON-LD subset: @graph list or node object(s) with a flat root
-    @context (string mappings or expanded term definitions that are
-    exactly {"@id": str}); values are node refs {"@id":...}, typed values
-    {"@value":..,"@type"/"@language":..}, JSON scalars, or NESTED node
-    objects (minted as blank nodes and recursed, the Turtle `[...]`
-    analog). Everything needing the full expansion algorithm — remote
-    (string) or array contexts, scoped @context inside child nodes, term
-    definitions carrying coercion (@type/@container/@reverse), @list —
-    RAISES RdfParseError so the doc degrades to a parse_error row instead
-    of silently emitting wrong triples (ADVICE r2 polish; the reference
-    handles those via Jena and no fixture exercises them)."""
-    doc = json.loads(text)
-    ctx = doc.get("@context", {}) if isinstance(doc, dict) else {}
+def _validate_jsonld_ctx(ctx) -> dict:
+    """Accept only the flat-dict context subset (string mappings or
+    expanded term definitions that are exactly {"@id": str}); anything
+    needing the full expansion algorithm raises."""
     if not isinstance(ctx, dict):
         # remote-URL or array contexts need the full expansion algorithm
         raise RdfParseError("unsupported JSON-LD @context shape")
@@ -380,20 +370,44 @@ def parse_jsonld(text: str) -> list[Triple]:
             raise RdfParseError(
                 f"unsupported JSON-LD term definition for {term!r}"
             )
+    return ctx
 
-    def expand(term: str) -> str:
-        d = ctx.get(term)
-        if isinstance(d, str):
-            return d
-        if isinstance(d, dict):
-            return d["@id"]
-        prefix, sep, local = term.partition(":")
-        p = ctx.get(prefix) if sep else None
-        if isinstance(p, str):
-            return p + local
-        if isinstance(p, dict):
-            return p["@id"] + local
-        return term
+
+def _jsonld_expand(term: str, ctx: dict) -> str:
+    d = ctx.get(term)
+    if isinstance(d, str):
+        return d
+    if isinstance(d, dict):
+        return d["@id"]
+    prefix, sep, local = term.partition(":")
+    p = ctx.get(prefix) if sep else None
+    if isinstance(p, str):
+        return p + local
+    if isinstance(p, dict):
+        return p["@id"] + local
+    return term
+
+
+def parse_jsonld(text: str) -> list[Triple]:
+    """JSON-LD subset: @graph list or node object(s) with flat-dict
+    @context (string mappings or expanded term definitions that are
+    exactly {"@id": str}); values are node refs {"@id":...}, typed values
+    {"@value":..,"@type"/"@language":..}, JSON scalars, or NESTED node
+    objects (minted as blank nodes and recursed, the Turtle `[...]`
+    analog). Scoped @context on a child node is supported WITHIN that
+    subset: the child mapping merges over (shadows) the inherited one for
+    that node and its descendants — JSON-LD 1.1 embedded-context
+    propagation for flat dicts — while siblings keep the parent mapping.
+    Everything still needing the full expansion algorithm — remote
+    (string) or array contexts anywhere, term definitions carrying
+    coercion (@type/@container/@reverse), @list — RAISES RdfParseError so
+    the doc degrades to a parse_error row instead of silently emitting
+    wrong triples (ADVICE r2 polish; the reference handles those via Jena
+    and no fixture exercises them)."""
+    doc = json.loads(text)
+    root_ctx = _validate_jsonld_ctx(
+        doc.get("@context", {}) if isinstance(doc, dict) else {}
+    )
 
     nodes: list[dict]
     root_node = doc if isinstance(doc, dict) else None
@@ -413,16 +427,22 @@ def parse_jsonld(text: str) -> list[Triple]:
         counter[0] += 1
         return f"_:j{counter[0]}"
 
-    def emit_node(node: dict, subj: str | None = None) -> str:
+    def emit_node(node: dict, subj: str | None = None, ctx: dict | None = None) -> str:
         if not isinstance(node, dict):
             raise RdfParseError("JSON-LD node must be an object")
+        ctx = root_ctx if ctx is None else ctx
+        if "@context" in node and node is not root_node:
+            # scoped context: merge over the inherited mapping for this
+            # node AND its descendants (redefinitions shadow); same
+            # flat-dict subset rules as the root — anything richer still
+            # raises rather than resolving against the wrong context
+            ctx = {**ctx, **_validate_jsonld_ctx(node["@context"])}
+
+        def expand(term: str) -> str:
+            return _jsonld_expand(term, ctx)
+
         if subj is None:
             subj = expand(node["@id"]) if "@id" in node else fresh_bnode()
-        if "@context" in node and node is not root_node:
-            # scoped contexts rebind terms mid-tree — full expansion
-            # algorithm territory; degrade to a parse error, never to
-            # triples resolved against the wrong context
-            raise RdfParseError("unsupported nested JSON-LD @context")
         for key, vals in node.items():
             if key in ("@id", "@context"):
                 continue
@@ -454,13 +474,23 @@ def parse_jsonld(text: str) -> list[Triple]:
                             f"empty JSON-LD value object for predicate {pred}"
                         )
                     else:
-                        # nested node object: link then recurse
+                        # nested node object: link then recurse. The child
+                        # subject resolves under the CHILD's own scoped
+                        # context when it carries one (its @id must not
+                        # resolve against the parent mapping).
+                        child_ctx = ctx
+                        if isinstance(v, dict) and "@context" in v:
+                            child_ctx = {
+                                **ctx, **_validate_jsonld_ctx(v["@context"])
+                            }
                         child = (
-                            expand(v["@id"]) if "@id" in v else fresh_bnode()
+                            _jsonld_expand(v["@id"], child_ctx)
+                            if "@id" in v
+                            else fresh_bnode()
                         )
                         kind = "bnode" if child.startswith("_:") else "iri"
                         out.append(Triple(subj, pred, child, kind, None, None))
-                        emit_node(v, subj=child)
+                        emit_node(v, subj=child, ctx=ctx)
                 else:
                     lex, inferred = _json_scalar(v)
                     out.append(Triple(subj, pred, lex, "literal", inferred, None))

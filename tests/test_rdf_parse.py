@@ -122,15 +122,51 @@ def test_jsonld_expanded_term_definitions():
         # term definition with coercion
         '{"@context": {"w": {"@id": "http://e.org/w", "@type": "@id"}},'
         ' "@id": "http://s", "w": "http://o"}',
-        # scoped @context in a child node / graph member / list element
+        # scoped contexts are supported ONLY in the flat-dict subset:
+        # a remote/array scoped context must still degrade
         '{"@id": "http://s", "http://p":'
-        ' {"@context": {"ex": "http://x/"}, "ex:q": "v"}}',
-        '{"@graph": [{"@context": {"ex": "http://x/"},'
+        ' {"@context": "http://e.org/ctx.jsonld", "ex:q": "v"}}',
+        '{"@graph": [{"@context": [{"ex": "http://x/"}],'
         ' "@id": "http://s", "ex:q": "v"}]}',
-        '[{"@context": {"ex": "http://x/"}, "@id": "http://s", "ex:q": "v"}]',
     ]:
         with pytest.raises(RdfParseError):
             parse_jsonld(bad)
+
+
+def test_jsonld_scoped_contexts():
+    """Scoped @context (flat-dict subset) merges over the inherited
+    mapping for that node and its descendants — the child's own @id
+    resolves under the CHILD's context — while siblings keep the parent
+    mapping (JSON-LD 1.1 embedded-context propagation)."""
+    ts = parse_jsonld(
+        '{"@context": {"ex": "http://a/", "name": "http://a/name"},'
+        ' "@id": "ex:root", "name": "top",'
+        ' "ex:child": {"@context": {"ex": "http://b/",'
+        '                           "tag": {"@id": "http://b/tag"}},'
+        '              "@id": "ex:kid", "tag": "inner",'
+        '              "ex:grand": {"@id": "ex:deep"}},'
+        ' "ex:sibling": {"@id": "ex:sib"}}'
+    )
+    got = {(t.subj, t.pred, t.obj_value) for t in ts}
+    assert ("http://a/root", "http://a/name", "top") in got
+    # child @id + link resolve under the child's rebound 'ex'
+    assert ("http://a/root", "http://a/child", "http://b/kid") in got
+    # descendants inherit the merged mapping
+    assert ("http://b/kid", "http://b/tag", "inner") in got
+    assert ("http://b/kid", "http://b/grand", "http://b/deep") in got
+    # the sibling is untouched by the child's rebinding
+    assert ("http://a/root", "http://a/sibling", "http://a/sib") in got
+
+    # graph members and top-level list elements may carry their own context
+    ts2 = parse_jsonld(
+        '{"@graph": [{"@context": {"ex": "http://x/"},'
+        ' "@id": "http://s", "ex:q": "v"}]}'
+    )
+    assert {(t.subj, t.pred) for t in ts2} == {("http://s", "http://x/q")}
+    ts3 = parse_jsonld(
+        '[{"@context": {"ex": "http://x/"}, "@id": "ex:s", "ex:q": "v"}]'
+    )
+    assert {(t.subj, t.pred) for t in ts3} == {("http://x/s", "http://x/q")}
 
 
 def test_malformed_raises():
