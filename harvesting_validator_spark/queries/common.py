@@ -31,3 +31,10 @@ def md5_int(col) -> "F.Column":
 def tokens(col="text") -> "F.Column":
     """Whitespace tokenization; DuckDB mirror: string_split(text, ' ')."""
     return F.split(F.col(col), " ")
+
+
+def epoch_us(col="ts") -> "F.Column":
+    """Epoch microseconds for a parquet TIMESTAMP_NTZ column. The session
+    timezone is pinned to UTC (session.py), so NTZ -> TIMESTAMP is a
+    no-op reinterpretation and matches DuckDB's naive epoch_us(ts)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))

@@ -21,16 +21,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from harvesting_validator_spark.queries.common import epoch_us as _t_us
 from harvesting_validator_spark.queries.common import tbl
 
 SESSION_GAP_US = 1800 * 1_000_000  # 30 min, the classic web-session gap
-
-
-def _t_us(col="ts"):
-    """Epoch microseconds for a parquet TIMESTAMP_NTZ column. The session
-    timezone is pinned to UTC (session.py), so NTZ -> TIMESTAMP is a
-    no-op reinterpretation and matches DuckDB's naive epoch_us(ts)."""
-    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 # --- gap-based sessionization -------------------------------------------------
@@ -40,8 +34,12 @@ def q_sessionize_events(spark, sf_dir):
     lag() over (user_id, ts, event_id) marks session starts; a running
     sum of the marks numbers sessions 1..n per user. The (ts, event_id)
     ordering is total, so session assignment is deterministic even under
-    timestamp ties. Exactly one shuffle (user_id); the rollup reuses the
-    same partitioning (session key is user_id-prefixed).
+    timestamp ties. A gap of EXACTLY the threshold starts a new session
+    (>=), matching the semantics of Spark's session_window — windows
+    [t, t+gap) merge only on overlap — so this operator and its
+    streaming twin (streaming/sessions.py) agree on every stream.
+    Exactly one shuffle (user_id); the rollup reuses the same
+    partitioning (session key is user_id-prefixed).
     """
     e = tbl(spark, sf_dir, "events").select(
         "event_id",
@@ -52,7 +50,7 @@ def q_sessionize_events(spark, sf_dir):
     )
     w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
     prev = F.lag("t_us").over(w)
-    is_start = (prev.isNull() | (F.col("t_us") - prev > SESSION_GAP_US)).cast("int")
+    is_start = (prev.isNull() | (F.col("t_us") - prev >= SESSION_GAP_US)).cast("int")
     sess = e.withColumn(
         "session_seq",
         F.sum(is_start).over(w.rowsBetween(Window.unboundedPreceding, 0)),
@@ -75,7 +73,7 @@ WITH e AS (
 m AS (
   SELECT *,
          CASE WHEN lag(t_us) OVER w IS NULL
-                OR t_us - lag(t_us) OVER w > {SESSION_GAP_US}
+                OR t_us - lag(t_us) OVER w >= {SESSION_GAP_US}
               THEN 1 ELSE 0 END AS is_start
   FROM e
   WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)

@@ -14,16 +14,18 @@ shuffle pair per iteration, partial-aggregated map-side; K is fixed (no
 driver round-trips). Degree stats are one groupBy. The range join avoids
 the inequality-join trap (BroadcastNestedLoop/cartesian at scale): each
 interval lands in ceil(len/bucket)+1 time buckets, probes equi-join on
-(user_id, bucket) — bounded fan-out — and an exact containment filter +
-first-bucket test (no dedup shuffle) keeps semantics identical to the
-naive formulation the DuckDB oracle uses.
+(user_id, bucket) — bounded fan-out — and an exact containment filter
+restores semantics; each probe row participates only at its OWN bucket,
+so every (incident, probe) pair matches exactly once with no dedup
+shuffle — identical results to the naive formulation the DuckDB oracle
+uses.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from harvesting_validator_spark.queries.common import tbl
+from harvesting_validator_spark.queries.common import epoch_us, tbl
 
 PR_ITERS = 5
 PR_SCALE = 1_000_000  # rank fixed-point scale
@@ -66,9 +68,9 @@ edges AS (
 
 # --- degree statistics --------------------------------------------------------
 def q_graph_degree_stats(spark, sf_dir):
-    """Out-degree per node + the degree histogram's top ranks collapsed
-    into one result: per-node degree (the building block for skew
-    detection / salting decisions at scale)."""
+    """Out-degree per node — the building block for skew detection /
+    salting decisions at scale (a hot key shows up as a degree outlier
+    before it melts a join)."""
     e = _edges(spark, sf_dir)
     return e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
 
@@ -156,7 +158,7 @@ def q_range_join_incidents(spark, sf_dir):
         "event_id",
         "user_id",
         "event_type",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        epoch_us().alias("t_us"),
     )
     w = F.lit(INCIDENT_WINDOW_US)
     # incidents replicated to every bucket their window overlaps

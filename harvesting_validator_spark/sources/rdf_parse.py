@@ -454,6 +454,14 @@ def parse_jsonld(text: str) -> list[Triple]:
             for v in vals if isinstance(vals, list) else [vals]:
                 if isinstance(v, dict):
                     if "@value" in v:
+                        if "@context" in v:
+                            # a scoped context inside a VALUE object would
+                            # rebind the @type term; degrade rather than
+                            # emit a wrongly-typed literal
+                            raise RdfParseError(
+                                "unsupported @context inside a JSON-LD "
+                                "value object"
+                            )
                         dt = expand(v["@type"]) if "@type" in v else None
                         lang = v.get("@language")
                         lex, inferred = _json_scalar(v["@value"])
@@ -477,9 +485,12 @@ def parse_jsonld(text: str) -> list[Triple]:
                         # nested node object: link then recurse. The child
                         # subject resolves under the CHILD's own scoped
                         # context when it carries one (its @id must not
-                        # resolve against the parent mapping).
+                        # resolve against the parent mapping); the merged
+                        # mapping is passed down so the recursive call's
+                        # re-merge is an idempotent no-op, not a second
+                        # validation of a different dict.
                         child_ctx = ctx
-                        if isinstance(v, dict) and "@context" in v:
+                        if "@context" in v:
                             child_ctx = {
                                 **ctx, **_validate_jsonld_ctx(v["@context"])
                             }
@@ -490,7 +501,7 @@ def parse_jsonld(text: str) -> list[Triple]:
                         )
                         kind = "bnode" if child.startswith("_:") else "iri"
                         out.append(Triple(subj, pred, child, kind, None, None))
-                        emit_node(v, subj=child, ctx=ctx)
+                        emit_node(v, subj=child, ctx=child_ctx)
                 else:
                     lex, inferred = _json_scalar(v)
                     out.append(Triple(subj, pred, lex, "literal", inferred, None))

@@ -209,9 +209,12 @@ def test_quality_repetition_is_shuffle_free(spark, sf_dir):
 
 
 def test_eventops_single_user_exchange(spark, sf_dir):
-    """Sessionization and the as-of join are one-shuffle operators: every
-    hash exchange in their plans is keyed by user_id alone (the window
-    partition key); the rollup reuses the window's partitioning."""
+    """Sessionization and the as-of join are ONE-shuffle operators: the
+    plan contains exactly one hash exchange, keyed by user_id alone (the
+    window partition key); the rollup must reuse the window's
+    partitioning. Both the full key list of every exchange AND the
+    exchange count are asserted — a regression that adds a second
+    exchange (e.g. on (user_id, session_seq)) fails either way."""
     import re
 
     from harvesting_validator_spark.queries import eventops
@@ -221,11 +224,14 @@ def test_eventops_single_user_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         for q in (eventops.q_sessionize_events, eventops.q_asof_last_action):
             plan = _plan(q(spark, sf_dir))
+            exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+            assert len(exchanges) == 1, f"{len(exchanges)} exchanges:\n{plan}"
             keys = {
-                re.sub(r"#\d+L?", "", m).strip()
-                for m in re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)
+                re.sub(r"#\d+L?", "", tok).strip()
+                for tok in exchanges[0].split(",")
             }
-            assert keys <= {"user_id"}, f"unexpected exchange keys: {keys}"
+            keys -= {t for t in keys if t.isdigit()}  # partition count arg
+            assert keys == {"user_id"}, f"unexpected exchange keys: {keys}"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 

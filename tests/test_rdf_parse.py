@@ -128,6 +128,11 @@ def test_jsonld_expanded_term_definitions():
         ' {"@context": "http://e.org/ctx.jsonld", "ex:q": "v"}}',
         '{"@graph": [{"@context": [{"ex": "http://x/"}],'
         ' "@id": "http://s", "ex:q": "v"}]}',
+        # a scoped context inside a VALUE object would rebind the @type
+        # term — must degrade, never emit a wrongly-typed literal
+        '{"@id": "http://s", "http://p":'
+        ' {"@value": "5", "@type": "n",'
+        '  "@context": {"n": "http://x/num"}}}',
     ]:
         with pytest.raises(RdfParseError):
             parse_jsonld(bad)

@@ -25,13 +25,13 @@ def test_streaming_validation_end_to_end(spark, tmp_path):
         "append"
     ).parquet(landing)
     q = run_streaming_validation(spark, landing, APPLICATION_PROFILE, wh)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream run did not finish in time"
     assert spark.read.parquet(f"{wh}/verdicts").count() == 20
 
     # more files land (including re-delivered duplicates of batch 1)
     corpus.write.mode("append").parquet(landing)
     q = run_streaming_validation(spark, landing, APPLICATION_PROFILE, wh)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream run did not finish in time"
 
     verdicts = spark.read.parquet(f"{wh}/verdicts")
     assert verdicts.count() == 40  # doc-level dedup absorbed the replays
@@ -75,7 +75,7 @@ def test_stateful_first_seen_dedup_across_batches_and_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream run did not finish in time"
 
     # batch 1: docs 0..19 land
     corpus.filter(F.col("path").rlike("page[0-1]?[0-9]\\.")).write.mode(

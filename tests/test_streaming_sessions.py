@@ -39,7 +39,7 @@ def _run(spark, tmp_path, landing):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow run did not finish in 120s"
     try:
         rows = spark.read.parquet(sink).collect()
     except Exception:  # nothing emitted yet
