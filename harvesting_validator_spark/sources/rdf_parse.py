@@ -522,6 +522,123 @@ def _json_scalar(v: object) -> tuple[str, str]:
     return (str(v), XSD_STRING)
 
 
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+
+
+def parse_rdfxml(text: str) -> list[Triple]:
+    """RDF/XML subset (the reference ingests any Jena-readable
+    serialization; this covers the striped node/property grammar):
+    `rdf:RDF` root (or a single node element), `rdf:Description` and
+    typed node elements with `rdf:about`/`rdf:nodeID`, property
+    elements carrying `rdf:resource`/`rdf:nodeID`/`rdf:datatype`/
+    `xml:lang` (inherited from ancestors) or text content (plain text ≡
+    `xsd:string`, RDF 1.1), nested node elements (minted bnodes, the
+    `[...]` analog), and `rdf:parseType="Resource"` shorthand.
+    Constructs needing the full grammar — `rdf:ID`/`rdf:about` relative
+    to a base, `rdf:li`/containers, `parseType="Collection"/"Literal"`,
+    reification attributes — RAISE RdfParseError so the doc degrades to
+    a parse_error row, never to wrong triples (same contract as the
+    JSON-LD subset)."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError as exc:
+        raise RdfParseError(f"malformed RDF/XML: {exc}") from None
+
+    out: list[Triple] = []
+    counter = [0]
+
+    def fresh_bnode() -> str:
+        counter[0] += 1
+        return f"_:x{counter[0]}"
+
+    def iri_of(tag: str) -> str:
+        if not tag.startswith("{"):
+            raise RdfParseError(f"unnamespaced RDF/XML element {tag!r}")
+        ns, local = tag[1:].split("}", 1)
+        return ns + local
+
+    def subject_of(el) -> str:
+        about = el.get(f"{{{_RDF_NS}}}about")
+        node_id = el.get(f"{{{_RDF_NS}}}nodeID")
+        if el.get(f"{{{_RDF_NS}}}ID") is not None:
+            raise RdfParseError("rdf:ID needs base resolution (unsupported)")
+        if about is not None:
+            return about
+        if node_id is not None:
+            return f"_:{node_id}"
+        return fresh_bnode()
+
+    def emit_node(el, lang: str | None) -> str:
+        """Node element → subject; returns the subject term."""
+        lang = el.get(_XML_LANG, lang)
+        subj = subject_of(el)
+        tag_iri = iri_of(el.tag)
+        if tag_iri != _RDF_NS + "Description":
+            out.append(Triple(subj, RDF_TYPE, tag_iri, "iri", None, None))
+        # non-rdf, non-xml ATTRIBUTES are string-literal properties
+        for k, v in el.attrib.items():
+            if k.startswith(f"{{{_RDF_NS}}}") or k.startswith(
+                "{http://www.w3.org/XML/1998/namespace}"
+            ):
+                continue
+            out.append(Triple(subj, iri_of(k), v, "literal", XSD_STRING, None))
+        for prop in el:
+            emit_property(subj, prop, lang)
+        return subj
+
+    def emit_property(subj: str, prop, lang: str | None) -> None:
+        pred = iri_of(prop.tag)
+        if pred == _RDF_NS + "li" or pred.startswith(_RDF_NS + "_"):
+            raise RdfParseError("rdf:li/container members unsupported")
+        lang = prop.get(_XML_LANG, lang)
+        parse_type = prop.get(f"{{{_RDF_NS}}}parseType")
+        resource = prop.get(f"{{{_RDF_NS}}}resource")
+        node_id = prop.get(f"{{{_RDF_NS}}}nodeID")
+        datatype = prop.get(f"{{{_RDF_NS}}}datatype")
+        children = list(prop)
+        text = (prop.text or "").strip() if not children else ""
+        if parse_type == "Resource":
+            # anonymous bnode whose property elements are prop's children
+            b = fresh_bnode()
+            out.append(Triple(subj, pred, b, "bnode", None, None))
+            for sub in children:
+                emit_property(b, sub, lang)
+            return
+        if parse_type is not None:
+            raise RdfParseError(f"parseType={parse_type!r} unsupported")
+        if resource is not None:
+            out.append(Triple(subj, pred, resource, "iri", None, None))
+            return
+        if node_id is not None:
+            out.append(Triple(subj, pred, f"_:{node_id}", "bnode", None, None))
+            return
+        if children:
+            if len(children) != 1 or text:
+                raise RdfParseError("mixed content in RDF/XML property")
+            child_subj = emit_node(children[0], lang)
+            kind = "bnode" if child_subj.startswith("_:") else "iri"
+            out.append(Triple(subj, pred, child_subj, kind, None, None))
+            return
+        raw = prop.text or ""
+        if datatype is not None:
+            out.append(Triple(subj, pred, raw, "literal", datatype, None))
+        elif lang is not None:
+            out.append(Triple(subj, pred, raw, "literal", None, lang.lower()))
+        else:
+            out.append(Triple(subj, pred, raw, "literal", XSD_STRING, None))
+
+    root_lang = root.get(_XML_LANG)
+    if iri_of(root.tag) == _RDF_NS + "RDF":
+        for el in root:
+            emit_node(el, root_lang)
+    else:  # a single node element as document root
+        emit_node(root, root_lang)
+    return out
+
+
 _PARSERS = {
     "turtle": parse_turtle,
     "ttl": parse_turtle,
@@ -529,6 +646,10 @@ _PARSERS = {
     "nt": parse_ntriples,
     "jsonld": parse_jsonld,
     "json-ld": parse_jsonld,
+    "rdfxml": parse_rdfxml,
+    "rdf/xml": parse_rdfxml,
+    "rdf": parse_rdfxml,
+    "xml": parse_rdfxml,
 }
 
 

@@ -243,3 +243,107 @@ def test_parser_kernel_bug_yields_error_row_not_job_failure(spark):
     assert triples.count() == 1
     errs = errors.collect()
     assert len(errs) == 1 and "value object" in errs[0].parse_error
+
+
+RDFXML_DOC = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://example.com/ns#">
+  <ex:Person rdf:about="http://example.com/ns#Alice" ex:nick="Al">
+    <ex:ssn rdf:datatype="http://www.w3.org/2001/XMLSchema#string">123-45-6789</ex:ssn>
+    <ex:name>Alice</ex:name>
+    <ex:label xml:lang="EN">A label</ex:label>
+    <ex:worksFor rdf:resource="http://example.com/ns#Acme"/>
+    <ex:address rdf:parseType="Resource">
+      <ex:city>Gent</ex:city>
+    </ex:address>
+    <ex:friend>
+      <rdf:Description rdf:nodeID="b1">
+        <ex:name>Bob</ex:name>
+      </rdf:Description>
+    </ex:friend>
+  </ex:Person>
+</rdf:RDF>"""
+
+TURTLE_EQUIV = """@prefix ex: <http://example.com/ns#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:Alice a ex:Person ;
+  ex:nick "Al" ;
+  ex:ssn "123-45-6789"^^xsd:string ;
+  ex:name "Alice" ;
+  ex:label "A label"@en ;
+  ex:worksFor ex:Acme ;
+  ex:address _:a1 ;
+  ex:friend _:b1 .
+_:a1 ex:city "Gent" .
+_:b1 ex:name "Bob" .
+"""
+
+
+def _canon(triples):
+    """Triple set with bnode labels canonicalized away (the two formats
+    mint different labels; identity under renaming is what matters)."""
+    return {
+        (
+            "_:" if t.subj.startswith("_:") else t.subj,
+            t.pred,
+            "_:" if t.obj_kind == "bnode" else t.obj_value,
+            t.obj_kind,
+            t.obj_datatype,
+            t.obj_lang,
+        )
+        for t in triples
+    }
+
+
+def test_rdfxml_matches_turtle_equivalent():
+    from harvesting_validator_spark.sources.rdf_parse import parse_rdfxml
+
+    assert _canon(parse_rdfxml(RDFXML_DOC)) == _canon(parse_turtle(TURTLE_EQUIV))
+
+
+def test_rdfxml_unsupported_constructs_degrade():
+    from harvesting_validator_spark.sources.rdf_parse import parse_rdfxml
+
+    rdfns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    for bad in [
+        "not xml",
+        f'<rdf:RDF xmlns:rdf="{rdfns}"><rdf:Description rdf:ID="x"/></rdf:RDF>',
+        f'<rdf:RDF xmlns:rdf="{rdfns}" xmlns:ex="http://e/">'
+        '<rdf:Description rdf:about="http://s">'
+        '<ex:p rdf:parseType="Collection"/></rdf:Description></rdf:RDF>',
+        f'<rdf:RDF xmlns:rdf="{rdfns}" xmlns:ex="http://e/">'
+        '<rdf:Description rdf:about="http://s">'
+        "<rdf:li>v</rdf:li></rdf:Description></rdf:RDF>",
+        # unnamespaced property element
+        f'<rdf:RDF xmlns:rdf="{rdfns}">'
+        '<rdf:Description rdf:about="http://s"><p>v</p></rdf:Description>'
+        "</rdf:RDF>",
+    ]:
+        with pytest.raises(RdfParseError):
+            parse_rdfxml(bad)
+
+
+def test_rdfxml_through_spark_kernel(spark):
+    """RDF/XML flows through the Arrow parse kernel by lang tag, mixing
+    with other formats in one batch; a malformed sibling degrades to a
+    parse_error row without touching the good doc."""
+    from harvesting_validator_spark.sources.rdf_parse import (
+        parse_sources_to_triples,
+    )
+
+    rows = [
+        ("r", "a.rdf", "c1", "rdfxml", RDFXML_DOC),
+        ("r", "b.ttl", "c2", "turtle", TURTLE_EQUIV),
+        ("r", "c.rdf", "c3", "rdfxml", "<rdf:RDF>broken"),
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    triples, errors = parse_sources_to_triples(src, with_errors=True)
+    per_doc = {
+        r.doc_id: r["count"]
+        for r in triples.groupBy("doc_id").count().collect()
+    }
+    assert sorted(per_doc.values()) == [10, 10]  # same triple count both formats
+    errs = errors.collect()
+    assert len(errs) == 1 and "malformed RDF/XML" in errs[0].parse_error
