@@ -347,3 +347,59 @@ def test_rdfxml_through_spark_kernel(spark):
     assert sorted(per_doc.values()) == [10, 10]  # same triple count both formats
     errs = errors.collect()
     assert len(errs) == 1 and "malformed RDF/XML" in errs[0].parse_error
+
+
+# --- property test: RDF/XML and Turtle serializations of one graph agree ----
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORD = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789 ", min_size=0, max_size=24
+)
+_LOCAL = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8)
+_triple_spec = st.tuples(
+    _LOCAL,  # subject local name
+    _LOCAL,  # predicate local name
+    st.one_of(
+        st.tuples(st.just("lit"), _WORD),
+        st.tuples(st.just("iri"), _LOCAL),
+    ),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(specs=st.lists(_triple_spec, min_size=1, max_size=12))
+def test_rdfxml_turtle_cross_format_property(specs):
+    """Serialize ONE random graph to both RDF/XML and Turtle; both
+    parsers must produce the identical triple set (XML escaping, string
+    escaping, and xsd:string defaulting all have to agree for this to
+    hold on arbitrary inputs)."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    from harvesting_validator_spark.sources.rdf_parse import parse_rdfxml
+
+    ex = "http://example.com/ns#"
+    xml_parts = [
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:ex="http://example.com/ns#">'
+    ]
+    ttl_parts = ["@prefix ex: <http://example.com/ns#> ."]
+    for s, p, (kind, v) in specs:
+        if kind == "iri":
+            xml_parts.append(
+                f'<rdf:Description rdf:about={quoteattr(ex + s)}>'
+                f'<ex:{p} rdf:resource={quoteattr(ex + v)}/>'
+                "</rdf:Description>"
+            )
+            ttl_parts.append(f"ex:{s} ex:{p} ex:{v} .")
+        else:
+            xml_parts.append(
+                f'<rdf:Description rdf:about={quoteattr(ex + s)}>'
+                f"<ex:{p}>{escape(v)}</ex:{p}>"
+                "</rdf:Description>"
+            )
+            ttl_parts.append(f'ex:{s} ex:{p} "{v}" .')
+    xml_parts.append("</rdf:RDF>")
+    got_xml = set(parse_rdfxml("".join(xml_parts)))
+    got_ttl = set(parse_turtle("\n".join(ttl_parts)))
+    assert got_xml == got_ttl
