@@ -206,14 +206,74 @@ WHERE rank <= {TOPK_PER_LANG}
 """
 
 
+# --- funnel conversion --------------------------------------------------------
+def q_funnel_conversion(spark, sf_dir):
+    """signup → purchase funnel: per user, the first signup and the
+    first purchase STRICTLY AFTER it; the rollup reports how many users
+    entered the funnel and how many converted. One user_id groupBy with
+    conditional min aggregates — all funnel stages evaluate in a single
+    pass over the stream regardless of stage count, the scale-correct
+    shape (a per-stage self-join family would shuffle once per stage).
+    """
+    e = tbl(spark, sf_dir, "events").select(
+        "user_id", "event_type", _t_us().alias("t_us")
+    )
+    first_signup = F.min(F.when(F.col("event_type") == "signup", F.col("t_us")))
+    per_user = e.groupBy("user_id").agg(first_signup.alias("signup_us"))
+    # first purchase after the user's first signup: re-aggregate with the
+    # signup time joined back (broadcast: one row per user)
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(per_user.filter(F.col("signup_us").isNotNull()), "user_id")
+        .filter(F.col("t_us") > F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("purchase_us"))
+    )
+    per_user = per_user.join(conv, "user_id", "left")
+    return per_user.agg(
+        F.count(F.lit(1)).alias("total_users"),
+        F.count("signup_us").alias("n_signed"),
+        F.count("purchase_us").alias("n_converted"),
+        F.round(
+            F.count("purchase_us").cast("double")
+            / F.count("signup_us").cast("double"),
+            6,
+        ).alias("conversion_rate"),
+    )
+
+
+O_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS signup_us
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+  FROM events e JOIN per_user p ON e.user_id = p.user_id
+  WHERE e.event_type = 'purchase' AND p.signup_us IS NOT NULL
+    AND epoch_us(e.ts) > p.signup_us
+  GROUP BY e.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS total_users,
+       CAST(count(p.signup_us) AS BIGINT) AS n_signed,
+       CAST(count(c.purchase_us) AS BIGINT) AS n_converted,
+       round(CAST(count(c.purchase_us) AS DOUBLE)
+             / CAST(count(p.signup_us) AS DOUBLE), 6) AS conversion_rate
+FROM per_user p LEFT JOIN conv c ON p.user_id = c.user_id
+"""
+
+
 QUERIES = {
     "sessionize_events": q_sessionize_events,
     "asof_last_action": q_asof_last_action,
     "topk_docs_per_lang": q_topk_docs_per_lang,
+    "funnel_conversion": q_funnel_conversion,
 }
 
 ORACLES = {
     "sessionize_events": O_SESSIONS,
     "asof_last_action": O_ASOF,
     "topk_docs_per_lang": O_TOPK_LANG,
+    "funnel_conversion": O_FUNNEL,
 }
