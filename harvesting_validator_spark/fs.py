@@ -62,6 +62,14 @@ def file_size(spark: SparkSession, p: str) -> int:
     return int(fs.getFileStatus(path).getLen())
 
 
+def tree_size(spark: SparkSession, p: str) -> int:
+    """Total bytes under a path (file or directory) — one driver-side
+    content-summary call, the same number Spark's file-source planner
+    uses to size scan splits."""
+    fs, path = _fs_path(spark, p)
+    return int(fs.getContentSummary(path).getLength())
+
+
 def join(*parts: str) -> str:
     """URI-safe path join (os.path.join would mangle scheme prefixes on
     non-POSIX hosts and is wrong for URIs on principle)."""

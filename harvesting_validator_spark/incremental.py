@@ -88,6 +88,7 @@ class IncrementalLedger:
         self.spark = spark
         self.processed_path = fs.join(warehouse, "_processed")
         self.inflight_path = fs.join(warehouse, "_inflight")
+        self.watermarks_path = fs.join(warehouse, "_watermarks")
 
     def _read(self, path: str, schema: str) -> DataFrame:
         if not fs.exists(self.spark, path):
@@ -102,11 +103,58 @@ class IncrementalLedger:
     def read_inflight(self) -> DataFrame:
         return self._read(self.inflight_path, "doc_id string, batch_id string")
 
-    def new_docs(self, sources: DataFrame) -> DataFrame:
-        """Source rows whose doc_id has never been processed (snapshot-diff
-        analog: at cluster scale this is an Iceberg incremental scan)."""
-        seen = self.read().select("doc_id")
-        return sources.join(seen, "doc_id", "left_anti")
+    def read_watermarks(self) -> DataFrame:
+        return self._read(
+            self.watermarks_path,
+            "run_id string, high_watermark double, committed_at double",
+        )
+
+    def new_docs(
+        self, sources: DataFrame, watermark_col: str | None = None
+    ) -> DataFrame:
+        """Source rows whose doc_id has never been processed.
+
+        Without a watermark column this is the full-ledger anti-join —
+        O(history) per batch, correct for any source table.
+
+        With ``watermark_col`` (a source column that is MONOTONE over
+        appends — ingest timestamp, snapshot id, commit sequence) the
+        read emulates an Iceberg snapshot diff (VERDICT r3 ask #7):
+
+        * rows at or below the committed high-watermark are already
+          processed by the append-only contract — pruned with a plain
+          column filter, NO join, NO ledger read;
+        * the anti-join safety net (for runs that marked docs but crashed
+          before committing their watermark) reads ONLY the processed
+          ledger's run_id partitions not yet covered by a committed
+          watermark — parquet PARTITION PRUNING on the run window, empty
+          in the steady state.
+
+        Per-batch cost is O(new rows) + O(crash window), independent of
+        corpus history — the property that keeps a years-old 100 TB
+        warehouse's intake as cheap as day one's."""
+        if watermark_col is None:
+            seen = self.read().select("doc_id")
+            return sources.join(seen, "doc_id", "left_anti")
+        wms = self.read_watermarks().collect()  # tiny: one row per run
+        hw = max((r.high_watermark for r in wms), default=None)
+        covered = [r.run_id for r in wms]
+        candidates = (
+            sources
+            if hw is None
+            else sources.filter(F.col(watermark_col) > F.lit(hw))
+        )
+        if not fs.exists(self.spark, self.processed_path):
+            return candidates
+        # run_id is the ledger's PARTITION column: this filter prunes at
+        # the file-listing level (PartitionFilters in the scan node), so
+        # covered run directories are never opened
+        uncovered = (
+            self.read()
+            .filter(~F.col("run_id").isin(covered) if covered else F.lit(True))
+            .select("doc_id")
+        )
+        return candidates.join(uncovered, "doc_id", "left_anti")
 
     def record_intent(self, doc_ids: DataFrame, run_id: str) -> None:
         """Step 1 of the replay protocol: persist (doc_id, batch_id)
@@ -135,7 +183,21 @@ class IncrementalLedger:
             F.lit(run_id).alias("run_id"),
             F.lit(time.time()).alias("processed_at"),
         )
-        rows.write.mode("append").parquet(self.processed_path)
+        # run_id partitions are the "run window" the snapshot-diff path
+        # prunes on (new_docs): keep them physical directories
+        rows.write.mode("append").partitionBy("run_id").parquet(
+            self.processed_path
+        )
+
+    def record_watermark(self, run_id: str, high_watermark: float) -> None:
+        """Step 4 (after mark): commit the batch's source high-watermark.
+        From here on, this run's ledger partition is pruned from every
+        future new_docs anti-join; rows at or below the watermark are
+        excluded by the column filter alone."""
+        self.spark.createDataFrame(
+            [(run_id, float(high_watermark), time.time())],
+            "run_id string, high_watermark double, committed_at double",
+        ).write.mode("append").parquet(self.watermarks_path)
 
     def compact_inflight(self) -> int:
         """Drop intent rows whose docs are fully processed — dead entries
@@ -162,10 +224,14 @@ def process_incremental(
     shapes_turtle: str,
     warehouse: str,
     run_id: str | None = None,
+    watermark_col: str | None = None,
 ):
     """One incremental batch: validate ONLY unseen docs, append their
     verdicts/valid-triples under a batch_id=<run_id> output partition,
-    mark them processed. Returns (n_new_docs, verdicts_df_for_this_batch)."""
+    mark them processed. Returns (n_new_docs, verdicts_df_for_this_batch).
+
+    watermark_col: monotone source column enabling the snapshot-diff
+    intake path (see IncrementalLedger.new_docs)."""
     from harvesting_validator_spark.plans.pipeline import (
         add_doc_id,
         run_validation,
@@ -173,7 +239,7 @@ def process_incremental(
 
     run_id = run_id or uuid.uuid4().hex[:12]
     ledger = IncrementalLedger(spark, warehouse)
-    batch = ledger.new_docs(add_doc_id(sources))
+    batch = ledger.new_docs(add_doc_id(sources), watermark_col=watermark_col)
     n_new = batch.count()
     if n_new == 0:
         return 0, None
@@ -192,6 +258,12 @@ def process_incremental(
         run_id, doubt,
     )
     ledger.mark(batch.select("doc_id"), run_id)
+    if watermark_col is not None:
+        hw = batch.agg(F.max(watermark_col).alias("hw")).first().hw
+        if hw is not None:
+            # commits AFTER mark: a crash in between leaves this run's
+            # partition uncovered, where the bounded anti-join finds it
+            ledger.record_watermark(run_id, float(hw))
     # keep the intent ledger at exactly the in-doubt set (cheap: both
     # ledgers are narrow key tables; a crash between mark and here just
     # leaves dead rows for the next batch's compaction)

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from harvesting_validator_spark.runtime import persistent_rdd_ids, unpersist_rdds
+
 
 def _sort_key(col):
     """Canonical-id ordering: IRIs before blank nodes ('_:' would
@@ -54,6 +56,8 @@ def connected_components(
     edges = edges.select(
         _sort_key(F.col("src")).alias("src"), _sort_key(F.col("dst")).alias("dst")
     )
+    spark = edges.sparkSession
+    pre_ids = persistent_rdd_ids(spark)
     und = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
@@ -64,12 +68,12 @@ def connected_components(
         # whole pipeline (measured 57s -> ~3s for the 5k-doc bench corpus)
         .localCheckpoint()
     )
+    und_ids = persistent_rdd_ids(spark) - pre_ids
     # iterative rounds work on small (node,label) tables whose size is
     # known after the checkpoint: size the loop's shuffle partitions to
     # the data instead of the session-wide corpus setting (64 near-empty
     # reduce tasks per join made each tiny round cost like a corpus scan;
     # at web scale `und` is huge and this keeps the session value)
-    spark = edges.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     loop_parts = max(8, min(int(prev_parts), und.count() // 200_000 + 8))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
@@ -83,6 +87,11 @@ def connected_components(
                 F.least(F.col("a"), F.col("nb_min")).alias("label"),
             )
         ).localCheckpoint()
+        # ids of the checkpoint currently backing `labels`: once a later
+        # probed round eager-checkpoints its successor, this one is
+        # unreachable from any live plan and is released immediately —
+        # peak loop storage stays O(1) label tables instead of O(rounds)
+        label_ids = persistent_rdd_ids(spark) - pre_ids - und_ids
 
         for it in range(max_iterations):
             # propagate: candidate label for n = min over neighbor labels
@@ -138,11 +147,20 @@ def connected_components(
                 # then reads cached rows. chg reflects only the LAST
                 # round's movement, which is exactly the fixpoint test.
                 new_labels = new_labels.localCheckpoint()
+                # the previous label checkpoint is now superseded
+                new_ids = (
+                    persistent_rdd_ids(spark) - pre_ids - und_ids - label_ids
+                )
+                unpersist_rdds(spark, label_ids)
+                label_ids = new_ids
             labels = new_labels.drop("chg")
             if probe and new_labels.filter(F.col("chg")).limit(1).count() == 0:
                 break
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # the returned labels are always backed by an eager (materialized)
+        # checkpoint — the edge list is no longer reachable from any plan
+        unpersist_rdds(spark, und_ids)
     return labels.select(
         _strip_key(F.col("node")).alias("entity"),
         _strip_key(F.col("label")).alias("canonical"),

@@ -21,6 +21,7 @@ from harvesting_validator_spark.operators.filtering import (
     report_triples,
     split_valid_error,
 )
+from harvesting_validator_spark.runtime import persistent_rdd_ids, unpersist_rdds
 from harvesting_validator_spark.shacl.compile import compute_focus, validate
 from harvesting_validator_spark.shacl.parse import parse_shapes_turtle
 from harvesting_validator_spark.sources.rdf_parse import parse_sources_to_triples
@@ -74,11 +75,19 @@ class KgRun:
     mapping: DataFrame
     graph: DataFrame
     _persisted: list = None  # type: ignore[assignment]
+    _checkpoint_ids: set = None  # type: ignore[assignment]
+    _spark: SparkSession = None  # type: ignore[assignment]
 
     def cleanup(self) -> None:
-        """Unpersist this run's caches (including the validation stage's)."""
+        """Unpersist this run's caches (including the validation stage's)
+        AND the union-find loop's final localCheckpoint — checkpoint RDDs
+        have no DataFrame-level unpersist, so they are tracked by id
+        (runtime.py). After cleanup, this run's DataFrames must not be
+        re-evaluated: a released checkpoint cannot be recomputed."""
         for df in self._persisted or []:
             df.unpersist()
+        if self._spark is not None and self._checkpoint_ids:
+            unpersist_rdds(self._spark, self._checkpoint_ids)
         self.validation.cleanup()
 
 
@@ -125,9 +134,15 @@ def run_kg_construction(
     else:
         candidates = block_candidates(mentions, n_salt=n_salt)
     edges = link_edges(candidates, threshold=link_threshold)
+    # the union-find loop leaves ONE eager localCheckpoint resident (its
+    # final label table); snapshot around the call so cleanup() can
+    # release it — the in-loop intermediates are already released by
+    # connected_components itself
+    pre_cp = persistent_rdd_ids(spark)
     mapping = canonical_mapping(
         mentions.select("entity"), edges
     ).persist()
+    checkpoint_ids = persistent_rdd_ids(spark) - pre_cp
     persisted.append(mapping)
     graph = dedup_graph(rewrite_to_canonical(triples, mapping))
     return KgRun(
@@ -138,6 +153,8 @@ def run_kg_construction(
         mapping=mapping,
         graph=graph,
         _persisted=persisted,
+        _checkpoint_ids=checkpoint_ids,
+        _spark=spark,
     )
 
 

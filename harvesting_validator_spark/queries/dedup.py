@@ -13,6 +13,8 @@ the LSH candidates (minhash_lsh_pairs) + verify-on-candidates
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from harvesting_validator_spark.queries.common import dround, md5_int, tbl, tokens
@@ -127,7 +129,20 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     # the tiny signature table (1 row/doc) across default parallelism
     # restores full-width probing for ~nothing; at corpus scale the scan
     # already has >= that many splits and this branch never fires.
-    scan_parts = sig.rdd.getNumPartitions()
+    # split-count estimate from the same inputs the file-source planner
+    # uses (total bytes / maxPartitionBytes) — NOT df.rdd.getNumPartitions,
+    # which runs full plan analysis + RDD conversion per call
+    from harvesting_validator_spark import fs as _fs
+
+    mpb_raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    m = re.match(r"(\d+)([bkmg]?)", mpb_raw.lower())
+    mpb = int(m.group(1)) * {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20,
+                             "g": 1 << 30}[m.group(2)]
+    try:
+        scan_bytes = _fs.tree_size(spark, f"{sf_dir}/documents.parquet")
+    except Exception:
+        scan_bytes = 0
+    scan_parts = max(1, -(-scan_bytes // mpb)) if scan_bytes else 1
     want = spark.sparkContext.defaultParallelism
     if scan_parts < want:
         sig = sig.repartition(want)

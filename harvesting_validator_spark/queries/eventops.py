@@ -234,10 +234,15 @@ def q_funnel_conversion(spark, sf_dir):
         F.count(F.lit(1)).alias("total_users"),
         F.count("signup_us").alias("n_signed"),
         F.count("purchase_us").alias("n_converted"),
-        F.round(
-            F.count("purchase_us").cast("double")
-            / F.count("signup_us").cast("double"),
-            6,
+        # zero-signup corpora: NULL, not 0/0 (Spark NaN vs DuckDB NULL
+        # would diverge at the oracle on a degenerate corpus)
+        F.when(
+            F.count("signup_us") > 0,
+            F.round(
+                F.count("purchase_us").cast("double")
+                / F.count("signup_us").cast("double"),
+                6,
+            ),
         ).alias("conversion_rate"),
     )
 
@@ -258,8 +263,10 @@ conv AS (
 SELECT CAST(count(*) AS BIGINT) AS total_users,
        CAST(count(p.signup_us) AS BIGINT) AS n_signed,
        CAST(count(c.purchase_us) AS BIGINT) AS n_converted,
-       round(CAST(count(c.purchase_us) AS DOUBLE)
-             / CAST(count(p.signup_us) AS DOUBLE), 6) AS conversion_rate
+       CASE WHEN count(p.signup_us) > 0
+            THEN round(CAST(count(c.purchase_us) AS DOUBLE)
+                       / CAST(count(p.signup_us) AS DOUBLE), 6)
+            END AS conversion_rate
 FROM per_user p LEFT JOIN conv c ON p.user_id = c.user_id
 """
 

@@ -77,7 +77,7 @@ WITH idx AS (
          sha256(
            printf('repo%d', doc_id % 16) || chr(31) ||
            ('data/pages/page' || doc_id || '.' ||
-            CASE doc_id % 3 WHEN 0 THEN 'ttl' WHEN 1 THEN 'nt' ELSE 'jsonld' END)
+            CASE doc_id % 5 WHEN 0 THEN 'ttl' WHEN 1 THEN 'nt' WHEN 3 THEN 'rdf' ELSE 'jsonld' END)
            || chr(31) ||
            substr(sha256(printf('commit%d', doc_id)), 1, 40)
          ) AS doc_id

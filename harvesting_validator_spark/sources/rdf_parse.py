@@ -560,13 +560,23 @@ def parse_rdfxml(text: str) -> list[Triple]:
         ns, local = tag[1:].split("}", 1)
         return ns + local
 
+    def absolute_iri(iri: str, where: str) -> str:
+        # Jena resolves relative IRIs against the document base; this
+        # subset carries no base, so emitting them verbatim would mint
+        # wrong triples. Degrade-don't-guess: raise, doc → parse_error.
+        if not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
+            raise RdfParseError(
+                f"relative IRI in {where} needs base resolution (unsupported)"
+            )
+        return iri
+
     def subject_of(el) -> str:
         about = el.get(f"{{{_RDF_NS}}}about")
         node_id = el.get(f"{{{_RDF_NS}}}nodeID")
         if el.get(f"{{{_RDF_NS}}}ID") is not None:
             raise RdfParseError("rdf:ID needs base resolution (unsupported)")
         if about is not None:
-            return about
+            return absolute_iri(about, "rdf:about")
         if node_id is not None:
             return f"_:{node_id}"
         return fresh_bnode()
@@ -599,7 +609,11 @@ def parse_rdfxml(text: str) -> list[Triple]:
         node_id = prop.get(f"{{{_RDF_NS}}}nodeID")
         datatype = prop.get(f"{{{_RDF_NS}}}datatype")
         children = list(prop)
-        text = (prop.text or "").strip() if not children else ""
+        # Computed unconditionally (incl. child tail text) so mixed
+        # content — text interleaved with node elements — is detected
+        # and raises rather than silently dropping the text.
+        text = (prop.text or "").strip()
+        tail_text = "".join((c.tail or "").strip() for c in children)
         if parse_type == "Resource":
             # anonymous bnode whose property elements are prop's children
             b = fresh_bnode()
@@ -610,13 +624,22 @@ def parse_rdfxml(text: str) -> list[Triple]:
         if parse_type is not None:
             raise RdfParseError(f"parseType={parse_type!r} unsupported")
         if resource is not None:
-            out.append(Triple(subj, pred, resource, "iri", None, None))
+            out.append(
+                Triple(
+                    subj,
+                    pred,
+                    absolute_iri(resource, "rdf:resource"),
+                    "iri",
+                    None,
+                    None,
+                )
+            )
             return
         if node_id is not None:
             out.append(Triple(subj, pred, f"_:{node_id}", "bnode", None, None))
             return
         if children:
-            if len(children) != 1 or text:
+            if len(children) != 1 or text or tail_text:
                 raise RdfParseError("mixed content in RDF/XML property")
             child_subj = emit_node(children[0], lang)
             kind = "bnode" if child_subj.startswith("_:") else "iri"

@@ -16,7 +16,9 @@ Two generators:
   fraction violates each constraint class so verdict ratios are known in
   closed form: i%10==7 -> bad ssn pattern; i%10==8 -> two ssns (maxCount);
   i%10==9 -> extra property (closed-shape) + untyped worksFor (class);
-  else conforming. Formats round-robin turtle/ntriples/jsonld by i%3.
+  else conforming. Formats round-robin turtle/ntriples/jsonld/rdfxml/
+  scoped-context-jsonld by i%5, so all four parse kernels (and the
+  JSON-LD scoped-context path) sit on the driver-checked kg_* pipeline.
 """
 
 from __future__ import annotations
@@ -113,7 +115,7 @@ def generate_sources(
         "%03d-%02d-%04d", (i + 1) % 1000, (i * 11) % 100, (i * 17) % 10000
     )
     mode = i % 10
-    fmt = i % 3
+    fmt = i % 5
 
     ttl = F.concat(
         F.lit('@prefix ex: <http://example.com/ns#> .\nex:P'), i,
@@ -156,18 +158,66 @@ def generate_sources(
         F.lit("}"),
     )
 
+    # fmt 3: RDF/XML striped grammar (typed node element + text/resource
+    # property elements) — routes through parse_rdfxml so a regression in
+    # that kernel flips the kg_* driver hashes, not just unit tests
+    rdfxml = F.concat(
+        F.lit(
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+            ' xmlns:ex="http://example.com/ns#">\n<ex:Person rdf:about="'
+        ),
+        person,
+        F.lit('">\n  <ex:ssn>'),
+        F.when(mode == 7, F.concat(ssn_ok, F.lit("X"))).otherwise(ssn_ok),
+        F.lit("</ex:ssn>\n"),
+        F.when(mode == 8, F.concat(F.lit("  <ex:ssn>"), ssn2, F.lit("</ex:ssn>\n")))
+        .otherwise(F.lit("")),
+        F.when(mode == 9, F.lit(
+            "  <ex:hobby>x</ex:hobby>\n"
+            '  <ex:worksFor rdf:resource="' + EX + 'NoSuchCompany"/>\n'
+        )).otherwise(F.lit("")),
+        F.lit("</ex:Person>\n</rdf:RDF>"),
+    )
+
+    # fmt 4: JSON-LD with a prefix @context at the root and a SCOPED
+    # @context on the @graph member (JSON-LD 1.1 embedded-context
+    # propagation; the r3 parser feature, now on the driver path)
+    jsonld_scoped = F.concat(
+        F.lit(
+            '{"@context": {"ex": "http://example.com/ns#"}, "@graph": ['
+            '{"@context": {"ssn": {"@id": "' + EX + 'ssn"}}, "@id": "ex:P'
+        ),
+        i,
+        F.lit('", "@type": "ex:Person", "ssn": '),
+        F.when(mode == 8, F.concat(
+            F.lit('["'), ssn_ok, F.lit('", "'), ssn2, F.lit('"]')
+        ))
+        .when(mode == 7, F.concat(F.lit('"'), ssn_ok, F.lit('X"')))
+        .otherwise(F.concat(F.lit('"'), ssn_ok, F.lit('"'))),
+        F.when(mode == 9, F.lit(
+            ', "ex:hobby": "x", "ex:worksFor": {"@id": "ex:NoSuchCompany"}'
+        )).otherwise(F.lit("")),
+        F.lit("}]}"),
+    )
+
     lang = (
         F.when(fmt == 0, F.lit("turtle"))
         .when(fmt == 1, F.lit("ntriples"))
+        .when(fmt == 3, F.lit("rdfxml"))
         .otherwise(F.lit("jsonld"))
     )
     ext = (
         F.when(fmt == 0, F.lit("ttl"))
         .when(fmt == 1, F.lit("nt"))
+        .when(fmt == 3, F.lit("rdf"))
         .otherwise(F.lit("jsonld"))
     )
     content = (
-        F.when(fmt == 0, ttl).when(fmt == 1, nt).otherwise(jsonld)
+        F.when(fmt == 0, ttl)
+        .when(fmt == 1, nt)
+        .when(fmt == 3, rdfxml)
+        .when(fmt == 4, jsonld_scoped)
+        .otherwise(jsonld)
     )
     return df.select(
         F.format_string("repo%d", i % 16).alias("repo"),

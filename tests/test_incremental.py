@@ -140,3 +140,75 @@ def test_replay_dedup_scan_is_bounded(spark, tmp_path):
         l for l in fmt.splitlines() if "PartitionFilters" in l
     ]
     assert scans and any("batch_id" in l for l in scans), fmt
+
+
+def test_snapshot_diff_intake_prunes_ledger(spark, tmp_path):
+    """VERDICT r3 ask #7: with a monotone watermark column the intake is
+    O(new rows) — committed history is excluded by a column filter plus
+    run_id PARTITION pruning on the processed ledger, never a full-ledger
+    scan."""
+    from harvesting_validator_spark.incremental import IncrementalLedger
+
+    wh = str(tmp_path / "wh")
+    ledger = IncrementalLedger(spark, wh)
+
+    def mk(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+                F.col("id").cast("double").alias("ingested_at"),
+            )
+        )
+
+    # run A: docs 0..9 processed and watermark-committed
+    ledger.mark(mk(0, 10).select("doc_id"), "runA")
+    ledger.record_watermark("runA", 9.0)
+    # run B: docs 10..14 marked but CRASHED before committing a watermark
+    ledger.mark(mk(10, 15).select("doc_id"), "runB")
+
+    new = ledger.new_docs(mk(0, 20), watermark_col="ingested_at")
+    got = {r.doc_id for r in new.collect()}
+    # 0..9 pruned by the watermark filter; 10..14 caught by the bounded
+    # anti-join against runB's (uncovered) partition; 15..19 are new
+    assert got == {f"d{i}" for i in range(15, 20)}
+
+    # the ledger scan must carry a run_id PARTITION filter (runA pruned
+    # at file-listing time)
+    fmt = spark._jvm.PythonSQLUtils.explainString(
+        new._jdf.queryExecution(), "formatted"
+    )
+    part_lines = [l for l in fmt.splitlines() if "PartitionFilters" in l]
+    assert part_lines and any("run_id" in l for l in part_lines), fmt
+
+    # after runB's watermark commits, the steady state needs no join at
+    # all for covered history: everything <= hw drops via the filter
+    ledger.record_watermark("runB", 14.0)
+    got2 = {r.doc_id for r in
+            ledger.new_docs(mk(0, 20), watermark_col="ingested_at").collect()}
+    assert got2 == {f"d{i}" for i in range(15, 20)}
+
+
+def test_process_incremental_with_watermark(spark, tmp_path):
+    """End-to-end: watermarked intake processes each append once and is
+    idempotent on re-presentation of the full corpus."""
+    wh = str(tmp_path / "wh")
+    corpus = generate_sources(spark, 40).withColumn(
+        "ingested_at",
+        F.element_at(F.split(F.regexp_extract("path", r"page(\d+)\.", 1), " "), 1)
+        .cast("double"),
+    )
+    b1 = corpus.filter(F.col("ingested_at") < 20)
+    n1, _ = process_incremental(
+        spark, b1, APPLICATION_PROFILE, wh, "w1", watermark_col="ingested_at"
+    )
+    assert n1 == 20
+    n2, _ = process_incremental(
+        spark, corpus, APPLICATION_PROFILE, wh, "w2", watermark_col="ingested_at"
+    )
+    assert n2 == 20
+    n3, out = process_incremental(
+        spark, corpus, APPLICATION_PROFILE, wh, "w3", watermark_col="ingested_at"
+    )
+    assert n3 == 0 and out is None
+    assert spark.read.parquet(f"{wh}/verdicts").select("doc_id").distinct().count() == 40
