@@ -96,12 +96,15 @@ class IncrementalLedger:
         return self.spark.read.parquet(path)
 
     def read(self) -> DataFrame:
+        # doc_id dtype follows whatever the caller's source table uses
+        # (binary sha256 bytes under the repo convention); the empty-table
+        # schema below only matters before the first mark()
         return self._read(
-            self.processed_path, "doc_id string, run_id string, processed_at double"
+            self.processed_path, "doc_id binary, run_id string, processed_at double"
         )
 
     def read_inflight(self) -> DataFrame:
-        return self._read(self.inflight_path, "doc_id string, batch_id string")
+        return self._read(self.inflight_path, "doc_id binary, batch_id string")
 
     def read_watermarks(self) -> DataFrame:
         return self._read(
@@ -134,6 +137,9 @@ class IncrementalLedger:
         corpus history — the property that keeps a years-old 100 TB
         warehouse's intake as cheap as day one's."""
         if watermark_col is None:
+            if not fs.exists(self.spark, self.processed_path):
+                return sources  # first run: no ledger, no join (and no
+                # dtype coupling to the empty-schema placeholder)
             seen = self.read().select("doc_id")
             return sources.join(seen, "doc_id", "left_anti")
         wms = self.read_watermarks().collect()  # tiny: one row per run
@@ -168,14 +174,12 @@ class IncrementalLedger:
         processed ledger — i.e. attempts that may have crashed between
         output append and mark. Ledger-keys-only join; empty in the
         steady state."""
-        doubt = (
-            self.read_inflight()
-            .filter(F.col("batch_id") != current_run_id)
-            .join(self.read().select("doc_id"), "doc_id", "left_anti")
-            .select("batch_id")
-            .distinct()
-        )
-        return [r.batch_id for r in doubt.collect()]
+        if not fs.exists(self.spark, self.inflight_path):
+            return []
+        doubt = self.read_inflight().filter(F.col("batch_id") != current_run_id)
+        if fs.exists(self.spark, self.processed_path):
+            doubt = doubt.join(self.read().select("doc_id"), "doc_id", "left_anti")
+        return [r.batch_id for r in doubt.select("batch_id").distinct().collect()]
 
     def mark(self, doc_ids: DataFrame, run_id: str) -> None:
         rows = doc_ids.select("doc_id").distinct().select(
@@ -207,9 +211,9 @@ class IncrementalLedger:
         row per doc ever processed. Returns the number of rows kept."""
         if not fs.exists(self.spark, self.inflight_path):
             return 0
-        live = self.read_inflight().join(
-            self.read().select("doc_id"), "doc_id", "left_anti"
-        )
+        live = self.read_inflight()
+        if fs.exists(self.spark, self.processed_path):
+            live = live.join(self.read().select("doc_id"), "doc_id", "left_anti")
         tmp = self.inflight_path + ".compacting"
         live.write.mode("overwrite").parquet(tmp)
         n = self.spark.read.parquet(tmp).count()

@@ -223,13 +223,16 @@ def report_triples(violations: DataFrame) -> DataFrame:
     xsd_bool = "http://www.w3.org/2001/XMLSchema#boolean"
     rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
+    # doc_id is binary pipeline-internally; skolem ids embed the HEX form
+    # so result/report IRIs are byte-identical to the pre-binary engine
+    doc_hex = F.lower(F.hex("doc_id"))
     v = violations.withColumn(
         "result_node",
         F.concat(
             F.lit("urn:skolem:result:"),
             F.sha2(
                 F.concat_ws(
-                    "\x1f", "doc_id", "focus_node",
+                    "\x1f", doc_hex, F.col("focus_node"),
                     F.coalesce("result_path", F.lit("")),
                     "constraint_component",
                     F.coalesce("value", F.lit("")),
@@ -240,7 +243,7 @@ def report_triples(violations: DataFrame) -> DataFrame:
         ),
     ).withColumn(
         "report_node",
-        F.concat(F.lit("urn:skolem:report:"), F.col("doc_id")),
+        F.concat(F.lit("urn:skolem:report:"), doc_hex),
     )
 
     def t(subj, pred, obj, kind, dtype=None):

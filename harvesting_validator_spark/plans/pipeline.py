@@ -50,19 +50,35 @@ class ValidationRun:
 
 
 def add_doc_id(sources: DataFrame) -> DataFrame:
+    """doc_id = raw sha256 BYTES of (repo, path, commit) — binary, not the
+    hex string: the column rides every row of the corpus-wide exchange
+    and every keyed join, and the 32-byte form is half the shuffle width
+    (measured 2.36x local[32] validate throughput,
+    tools/shuffle_payload_study.py). `hex_doc_id` re-derives the exact
+    old string ids at driver/report edges."""
     if "doc_id" in sources.columns:
         return sources
     return sources.withColumn(
-        "doc_id", F.sha2(F.concat_ws("\x1f", "repo", "path", "commit"), 256)
+        "doc_id",
+        F.unhex(F.sha2(F.concat_ws("\x1f", "repo", "path", "commit"), 256)),
     )
+
+
+def hex_doc_id(df: DataFrame, col: str = "doc_id") -> DataFrame:
+    """Edge conversion: binary doc_id -> the lowercase sha256 hex string
+    (identical to the pre-binary ids). Apply AFTER aggregation/joins so
+    the narrow binary form does all the heavy lifting."""
+    return df.withColumn(col, F.lower(F.hex(col)))
 
 
 def content_sha_invariant(sources: DataFrame) -> DataFrame:
     """Per-row invariant vs the source (BASELINE.json input_hint):
     content sha256 recorded alongside doc_id; equality is asserted by
-    re-deriving from the source table."""
-    return add_doc_id(sources).select(
-        "doc_id", F.sha2(F.col("content"), 256).alias("content_sha256")
+    re-deriving from the source table. Edge output: hex ids."""
+    return hex_doc_id(
+        add_doc_id(sources).select(
+            "doc_id", F.sha2(F.col("content"), 256).alias("content_sha256")
+        )
     )
 
 

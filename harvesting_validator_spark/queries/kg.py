@@ -18,7 +18,11 @@ from contextlib import contextmanager
 
 from pyspark.sql import functions as F
 
-from harvesting_validator_spark.plans.pipeline import run_kg_construction, run_validation
+from harvesting_validator_spark.plans.pipeline import (
+    hex_doc_id,
+    run_kg_construction,
+    run_validation,
+)
 from harvesting_validator_spark.queries.common import tbl
 from harvesting_validator_spark.sources.synthetic import (
     APPLICATION_PROFILE,
@@ -88,7 +92,10 @@ WITH idx AS (
 
 # --- per-doc conformance verdicts (north_star rollup; SURVEY §2.4) -----------
 def q_kg_verdicts(spark, sf_dir):
-    return _run(spark, sf_dir).verdicts
+    # pipeline-internal doc_id is binary (shuffle-width, see add_doc_id);
+    # the driver edge re-hexes AFTER the per-doc rollup so values equal
+    # the oracle's sha256 hex exactly
+    return hex_doc_id(_run(spark, sf_dir).verdicts)
 
 
 O_VERDICTS = (
@@ -108,7 +115,7 @@ FROM idx
 def _split_rollup(docs, valid, error):
     nv = valid.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nv"))
     ne = error.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ne"))
-    return (
+    return hex_doc_id(
         docs.join(nv, "doc_id", "left")
         .join(ne, "doc_id", "left")
         .select(
@@ -224,8 +231,10 @@ def q_kg_report_sizes(spark, sf_dir):
     """Validation-report triples per non-conforming doc: 7 fixed triples
     per result + resultPath/value when present + 2 report-header triples."""
     run = _run(spark, sf_dir)
-    return run.report.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_report_triples")
+    return hex_doc_id(
+        run.report.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_report_triples")
+        )
     )
 
 

@@ -117,7 +117,7 @@ def compute_focus(triples: DataFrame, shapes: ShapesGraph,
     base = _union_all(frames)
     if base is None:
         return spark.createDataFrame(
-            [], "doc_id string, focus_node string, shape string"
+            [], "doc_id binary, focus_node string, shape string"
         )
 
     # nested sh:node: child focus = value nodes of the parent property.
@@ -537,7 +537,7 @@ def validate(
     if result is None:
         return spark.createDataFrame(
             [],
-            "doc_id string, shape string, focus_node string, "
+            "doc_id binary, shape string, focus_node string, "
             "result_path string, value string, value_kind string, "
             "constraint_component string, severity string, message string, "
             "source_shape string",

@@ -856,8 +856,15 @@ def _fast_parse_turtle(text: str) -> list[Triple] | None:
 
 # --- Spark integration -------------------------------------------------------
 
+# doc_id is BINARY (the raw 32 sha256 bytes, not the 64-char hex string):
+# the doc_id column rides EVERY row of the corpus-wide exchange and every
+# keyed join/groupBy, and halving its width measurably moves the
+# bandwidth-bound validate stage (tools/shuffle_payload_study.py: 2.36x
+# local[32] throughput, 8->32 scaling efficiency 0.126 -> 0.306 at 2M
+# docs). Driver-facing queries re-hex at the edge (lower(hex(..)) ==
+# the old string ids exactly).
 TRIPLES_SCHEMA = (
-    "doc_id string, subj string, pred string, obj_value string, "
+    "doc_id binary, subj string, pred string, obj_value string, "
     "obj_kind string, obj_datatype string, obj_lang string"
 )
 
@@ -891,8 +898,13 @@ def parse_sources_to_triples(
     df = sources_df
     if "doc_id" not in df.columns:
         df = df.withColumn(
-            "doc_id", F.sha2(F.concat_ws("\x1f", "repo", "path", "commit"), 256)
+            "doc_id",
+            F.unhex(F.sha2(F.concat_ws("\x1f", "repo", "path", "commit"), 256)),
         )
+    elif dict(df.dtypes)["doc_id"] == "string":
+        # repo convention: string doc_ids are sha256 hex (add_doc_id) —
+        # carry the raw bytes through the parse + exchange
+        df = df.withColumn("doc_id", F.unhex("doc_id"))
     df = df.select("doc_id", "lang", "content")
 
     def batch_parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
