@@ -303,6 +303,76 @@ FROM t GROUP BY label, pos
 """
 
 
+# --- int8 symmetric quantization (embedding-store compression) ----------------
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization — the storage/serving
+    compression step of an embedding store (4x smaller than fp32,
+    8x smaller than the fp64 compute form): scale = max|x| / 127,
+    q_i = halfup(x_i / scale). Reported per vector: the max-abs
+    (dequant scale numerator), the integer sum of |q| (bit-exact
+    cross-engine: quantized codes are integers), and the max absolute
+    reconstruction error.
+
+    Determinism: elementwise doubles + floor(x + 0.5) half-up (the repo
+    rounding recipe) — no reduction-order ambiguity (per-list ops are
+    sequential on both engines, and the only sum is over integers).
+    Narrow map over the store, no shuffle at all."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    maxabs = F.array_max(F.transform(F.col("v"), F.abs))
+    e = e.withColumn("maxabs", maxabs)
+
+    def quant(x):
+        # halfup(x / maxabs * 127); all-zero vectors quantize to 0
+        return F.when(
+            F.col("maxabs") == 0.0, F.lit(0).cast("bigint")
+        ).otherwise(
+            F.floor(x / F.col("maxabs") * 127.0 + 0.5).cast("bigint")
+        )
+
+    sum_abs_q = F.aggregate(
+        F.transform(F.col("v"), lambda x: F.abs(quant(x))),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + x,
+    )
+    max_err = F.array_max(
+        F.zip_with(
+            F.col("v"),
+            F.transform(F.col("v"), quant),
+            lambda x, q: F.when(F.col("maxabs") == 0.0, F.lit(0.0)).otherwise(
+                F.abs(q.cast("double") * F.col("maxabs") / 127.0 - x)
+            ),
+        )
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        dround(F.col("maxabs"), 6).alias("max_abs"),
+        sum_abs_q.alias("sum_abs_q"),
+        dround(max_err, 6).alias("max_recon_err"),
+    )
+
+
+O_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS maxabs
+  FROM embeddings
+)
+SELECT vec_id, label,
+       round(maxabs, 6) AS max_abs,
+       CAST(CASE WHEN maxabs = 0 THEN 0 ELSE
+         list_sum(list_transform(v, x -> abs(floor(x / maxabs * 127 + 0.5))))
+       END AS BIGINT) AS sum_abs_q,
+       round(CASE WHEN maxabs = 0 THEN 0 ELSE
+         list_max(list_transform(v,
+           x -> abs(floor(x / maxabs * 127 + 0.5) * maxabs / 127 - x)))
+       END, 6) AS max_recon_err
+FROM e
+"""
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "cosine_topk_ivf": q_cosine_topk_ivf,
@@ -310,6 +380,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_norms": q_embedding_norms,
     "embedding_centroids": q_embedding_centroids,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 ORACLES = {
@@ -319,4 +390,5 @@ ORACLES = {
     "ann_lsh_topk": O_ANN_TOPK,
     "embedding_norms": O_NORMS,
     "embedding_centroids": O_CENTROIDS,
+    "embedding_quantize": O_QUANTIZE,
 }

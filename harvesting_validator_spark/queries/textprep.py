@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from harvesting_validator_spark.queries.common import md5_int, tbl, tokens
+from harvesting_validator_spark.queries.textops import STOPWORDS
 
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24
@@ -201,12 +202,113 @@ GROUP BY g.doc_id
 """
 
 
+# --- composed end-to-end corpus curation ---------------------------------------
+# the pipeline a training-data run actually executes, as ONE dataflow:
+# exact-dedup keep-list -> quality gate -> benchmark decontamination.
+# All predicates are integer/boolean (no fp thresholds), so the survivor
+# set is bit-identical on both engines.
+CURATE_MIN_TOKENS = 12
+CURATE_STOP_PCT = 45  # drop if 100*n_stop > 45*n_tokens
+
+
+def q_curated_corpus(spark, sf_dir):
+    """Survivors of the full curation funnel, (doc_id, lang, n_tokens).
+
+    Scale shape: ONE content-hash groupBy for the keep-list (min doc_id
+    per sha256(text), the dedup_exact shape), narrow integer quality
+    predicates in the same scan, and a gram join whose build side is the
+    (small) benchmark gram set — broadcast/statistics-decided, never the
+    corpus against itself. Everything else is a map; at 100 TB the only
+    corpus-wide shuffle is the dedup groupBy."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text",
+        tokens().alias("toks"), F.size(tokens()).alias("n_tok"),
+    )
+    # (a) exact dedup: keep the min doc_id per identical text
+    keep = (
+        d.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.min("doc_id").alias("keep_doc"))
+        .select(F.col("keep_doc").alias("doc_id"))
+    )
+    kept = d.join(keep, "doc_id", "left_semi")
+    # (b) quality gate: integer-exact length + stopword-ratio bounds
+    n_stop = F.size(F.filter(F.col("toks"), lambda t: t.isin(STOPWORDS)))
+    q = kept.filter(
+        (F.col("n_tok") >= CURATE_MIN_TOKENS)
+        & (F.lit(100) * n_stop <= F.lit(CURATE_STOP_PCT) * F.col("n_tok"))
+    )
+    # (c) decontamination: drop docs sharing any CONTAM_GRAM-gram with
+    # the benchmark slice (doc_id % 97 == 0), and the slice itself
+    grams = q.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "lang", "n_tok",
+        F.explode(
+            F.transform(F.sequence(F.lit(0), F.col("n_tok") - CONTAM_GRAM), _gram_at)
+        ).alias("gram"),
+    )
+    bench = (
+        d.filter((F.col("doc_id") % 97 == 0) & (F.col("n_tok") >= CONTAM_GRAM))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tok") - CONTAM_GRAM), _gram_at
+                )
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    contaminated = grams.join(bench, "gram").select("doc_id").distinct()
+    return (
+        q.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", F.col("n_tok").alias("n_tokens"))
+    )
+
+
+_STOP_IN = "', '".join(STOPWORDS)
+
+O_CURATED = f"""
+WITH d AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM d GROUP BY sha256(text)
+),
+q AS (
+  SELECT d.* FROM d JOIN keep USING (doc_id)
+  WHERE n_tok >= {CURATE_MIN_TOKENS}
+    AND 100 * len(list_filter(toks, t -> t IN ('{_STOP_IN}')))
+        <= {CURATE_STOP_PCT} * n_tok
+),
+bench AS (
+  SELECT DISTINCT array_to_string(list_slice(toks, s + 1, s + {CONTAM_GRAM}), ' ') AS gram
+  FROM d, unnest(range(0, n_tok - {CONTAM_GRAM} + 1)) AS u(s)
+  WHERE doc_id % 97 = 0 AND n_tok >= {CONTAM_GRAM}
+),
+contaminated AS (
+  SELECT DISTINCT g.doc_id
+  FROM (
+    SELECT doc_id,
+           array_to_string(list_slice(toks, s + 1, s + {CONTAM_GRAM}), ' ') AS gram
+    FROM q, unnest(range(0, n_tok - {CONTAM_GRAM} + 1)) AS u(s)
+    WHERE doc_id % 97 != 0
+  ) g JOIN bench b ON g.gram = b.gram
+)
+SELECT doc_id, lang, CAST(n_tok AS INT) AS n_tokens
+FROM q
+WHERE doc_id % 97 != 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
 QUERIES = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
     "stratified_sample": q_stratified_sample,
     "vocab_topk": q_vocab_topk,
     "contamination_flags": q_contamination_flags,
+    "curated_corpus": q_curated_corpus,
 }
 
 ORACLES = {
@@ -215,4 +317,5 @@ ORACLES = {
     "stratified_sample": O_SAMPLE,
     "vocab_topk": O_VOCAB,
     "contamination_flags": O_CONTAM,
+    "curated_corpus": O_CURATED,
 }
