@@ -903,8 +903,13 @@ def parse_sources_to_triples(
         )
     elif dict(df.dtypes)["doc_id"] == "string":
         # repo convention: string doc_ids are sha256 hex (add_doc_id) —
-        # carry the raw bytes through the parse + exchange
-        df = df.withColumn("doc_id", F.unhex("doc_id"))
+        # carry the raw bytes through the parse + exchange. Non-hex ids
+        # (unhex -> NULL) deterministically re-key via sha256 so a legacy
+        # caller can never silently collapse onto a NULL key.
+        df = df.withColumn(
+            "doc_id",
+            F.coalesce(F.unhex("doc_id"), F.unhex(F.sha2("doc_id", 256))),
+        )
     df = df.select("doc_id", "lang", "content")
 
     def batch_parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:

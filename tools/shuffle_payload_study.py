@@ -52,9 +52,14 @@ def run_once(cores: int, n_docs: int, variant: str) -> dict:
     )
 
     def narrow(parsed):
+        # post-integration (r4): parse_sources_to_triples already emits
+        # BINARY doc_id, so "bindoc" is the identity and "base"
+        # reconstructs the old hex-string form for the A/B
         if variant == "base":
+            return parsed.withColumn("doc_id", F.lower(F.hex("doc_id")))
+        if variant == "bindoc":
             return parsed
-        out = parsed.withColumn("doc_id", F.unhex("doc_id"))
+        out = parsed
         if variant == "bindict":
             out = (
                 out.withColumn(
