@@ -352,6 +352,57 @@ GROUP BY 1
 """
 
 
+# --- incremental union-find (steady-state entity-resolution ingest) -------------
+def q_kg_incremental_clusters(spark, sf_dir):
+    """Two-batch incremental canonicalization: even-indexed docs arrive
+    first (full union-find), odd-indexed docs arrive as a second batch
+    folded in via merge_components — the loop runs only on the projected
+    DELTA graph, never the historical edges. The oracle is the SAME
+    closed form as the one-shot kg_linked_clusters, so a hash match
+    proves incremental == batch exactly."""
+    from harvesting_validator_spark.kg.canonicalize import (
+        canonical_mapping,
+        merge_components,
+    )
+    from harvesting_validator_spark.kg.linking import (
+        block_candidates_by_key,
+        extract_mentions,
+        link_edges,
+    )
+    from harvesting_validator_spark.kg.normalize import normalize_triples
+    from harvesting_validator_spark.sources.rdf_parse import parse_sources_to_triples
+
+    n = _corpus_n(spark, sf_dir)
+    sources = generate_entity_sources(spark, n, n_entities=n // 10)
+    with _sized_shuffle(spark, n):
+        triples = normalize_triples(parse_sources_to_triples(sources))
+        mentions = extract_mentions(triples)
+        # doc i <-> entity E%06d(i): last-digit parity splits the batches
+        par = F.substring("entity", -1, 1).cast("int") % 2
+        m1 = mentions.filter(par == 0)
+        edges1 = link_edges(block_candidates_by_key(m1), threshold=0.9)
+        mapping1 = canonical_mapping(m1.select("entity"), edges1)
+        # delta edges: every pair touching a batch-2 entity (production
+        # derives these by probing the batch against the key index, the
+        # dedup_incremental_novel shape; edges fully inside batch 1 are
+        # already folded into mapping1)
+        all_edges = link_edges(block_candidates_by_key(mentions), threshold=0.9)
+        src_par = F.substring("src", -1, 1).cast("int") % 2
+        dst_par = F.substring("dst", -1, 1).cast("int") % 2
+        delta_edges = all_edges.filter((src_par == 1) | (dst_par == 1))
+        merged = merge_components(mapping1, delta_edges)
+        final = (
+            mentions.select("entity")
+            .distinct()
+            .join(merged, "entity", "left")
+            .select(
+                "entity",
+                F.coalesce("canonical", F.col("entity")).alias("canonical"),
+            )
+        )
+    return final.groupBy("canonical").agg(F.count(F.lit(1)).alias("n_members"))
+
+
 # --- deduplicated canonical (s,p,o) graph (north_rule materialization) ----------
 def q_kg_canonical_graph(spark, sf_dir):
     run = _kg_run(spark, sf_dir)
@@ -378,6 +429,7 @@ SELECT subj, pred_local, obj_value FROM (
 QUERIES = {
     "kg_verdicts": q_kg_verdicts,
     "kg_linked_clusters": q_kg_linked_clusters,
+    "kg_incremental_clusters": q_kg_incremental_clusters,
     "kg_chain_clusters": q_kg_chain_clusters,
     "kg_canonical_graph": q_kg_canonical_graph,
     "kg_split_counts": q_kg_split_counts,
@@ -391,6 +443,7 @@ QUERIES = {
 ORACLES = {
     "kg_verdicts": O_VERDICTS,
     "kg_linked_clusters": O_LINKED_CLUSTERS,
+    "kg_incremental_clusters": O_LINKED_CLUSTERS,
     "kg_chain_clusters": O_CHAIN_CLUSTERS,
     "kg_canonical_graph": O_CANONICAL_GRAPH,
     "kg_split_counts": O_SPLIT,

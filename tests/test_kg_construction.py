@@ -162,3 +162,42 @@ def test_kg_salted_blocking_same_result(spark):
     g1 = {tuple(r) for r in plain.graph.collect()}
     g2 = {tuple(r) for r in salted.graph.collect()}
     assert g1 == g2
+
+
+def test_merge_components_equals_batch_recompute(spark):
+    """Incremental union-find (r4): folding a second batch of edges into
+    an existing mapping must equal the one-shot recompute over all edges
+    — including the hard case where a NEW edge transitively merges two
+    OLD components."""
+    from harvesting_validator_spark.kg.canonicalize import (
+        canonical_mapping,
+        connected_components,
+        merge_components,
+    )
+
+    def df_edges(pairs):
+        return spark.createDataFrame(
+            [(f"http://x/{a}", f"http://x/{b}") for a, b in pairs],
+            ["src", "dst"],
+        )
+
+    # batch 1: two separate components {0,1,2} and {10,11}, plus {20,21}
+    e1 = df_edges([(0, 1), (1, 2), (10, 11), (20, 21)])
+    ents1 = e1.select(F.col("src").alias("entity")).union(
+        e1.select(F.col("dst").alias("entity"))
+    )
+    m1 = canonical_mapping(ents1, e1)
+    # batch 2: a new chain 30-31, a bridge merging the two old
+    # components (2 <-> 10, via non-canonical members), and a new entity
+    # attaching to an old one (40 <-> 21)
+    e2 = df_edges([(30, 31), (2, 10), (40, 21)])
+    merged = merge_components(m1, e2)
+
+    full = connected_components(e1.unionByName(e2))
+    got = {(r.entity, r.canonical) for r in merged.collect()}
+    want = {(r.entity, r.canonical) for r in full.collect()}
+    assert got == want
+    # the merged {0..2,10,11} component canonicalizes to the global min
+    by_ent = dict(got)
+    assert by_ent["http://x/10"] == "http://x/0"
+    assert by_ent["http://x/40"] == "http://x/20"
