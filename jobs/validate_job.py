@@ -39,6 +39,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="strict SHACL filtering: drop a violated focus "
                          "node whole (reference: shacl.strictModeFiltering "
                          "/ STRICT_MODE_FILTERING env, default false)")
+    ap.add_argument("--incremental", action="store_true",
+                    help="ledger-driven batch: validate ONLY unseen docs "
+                         "and append outputs (incremental.py)")
+    ap.add_argument("--watermark-col", default=None,
+                    help="with --incremental: monotone source column "
+                         "enabling the snapshot-diff intake (committed "
+                         "history pruned by a column filter + run_id "
+                         "partition pruning, never a full-ledger scan)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -62,6 +70,20 @@ def main(argv: list[str] | None = None) -> int:
             shapes_turtle = fh.read()
     else:
         shapes_turtle = APPLICATION_PROFILE
+
+    if args.incremental:
+        from harvesting_validator_spark.incremental import process_incremental
+
+        n_new, _ = process_incremental(
+            spark, sources, shapes_turtle, args.warehouse,
+            run_id=args.run_id, watermark_col=args.watermark_col,
+        )
+        print(json.dumps({
+            "mode": "incremental",
+            "n_new_docs": n_new,
+            "watermark_col": args.watermark_col,
+        }))
+        return 0
 
     if args.kg:
         from harvesting_validator_spark.lineage import run_kg_checkpointed
