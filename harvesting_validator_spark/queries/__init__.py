@@ -14,6 +14,7 @@ the mapping is cited in each builder's docstring.
 from __future__ import annotations
 
 from harvesting_validator_spark.queries import (
+    corpusops,
     dedup,
     eventops,
     graphops,
@@ -44,6 +45,7 @@ for _m in (
     textprep,
     textops,
     relational,
+    corpusops,
 ):
     overlap = set(ALL_QUERIES) & set(_m.QUERIES)
     if overlap:

@@ -247,3 +247,41 @@ def test_range_join_is_bucketized_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan  # it IS a join, just an equi one
+
+
+def test_corpusops_plan_shapes(spark, sf_dir):
+    """corpusops stays Catalyst-side and shuffle-lean:
+
+    - event_anomaly: ONE user_id hash exchange serves both the
+      (user, day) groupBy and the per-user moment window (subset
+      co-partitioning) — a second exchange means the repartition hint
+      stopped being reused;
+    - mixture_weights: the 1-row total joins via broadcast, never a
+      shuffled join;
+    - all three: zero Python eval nodes.
+    """
+    import re
+
+    from harvesting_validator_spark.queries import corpusops
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = _plan(corpusops.q_event_anomaly(spark, sf_dir))
+        exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert len(exchanges) == 1, f"{len(exchanges)} exchanges:\n{plan}"
+        keys = {
+            re.sub(r"#\d+L?", "", tok).strip()
+            for tok in exchanges[0].split(",")
+        }
+        keys -= {t for t in keys if t.isdigit()}
+        assert keys == {"user_id"}, f"unexpected exchange keys: {keys}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    plan_mix = _plan(corpusops.q_mixture_weights(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan_mix or "BroadcastExchange" in plan_mix
+    assert "SortMergeJoin" not in plan_mix
+    for q in corpusops.QUERIES.values():
+        p = _plan(q(spark, sf_dir))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
