@@ -27,8 +27,10 @@ from harvesting_validator_spark.queries.common import tbl
 from harvesting_validator_spark.sources.synthetic import (
     APPLICATION_PROFILE,
     ENTITY_PROFILE,
+    PRODUCT_PROFILE,
     generate_chain_sources,
     generate_entity_sources,
+    generate_product_sources,
     generate_sources,
 )
 
@@ -426,8 +428,45 @@ SELECT subj, pred_local, obj_value FROM (
 """
 
 
+# --- extension-constraint verdicts (SHACL-core breadth: ranges, langIn,
+# uniqueLang, property pairs) over the closed-form product corpus ----------
+def q_kg_extended_verdicts(spark, sf_dir):
+    """Same pipeline as kg_verdicts but with PRODUCT_PROFILE — certifies
+    the extension constraint components (shacl/compile.py pass 2 ranges/
+    languageIn, pass 3b uniqueLang, pass 5 property pairs) end-to-end at
+    the driver, not just in unit tests."""
+    key = (id(spark), sf_dir, "ext")
+    if key not in _RUN_CACHE:
+        n = _corpus_n(spark, sf_dir)
+        sources = generate_product_sources(spark, n)
+        with _sized_shuffle(spark, n):
+            _RUN_CACHE[key] = run_validation(spark, sources, PRODUCT_PROFILE)
+    return hex_doc_id(_RUN_CACHE[key].verdicts)
+
+
+O_EXTENDED_VERDICTS = """
+WITH idx AS (
+  SELECT doc_id AS i,
+         doc_id % 8 AS mode,
+         sha256(
+           printf('repo%d', doc_id % 16) || chr(31) ||
+           ('data/products/prod' || doc_id || '.ttl') || chr(31) ||
+           substr(sha256(printf('commit%d', doc_id)), 1, 40)
+         ) AS doc_id
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE mode WHEN 0 THEN 0 WHEN 5 THEN 2 ELSE 1 END AS BIGINT)
+         AS n_violations,
+       TRUE AS parse_ok,
+       mode = 0 AS conforms
+FROM idx
+"""
+
+
 QUERIES = {
     "kg_verdicts": q_kg_verdicts,
+    "kg_extended_verdicts": q_kg_extended_verdicts,
     "kg_linked_clusters": q_kg_linked_clusters,
     "kg_incremental_clusters": q_kg_incremental_clusters,
     "kg_chain_clusters": q_kg_chain_clusters,
@@ -442,6 +481,7 @@ QUERIES = {
 
 ORACLES = {
     "kg_verdicts": O_VERDICTS,
+    "kg_extended_verdicts": O_EXTENDED_VERDICTS,
     "kg_linked_clusters": O_LINKED_CLUSTERS,
     "kg_incremental_clusters": O_LINKED_CLUSTERS,
     "kg_chain_clusters": O_CHAIN_CLUSTERS,

@@ -5,12 +5,22 @@ engine per document model (`FilteringService.java:67-68`; SURVEY.md §2.6).
 Here every constraint compiles to Catalyst-pushable DataFrame predicates
 over the long/narrow triples table — no per-row Python anywhere:
 
-* value constraints (datatype, pattern, nodeKind, class, length, in)
-  -> ``filter`` over the focus-joined triples;
+* value constraints (datatype, pattern, nodeKind, class, length, in,
+  value ranges, languageIn) -> ``filter`` over the focus-joined triples;
 * cardinality constraints -> one ``groupBy(doc_id, focus, pred).count()``
   shared by every shape, joined against a broadcast spec table;
+* sh:uniqueLang -> one groupBy on the same (doc_id, focus, ...) prefix;
+* property-pair constraints (equals/disjoint/lessThan[OrEquals]) ->
+  self-joins of the cached focus⋈triples slice, keyed on the same
+  (doc_id, focus) prefix so the existing exchange is reused;
 * closed shapes -> ``~pred.isin(allowed)`` filters;
 * nested node shapes -> focus-set derivation, re-using the same machinery.
+
+Numeric comparison (ranges, lessThan): a literal counts as numeric iff it
+matches `_NUM_RE`, then compares as DECIMAL(38,12) — identical rule in the
+independent test evaluator (tests/reference_shacl.py), so "incomparable =>
+violation" is regex-defined, not engine-defined. Magnitudes beyond
+DECIMAL(38,12) are out of contract.
 
 Scale notes (100 TB / 10^12 docs): the only shuffles are (1) the
 focus⋈triples join, keyed (doc_id, node) — co-partitioned with every
@@ -54,6 +64,10 @@ _LEXICAL_RE = {
     XSD + "date": r"^-?\d{4}-\d{2}-\d{2}(Z|[+-]\d{2}:\d{2})?$",
     XSD + "dateTime": r"^-?\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$",
 }
+
+# numeric gate for range / lessThan comparisons (see module docstring)
+_NUM_RE = r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
+_DEC = "decimal(38,12)"
 
 _NODEKIND_ALLOWED = {
     SH + "IRI": ("iri",),
@@ -285,6 +299,35 @@ def _scan_violation_structs(shapes: ShapesGraph) -> list:
                     SH + "InConstraintComponent",
                     ps.message or "value not in allowed list",
                 )
+            # value ranges: numeric iff _NUM_RE matches; else violation
+            num = F.when(obj.rlike(_NUM_RE), obj.cast(_DEC))
+            for bound_lex, op, comp in (
+                (ps.min_inclusive, lambda n, b: n >= b, "MinInclusive"),
+                (ps.max_inclusive, lambda n, b: n <= b, "MaxInclusive"),
+                (ps.min_exclusive, lambda n, b: n > b, "MinExclusive"),
+                (ps.max_exclusive, lambda n, b: n < b, "MaxExclusive"),
+            ):
+                if bound_lex is not None:
+                    bound = F.lit(bound_lex).cast(_DEC)
+                    ok = (kind == "literal") & F.coalesce(
+                        op(num, bound), F.lit(False)
+                    )
+                    emit(
+                        ~ok,
+                        SH + comp + "ConstraintComponent",
+                        ps.message or f"value out of range ({comp} {bound_lex})",
+                    )
+            if ps.language_in:
+                lang_ok = (kind == "literal") & F.coalesce(
+                    F.col("obj_lang").isin(list(ps.language_in)),
+                    F.lit(False),
+                )
+                emit(
+                    ~lang_ok,
+                    SH + "LanguageInConstraintComponent",
+                    ps.message
+                    or f"language not in ({', '.join(ps.language_in)})",
+                )
         if shape.closed:
             allowed = (
                 {p.path for p in shape.properties} | set(shape.ignored_properties)
@@ -326,11 +369,17 @@ def validate(
     2. one projection of ftrip evaluating EVERY value/closed constraint
        as conditional structs exploded from an array (zero extra scans);
     3. one groupBy(doc_id, focus, shape, pred) feeding min/max-count and
-       hasValue via broadcast spec-table joins;
-    4. one join against the typed-node slice for all sh:class constraints.
+       hasValue via broadcast spec-table joins (+ one lang-keyed groupBy
+       when any shape declares sh:uniqueLang);
+    4. one join against the typed-node slice for all sh:class constraints;
+    5. self-joins of ftrip slices for property-pair constraints
+       (sh:equals/disjoint/lessThan[OrEquals]) — keyed on the same
+       (doc_id, focus) prefix, so with subset co-partitioning enabled
+       (session.py) they reuse ftrip's exchange rather than adding one.
 
     At 10^12-doc scale this bounds the shuffle count at 2 (join + groupBy)
-    regardless of profile size.
+    regardless of profile size; profiles using uniqueLang/pair components
+    add only same-key aggregations/joins on the cached ftrip.
     """
     spark = spark or SparkSession.getActiveSession()
     if focus is None:
@@ -491,6 +540,138 @@ def validate(
             F.col("h_msg").alias("message"),
             F.col("h_src").alias("source_shape"),
         )))
+
+    # pass 3b: sh:uniqueLang — one groupBy on the (doc_id, focus, ...)
+    # prefix; a language tag appearing on >1 values of the path is ONE
+    # violation per duplicated tag (value = the tag)
+    ul_rows = [
+        (s.iri, p.path,
+         p.message or "language tag used on more than one value",
+         skolem_shape_id(s.iri, p))
+        for s in shapes.shapes for p in s.properties if p.unique_lang
+    ]
+    if ul_rows:
+        spec = F.broadcast(spark.createDataFrame(
+            ul_rows, "u_shape string, u_path string, u_msg string, u_src string"
+        ))
+        dup = (
+            ftrip.filter(F.col("obj_lang").isNotNull())
+            .join(
+                spec,
+                (F.col("shape") == F.col("u_shape"))
+                & (F.col("pred") == F.col("u_path")),
+            )
+            .groupBy(
+                "doc_id", "focus_node", "shape", "pred", "obj_lang",
+                "u_msg", "u_src",
+            )
+            .agg(F.count(F.lit(1)).alias("n_lang"))
+            .filter(F.col("n_lang") > 1)
+        )
+        frames.append(_project(dup.select(
+            "doc_id", "shape", "focus_node",
+            F.col("pred").alias("result_path"),
+            F.col("obj_lang").alias("value"),
+            F.lit(None).cast("string").alias("value_kind"),
+            F.lit(SH + "UniqueLangConstraintComponent").alias("constraint_component"),
+            F.col("u_msg").alias("message"),
+            F.col("u_src").alias("source_shape"),
+        )))
+
+    # pass 5: property-pair constraints — both operand slices come from
+    # the SAME cached ftrip, and every join keys on the (doc_id, focus)
+    # prefix of its partitioning
+    pair_rows = [
+        (s.iri, p.path, other, comp,
+         p.message or f"sh:{comp[0].lower()}{comp[1:]} <{other}> violated",
+         skolem_shape_id(s.iri, p))
+        for s in shapes.shapes for p in s.properties
+        for comp, other in (
+            ("Equals", p.equals),
+            ("Disjoint", p.disjoint),
+            ("LessThan", p.less_than),
+            ("LessThanOrEquals", p.less_than_or_equals),
+        )
+        if other is not None
+    ]
+    if pair_rows:
+        spec = F.broadcast(spark.createDataFrame(
+            pair_rows,
+            "p_shape string, p_path string, p_other string, p_comp string, "
+            "p_msg string, p_src string",
+        ))
+        # lhs = values of the constrained path; rhs = values of the OTHER
+        # predicate, projected onto the SAME schema (val/val_kind) so the
+        # two directions of sh:equals are symmetric column-name joins
+        common = ["doc_id", "focus_node", "shape", "p_path", "p_comp",
+                  "p_msg", "p_src"]
+
+        def _slice(pred_col):
+            return ftrip.join(
+                spec,
+                (F.col("shape") == F.col("p_shape"))
+                & (F.col("pred") == F.col(pred_col)),
+            ).select(
+                *common,
+                F.col("obj_value").alias("val"),
+                F.col("obj_kind").alias("val_kind"),
+            )
+
+        lhs = _slice("p_path")
+        rhs = _slice("p_other")
+        pair_key = common[:5] + ["val"]
+
+        def _pair_project(df):
+            return _project(df.select(
+                "doc_id", "shape", "focus_node",
+                F.col("p_path").alias("result_path"),
+                F.col("val").cast("string").alias("value"),
+                F.col("val_kind").cast("string").alias("value_kind"),
+                F.concat(
+                    F.lit(SH), F.col("p_comp"), F.lit("ConstraintComponent")
+                ).alias("constraint_component"),
+                F.col("p_msg").alias("message"),
+                F.col("p_src").alias("source_shape"),
+            ).distinct())
+
+        if any(r[3] == "Equals" for r in pair_rows):
+            eq_l = lhs.filter(F.col("p_comp") == "Equals")
+            eq_r = rhs.filter(F.col("p_comp") == "Equals")
+            # path values missing from the other's set, and vice versa
+            frames.append(_pair_project(
+                eq_l.join(eq_r, pair_key, "left_anti")
+            ))
+            frames.append(_pair_project(
+                eq_r.join(eq_l, pair_key, "left_anti")
+            ))
+
+        if any(r[3] == "Disjoint" for r in pair_rows):
+            dj_l = lhs.filter(F.col("p_comp") == "Disjoint")
+            dj_r = rhs.filter(F.col("p_comp") == "Disjoint")
+            frames.append(_pair_project(
+                dj_l.join(dj_r, pair_key, "left_semi")
+            ))
+
+        if any(r[3] in ("LessThan", "LessThanOrEquals") for r in pair_rows):
+            comps = ("LessThan", "LessThanOrEquals")
+            lt_l = lhs.filter(F.col("p_comp").isin(*comps))
+            lt_r = rhs.filter(F.col("p_comp").isin(*comps)).select(
+                *common[:5], F.col("val").alias("r_val")
+            )
+            pairs = lt_l.join(lt_r, common[:5])
+            l_num = F.when(F.col("val").rlike(_NUM_RE), F.col("val").cast(_DEC))
+            r_num = F.when(F.col("r_val").rlike(_NUM_RE), F.col("r_val").cast(_DEC))
+            strict = F.col("p_comp") == "LessThan"
+            num_ok = F.when(strict, l_num < r_num).otherwise(l_num <= r_num)
+            str_ok = F.when(
+                strict, F.col("val") < F.col("r_val")
+            ).otherwise(F.col("val") <= F.col("r_val"))
+            ok = F.when(
+                l_num.isNotNull() & r_num.isNotNull(), num_ok
+            ).otherwise(str_ok)
+            frames.append(_pair_project(
+                pairs.filter(~F.coalesce(ok, F.lit(False)))
+            ))
 
     # pass 4: all sh:class constraints via one join against typed nodes
     class_rows = [

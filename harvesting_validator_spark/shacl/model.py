@@ -10,7 +10,11 @@ Constructs covered = everything exercised by the reference's two profiles
 `src/main/resources/default.shaclc:7-16`; SURVEY.md §2.6): targetClass,
 path (simple IRI), minCount/maxCount, datatype (+ sh:or unions), pattern,
 class, nodeKind, minLength/maxLength, closed+ignoredProperties, nested
-node shapes, sh:in, sh:hasValue.
+node shapes, sh:in, sh:hasValue — plus the rest of SHACL core's
+SQL-expressible constraint components (beyond-reference breadth): value
+ranges (min/maxInclusive, min/maxExclusive, numeric comparison via
+DECIMAL cast), sh:languageIn, sh:uniqueLang, and the property-pair
+components sh:equals / sh:disjoint / sh:lessThan / sh:lessThanOrEquals.
 """
 
 from __future__ import annotations
@@ -48,6 +52,21 @@ class PropertyShape:
     in_values: tuple[str, ...] = ()
     has_value: str | None = None
     node_shape: str | None = None  # nested shape: IRI/bnode id of a NodeShape
+    # value-range components: bound kept as the literal's lexical form;
+    # comparison is numeric (DECIMAL(38,12)) — non-numeric or non-literal
+    # value nodes violate, matching SHACL's "incomparable => violation"
+    min_inclusive: str | None = None
+    max_inclusive: str | None = None
+    min_exclusive: str | None = None
+    max_exclusive: str | None = None
+    language_in: tuple[str, ...] = ()
+    unique_lang: bool = False
+    # property-pair components: each names the OTHER predicate whose value
+    # set (on the same focus node) is compared against this path's values
+    equals: str | None = None
+    disjoint: str | None = None
+    less_than: str | None = None
+    less_than_or_equals: str | None = None
     message: str | None = None
 
 

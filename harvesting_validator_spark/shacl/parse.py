@@ -87,6 +87,13 @@ def _parse_property_shape(by_subj, ps_id: str) -> PropertyShape | None:
     kind_t = _value(by_subj, ps_id, SH + "nodeKind")
     msg_t = _value(by_subj, ps_id, SH + "message")
     hv_t = _value(by_subj, ps_id, SH + "hasValue")
+
+    def _lex(pred: str) -> str | None:
+        t = _value(by_subj, ps_id, SH + pred)
+        return t.obj_value if t else None
+
+    lang_in_t = _value(by_subj, ps_id, SH + "languageIn")
+    ul_t = _value(by_subj, ps_id, SH + "uniqueLang")
     return PropertyShape(
         shape_id=ps_id,
         path=path_t.obj_value,
@@ -101,6 +108,18 @@ def _parse_property_shape(by_subj, ps_id: str) -> PropertyShape | None:
         in_values=tuple(_rdf_list(by_subj, in_t.obj_value)) if in_t else (),
         has_value=hv_t.obj_value if hv_t else None,
         node_shape=node_t.obj_value if node_t else None,
+        min_inclusive=_lex("minInclusive"),
+        max_inclusive=_lex("maxInclusive"),
+        min_exclusive=_lex("minExclusive"),
+        max_exclusive=_lex("maxExclusive"),
+        language_in=tuple(
+            _rdf_list(by_subj, lang_in_t.obj_value)
+        ) if lang_in_t else (),
+        unique_lang=ul_t is not None and ul_t.obj_value == "true",
+        equals=_lex("equals"),
+        disjoint=_lex("disjoint"),
+        less_than=_lex("lessThan"),
+        less_than_or_equals=_lex("lessThanOrEquals"),
         message=msg_t.obj_value if msg_t else None,
     )
 

@@ -321,3 +321,66 @@ def expected_verdict_counts(n_docs: int) -> dict[str, int]:
     are non-conforming."""
     bad = sum(1 for i in range(n_docs) if i % 10 in (7, 8, 9))
     return {"non_conforming": bad, "conforming": n_docs - bad}
+
+
+# profile exercising the SHACL-core EXTENSION components (value ranges,
+# languageIn, uniqueLang, property pairs) — beyond what the reference's
+# two profiles use, but compiled by the same engine (shacl/compile.py)
+PRODUCT_PROFILE = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+
+ex:ProductShape a sh:NodeShape ;
+  sh:targetClass ex:Product ;
+  sh:property [ sh:path ex:price ;
+                sh:minInclusive 0 ; sh:maxExclusive 1000 ] ;
+  sh:property [ sh:path ex:label ;
+                sh:languageIn ("en" "de") ; sh:uniqueLang true ] ;
+  sh:property [ sh:path ex:sku ; sh:equals ex:skuAlias ] ;
+  sh:property [ sh:path ex:tag ; sh:disjoint ex:category ] ;
+  sh:property [ sh:path ex:salePrice ; sh:lessThanOrEquals ex:price ] .
+"""
+
+
+def generate_product_sources(
+    spark: SparkSession, n_docs: int, n_partitions: int | None = None
+) -> DataFrame:
+    """n synthetic product docs violating each EXTENSION constraint class
+    in closed form by i%8 (pure Catalyst, same contract as
+    generate_sources):
+
+    mode 0: conforming (price 500);  mode 1: price -1 (minInclusive);
+    mode 2: price 1000 (maxExclusive, boundary);  mode 3: label @fr
+    (languageIn);  mode 4: two @en labels (uniqueLang);  mode 5: sku !=
+    skuAlias (equals — 2 violations, one per orphan value);  mode 6:
+    tag == category value (disjoint);  mode 7: salePrice 600 > price 500
+    (lessThanOrEquals).  n_violations: [0,1,1,1,1,2,1,1][mode].
+    """
+    df = (
+        spark.range(0, n_docs, 1, n_partitions)
+        if n_partitions
+        else spark.range(n_docs)
+    ).withColumnRenamed("id", "i")
+    i = F.col("i")
+    mode = i % 8
+    body = (
+        F.when(mode == 0, F.lit(" ;\n  ex:price 500"))
+        .when(mode == 1, F.lit(" ;\n  ex:price -1"))
+        .when(mode == 2, F.lit(" ;\n  ex:price 1000"))
+        .when(mode == 3, F.lit(' ;\n  ex:label "x"@fr'))
+        .when(mode == 4, F.lit(' ;\n  ex:label "a"@en, "b"@en'))
+        .when(mode == 5, F.lit(' ;\n  ex:sku "A" ;\n  ex:skuAlias "B"'))
+        .when(mode == 6, F.lit(' ;\n  ex:tag "news" ;\n  ex:category "news"'))
+        .otherwise(F.lit(" ;\n  ex:price 500 ;\n  ex:salePrice 600"))
+    )
+    content = F.concat(
+        F.lit("@prefix ex: <http://example.com/ns#> .\nex:P"), i,
+        F.lit(" a ex:Product"), body, F.lit(" .\n"),
+    )
+    return df.select(
+        F.format_string("repo%d", i % 16).alias("repo"),
+        F.concat(F.lit("data/products/prod"), i, F.lit(".ttl")).alias("path"),
+        F.sha2(F.format_string("commit%d", i), 256).substr(1, 40).alias("commit"),
+        F.lit("turtle").alias("lang"),
+        content.alias("content"),
+    )

@@ -27,6 +27,26 @@ LEXICAL = {
     XSD + "dateTime": r"^-?\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$",
 }
 
+NUM_RE = r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
+
+
+def _num(lex: str):
+    """Numeric value iff NUM_RE matches (the same regex gate the Spark
+    compiler uses before its DECIMAL cast); None otherwise."""
+    import decimal
+
+    if re.match(NUM_RE, lex):
+        return decimal.Decimal(lex)
+    return None
+
+
+def _pair_ok(lv: str, rv: str, strict: bool) -> bool:
+    ln, rn = _num(lv), _num(rv)
+    if ln is not None and rn is not None:
+        return ln < rn if strict else ln <= rn
+    return lv < rv if strict else lv <= rv
+
+
 NODEKIND = {
     SH + "IRI": {"iri"},
     SH + "BlankNode": {"bnode"},
@@ -131,6 +151,25 @@ def validate_reference(triples_by_doc: dict, shapes) -> set:
                         violations.add((doc_id, shape_iri, focus,
                                         SH + "ClassConstraintComponent",
                                         ps.path, t.obj_value))
+                    for bound_lex, cmp_ok, comp in (
+                        (ps.min_inclusive, lambda n, b: n >= b, "MinInclusive"),
+                        (ps.max_inclusive, lambda n, b: n <= b, "MaxInclusive"),
+                        (ps.min_exclusive, lambda n, b: n > b, "MinExclusive"),
+                        (ps.max_exclusive, lambda n, b: n < b, "MaxExclusive"),
+                    ):
+                        if bound_lex is None:
+                            continue
+                        n = _num(t.obj_value) if lit else None
+                        if n is None or not cmp_ok(n, _num(bound_lex)):
+                            violations.add((doc_id, shape_iri, focus,
+                                            SH + comp + "ConstraintComponent",
+                                            ps.path, t.obj_value))
+                    if ps.language_in and not (
+                        lit and t.obj_lang in ps.language_in
+                    ):
+                        violations.add((doc_id, shape_iri, focus,
+                                        SH + "LanguageInConstraintComponent",
+                                        ps.path, t.obj_value))
                 if ps.max_count is not None and len(vals) > ps.max_count:
                     violations.add((doc_id, shape_iri, focus,
                                     SH + "MaxCountConstraintComponent",
@@ -145,6 +184,39 @@ def validate_reference(triples_by_doc: dict, shapes) -> set:
                     violations.add((doc_id, shape_iri, focus,
                                     SH + "HasValueConstraintComponent",
                                     ps.path, None))
+                if ps.unique_lang:
+                    langs = [t.obj_lang for t in vals if t.obj_lang]
+                    for lang in set(langs):
+                        if langs.count(lang) > 1:
+                            violations.add((doc_id, shape_iri, focus,
+                                            SH + "UniqueLangConstraintComponent",
+                                            ps.path, lang))
+                for comp, other in (
+                    ("Equals", ps.equals),
+                    ("Disjoint", ps.disjoint),
+                    ("LessThan", ps.less_than),
+                    ("LessThanOrEquals", ps.less_than_or_equals),
+                ):
+                    if other is None:
+                        continue
+                    lvals = {t.obj_value for t in vals}
+                    rvals = {t.obj_value for t in own if t.pred == other}
+                    cc = SH + comp + "ConstraintComponent"
+                    if comp == "Equals":
+                        for v in lvals ^ rvals:  # both directions
+                            violations.add((doc_id, shape_iri, focus,
+                                            cc, ps.path, v))
+                    elif comp == "Disjoint":
+                        for v in lvals & rvals:
+                            violations.add((doc_id, shape_iri, focus,
+                                            cc, ps.path, v))
+                    else:
+                        strict = comp == "LessThan"
+                        for lv in lvals:
+                            if any(not _pair_ok(lv, rv, strict)
+                                   for rv in rvals):
+                                violations.add((doc_id, shape_iri, focus,
+                                                cc, ps.path, lv))
             if shape.closed:
                 allowed = {p.path for p in shape.properties} | set(
                     shape.ignored_properties
