@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from harvesting_validator_spark.queries.common import dround, tbl, tokens
+from harvesting_validator_spark.queries.common import (
+    dround,
+    md5_int,
+    tbl,
+    tokens,
+)
 
 TFIDF_K = 5
 # training-mixture targets (fractions of the token budget per language)
@@ -217,14 +222,59 @@ FROM m
 """
 
 
+# --- deterministic shard assignment + manifest ---------------------------------
+N_SHARDS = 16
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Training-export sharding: every document is assigned a shard by a
+    deterministic content-independent hash of its id (md5-prefix recipe,
+    CLAUDE.md parity note), and the manifest reports per-shard doc/token/
+    byte totals — the summary a dataloader needs to plan epoch I/O.
+    One |shards|-row groupBy (map-side combined); byte size is the UTF-8
+    octet length (Spark length(encode(..)) == DuckDB strlen)."""
+    d = tbl(spark, sf_dir, "documents")
+    shard = F.pmod(md5_int(F.col("doc_id").cast("string")), F.lit(N_SHARDS))
+    return (
+        d.select(
+            shard.alias("shard_id"),
+            F.size(tokens()).alias("n_tok"),
+            F.length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+        )
+        .select(
+            F.col("shard_id").cast("int").alias("shard_id"),
+            "n_docs", "n_tokens", "n_bytes",
+        )
+    )
+
+
+O_SHARDS = f"""
+SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % {N_SHARDS} AS INT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "mixture_weights": q_mixture_weights,
     "event_anomaly": q_event_anomaly,
+    "shard_manifest": q_shard_manifest,
 }
 
 ORACLES = {
     "tfidf_topk": O_TFIDF,
     "mixture_weights": O_MIXTURE,
     "event_anomaly": O_ANOMALY,
+    "shard_manifest": O_SHARDS,
 }

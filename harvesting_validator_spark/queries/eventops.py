@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from harvesting_validator_spark.queries.common import dround
 from harvesting_validator_spark.queries.common import epoch_us as _t_us
 from harvesting_validator_spark.queries.common import tbl
 
@@ -271,11 +272,83 @@ FROM per_user p LEFT JOIN conv c ON p.user_id = c.user_id
 """
 
 
+# --- weekly cohort retention --------------------------------------------------
+def q_cohort_retention(spark, sf_dir):
+    """Classic cohort-retention matrix: users grouped by first-seen ISO
+    week; for each (cohort_week, week_offset), how many of the cohort
+    were active and what fraction that is.
+
+    Two aggregations by nature (a user-keyed first-seen, then a
+    cohort-keyed matrix), but the user-keyed join reuses the first
+    groupBy's exchange and the matrix/size tables are |weeks|²-sized —
+    the only corpus-wide shuffle is the first user_id groupBy. The
+    retention ratio divides BIGINTs cast to double, rounded to 6 on both
+    engines."""
+    e = tbl(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    )
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = (
+        e.join(first, "user_id")
+        .select("user_id", "cohort_week", "week")
+        .distinct()
+    )
+    mat = act.groupBy("cohort_week", "week").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return (
+        mat.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int").alias("week_offset"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.col("active_users").cast("bigint").alias("active_users"),
+            dround(
+                F.col("active_users").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )
+
+
+O_COHORT = """
+WITH e AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+),
+first AS (
+  SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1
+),
+act AS (
+  SELECT DISTINCT e.user_id, f.cohort_week, e.week
+  FROM e JOIN first f USING (user_id)
+),
+mat AS (
+  SELECT cohort_week, week, count(DISTINCT user_id) AS active_users
+  FROM act GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+  FROM first GROUP BY 1
+)
+SELECT CAST(m.cohort_week AS VARCHAR) AS cohort_week,
+       CAST((m.week - m.cohort_week) / 7 AS INT) AS week_offset,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(m.active_users AS BIGINT) AS active_users,
+       round(CAST(m.active_users AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM mat m JOIN sizes s USING (cohort_week)
+"""
+
+
 QUERIES = {
     "sessionize_events": q_sessionize_events,
     "asof_last_action": q_asof_last_action,
     "topk_docs_per_lang": q_topk_docs_per_lang,
     "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLES = {
@@ -283,4 +356,5 @@ ORACLES = {
     "asof_last_action": O_ASOF,
     "topk_docs_per_lang": O_TOPK_LANG,
     "funnel_conversion": O_FUNNEL,
+    "cohort_retention": O_COHORT,
 }
