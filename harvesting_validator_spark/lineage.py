@@ -149,26 +149,34 @@ class LineageStore:
 class CheckpointedRunner:
     """Executes named stages idempotently with resume-from-checkpoint."""
 
-    def __init__(self, spark: SparkSession, warehouse: str, run_id: str | None = None):
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 run_id: str | None = None, tables=None):
+        from harvesting_validator_spark.warehouse import stage_store
+
         self.spark = spark
         self.warehouse = warehouse
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.store = LineageStore(spark, warehouse)
+        # table-format seam (warehouse.py): Iceberg tables when a catalog
+        # is configured on the session, parquet dirs otherwise
+        self.tables = tables or stage_store(spark, warehouse)
         self.skipped: list[str] = []
         self.executed: list[str] = []
 
     def _out(self, stage: str) -> str:
         return fs.join(self.warehouse, self.run_id, stage)
 
+    def read_stage(self, name: str) -> DataFrame:
+        return self.tables.read(self.run_id, name)
+
     def stage(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
         """Run (or skip) one stage; returns the materialized output DF."""
-        out = self._out(name)
         if (
             self.store.stage_status(self.run_id, name) == STATUS_SUCCESS
-            and fs.exists(self.spark, out)
+            and self.tables.exists(self.run_id, name)
         ):
             self.skipped.append(name)
-            return self.spark.read.parquet(out)
+            return self.tables.read(self.run_id, name)
 
         attempt = self.store.next_attempt(self.run_id, name)
         t0 = time.time()
@@ -177,8 +185,8 @@ class CheckpointedRunner:
         )
         try:
             df = build()
-            df.write.mode("overwrite").parquet(out)
-            written = self.spark.read.parquet(out)
+            self.tables.write(df, self.run_id, name)
+            written = self.tables.read(self.run_id, name)
             per_part = [
                 (r.pid, r.n)
                 for r in written.groupBy(
@@ -248,6 +256,7 @@ def run_validation_checkpointed(
     warehouse: str,
     run_id: str | None = None,
     strict: bool = False,
+    tables=None,
 ) -> CheckpointedRunner:
     """The validation pipeline as resumable stages. Each stage is a pure
     function of materialized predecessors, so a crash between stages
@@ -257,7 +266,7 @@ def run_validation_checkpointed(
     from harvesting_validator_spark.plans.pipeline import add_doc_id
     from harvesting_validator_spark.shacl.parse import parse_shapes_turtle
 
-    runner = CheckpointedRunner(spark, warehouse, run_id)
+    runner = CheckpointedRunner(spark, warehouse, run_id, tables=tables)
     shapes = parse_shapes_turtle(shapes_turtle)
     src = add_doc_id(sources)
 
@@ -286,6 +295,7 @@ def run_kg_checkpointed(
     warehouse: str,
     run_id: str | None = None,
     link_threshold: float = 0.9,
+    tables=None,
 ) -> CheckpointedRunner:
     """The FULL north-star pipeline as resumable stages: validation stages
     plus mentions -> link edges -> canonical mapping -> deduplicated
@@ -302,10 +312,10 @@ def run_kg_checkpointed(
     from harvesting_validator_spark.kg.normalize import normalize_triples
 
     runner = run_validation_checkpointed(
-        spark, sources, shapes_turtle, warehouse, run_id
+        spark, sources, shapes_turtle, warehouse, run_id, tables=tables
     )
-    valid = spark.read.parquet(runner._out("valid_triples"))
-    verdicts = spark.read.parquet(runner._out("verdicts"))
+    valid = runner.read_stage("valid_triples")
+    verdicts = runner.read_stage("verdicts")
     conforming = verdicts.filter(F.col("conforms")).select("doc_id")
     triples = normalize_triples(valid.join(conforming, "doc_id", "left_semi"))
 

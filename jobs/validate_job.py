@@ -30,6 +30,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="SHACL profile turtle file (default: the "
                          "reference application profile)")
     ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--catalog", default=None,
+                    help="Iceberg catalog name for stage outputs "
+                         "(default: auto-detect from spark.sql.catalog.* "
+                         "config; absent -> parquet dirs under "
+                         "--warehouse)")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--kg", action="store_true",
                     help="also run entity linking + canonical graph")
@@ -85,16 +90,20 @@ def main(argv: list[str] | None = None) -> int:
         }))
         return 0
 
+    from harvesting_validator_spark.warehouse import stage_store
+
+    tables = stage_store(spark, args.warehouse, catalog=args.catalog)
     if args.kg:
         from harvesting_validator_spark.lineage import run_kg_checkpointed
 
         runner = run_kg_checkpointed(
-            spark, sources, shapes_turtle, args.warehouse, run_id=args.run_id
+            spark, sources, shapes_turtle, args.warehouse, run_id=args.run_id,
+            tables=tables,
         )
     else:
         runner = run_validation_checkpointed(
             spark, sources, shapes_turtle, args.warehouse, run_id=args.run_id,
-            strict=args.strict,
+            strict=args.strict, tables=tables,
         )
 
     print(json.dumps({
