@@ -428,6 +428,116 @@ SELECT subj, pred_local, obj_value FROM (
 """
 
 
+# --- linker precision/recall vs closed-form ground truth ------------------------
+def q_kg_linking_quality(spark, sf_dir):
+    """North-rule P/R criterion as a DRIVER-CHECKED query: run the real
+    linker (parse -> mentions -> strong-key blocking -> Catalyst pair
+    scoring at threshold 0.9) over a corpus with controlled noise
+    (generate_noisy_entity_sources: i%7==3 corrupts the key -> false
+    negatives; g%5==4 borrows the previous group's key and the 5/7-token
+    name overlap + key bonus clears the threshold -> false positives),
+    and report pair-level precision / recall / F1 against the closed-form
+    ground truth. The oracle derives every count analytically, so a hash
+    match certifies the whole evaluation, not just the plumbing."""
+    from harvesting_validator_spark.kg.linking import (
+        block_candidates_by_key,
+        extract_mentions,
+        link_edges,
+    )
+    from harvesting_validator_spark.kg.normalize import normalize_triples
+    from harvesting_validator_spark.sources.rdf_parse import parse_sources_to_triples
+    from harvesting_validator_spark.sources.synthetic import (
+        generate_noisy_entity_sources,
+    )
+
+    n = _corpus_n(spark, sf_dir)
+    k = max(2, n // 10)
+    sources = generate_noisy_entity_sources(spark, n, n_entities=k)
+
+    def g_of(col):
+        # truth label: doc index i is the M%09d suffix of the mention IRI
+        return F.substring(col, -9, 9).cast("bigint") % k
+
+    with _sized_shuffle(spark, n):
+        triples = normalize_triples(parse_sources_to_triples(sources))
+        mentions = extract_mentions(triples)
+        edges = link_edges(block_candidates_by_key(mentions), threshold=0.9)
+        truth = (
+            mentions.select(g_of(F.col("entity")).alias("g"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .agg(
+                F.sum(F.expr("m * (m - 1) div 2"))
+                .cast("bigint")
+                .alias("n_true_pairs")
+            )
+        )
+        pred = edges.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pred_pairs"),
+            F.count(
+                F.when(g_of(F.col("src")) == g_of(F.col("dst")), 1)
+            ).cast("bigint").alias("n_tp"),
+        )
+    p = F.col("n_tp") / F.col("n_pred_pairs")
+    r = F.col("n_tp") / F.col("n_true_pairs")
+    f1 = F.lit(2) * p * r / (p + r)
+
+    def half_up6(c):
+        # CLAUDE.md rounding invariant: half-up on both engines
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return pred.crossJoin(truth).select(
+        "n_true_pairs",
+        "n_pred_pairs",
+        "n_tp",
+        F.when(F.col("n_pred_pairs") > 0, half_up6(p)).alias("link_precision"),
+        F.when(F.col("n_true_pairs") > 0, half_up6(r)).alias("link_recall"),
+        F.when(F.col("n_tp") > 0, half_up6(f1)).alias("link_f1"),
+    )
+
+
+O_LINKING_QUALITY = """
+WITH kk AS (SELECT GREATEST(2, count(*) // 10) AS k FROM documents),
+d AS (
+  SELECT doc_id % (SELECT k FROM kk) AS g,
+         doc_id % 7 = 3 AS corrupt
+  FROM documents
+),
+grp AS (
+  SELECT g, count(*) AS m, count(*) FILTER (WHERE NOT corrupt) AS mc
+  FROM d GROUP BY g
+),
+agg AS (
+  SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_true_pairs,
+         CAST(sum(mc * (mc - 1) // 2) AS BIGINT) AS n_tp
+  FROM grp
+),
+x AS (
+  -- predicted cross-group pairs: group b (b.g%5==4) carries group
+  -- a=b-1's key; only non-corrupt docs participate
+  SELECT CAST(coalesce(sum(a.mc * b.mc), 0) AS BIGINT) AS n_cross
+  FROM grp b JOIN grp a ON a.g = b.g - 1
+  WHERE b.g % 5 = 4
+)
+SELECT n_true_pairs,
+       n_tp + n_cross AS n_pred_pairs,
+       n_tp,
+       CASE WHEN n_tp + n_cross > 0 THEN
+         floor(CAST(n_tp AS DOUBLE) / (n_tp + n_cross) * 1e6 + 0.5) / 1e6
+       END AS link_precision,
+       CASE WHEN n_true_pairs > 0 THEN
+         floor(CAST(n_tp AS DOUBLE) / n_true_pairs * 1e6 + 0.5) / 1e6
+       END AS link_recall,
+       CASE WHEN n_tp > 0 THEN
+         floor(2 * (CAST(n_tp AS DOUBLE) / (n_tp + n_cross))
+                 * (CAST(n_tp AS DOUBLE) / n_true_pairs)
+               / (CAST(n_tp AS DOUBLE) / (n_tp + n_cross)
+                  + CAST(n_tp AS DOUBLE) / n_true_pairs) * 1e6 + 0.5) / 1e6
+       END AS link_f1
+FROM agg, x
+"""
+
+
 # --- extension-constraint verdicts (SHACL-core breadth: ranges, langIn,
 # uniqueLang, property pairs) over the closed-form product corpus ----------
 def q_kg_extended_verdicts(spark, sf_dir):
@@ -471,6 +581,7 @@ QUERIES = {
     "kg_incremental_clusters": q_kg_incremental_clusters,
     "kg_chain_clusters": q_kg_chain_clusters,
     "kg_canonical_graph": q_kg_canonical_graph,
+    "kg_linking_quality": q_kg_linking_quality,
     "kg_split_counts": q_kg_split_counts,
     "kg_strict_split_counts": q_kg_strict_split_counts,
     "kg_report_rollup": q_kg_report_rollup,
@@ -486,6 +597,7 @@ ORACLES = {
     "kg_incremental_clusters": O_LINKED_CLUSTERS,
     "kg_chain_clusters": O_CHAIN_CLUSTERS,
     "kg_canonical_graph": O_CANONICAL_GRAPH,
+    "kg_linking_quality": O_LINKING_QUALITY,
     "kg_split_counts": O_SPLIT,
     "kg_strict_split_counts": O_STRICT_SPLIT,
     "kg_report_rollup": O_ROLLUP,

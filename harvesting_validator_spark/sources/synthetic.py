@@ -277,6 +277,60 @@ def generate_entity_sources(
     )
 
 
+def generate_noisy_entity_sources(
+    spark: SparkSession, n_docs: int, n_entities: int | None = None
+) -> DataFrame:
+    """Entity corpus with CONTROLLED LINKAGE NOISE, for measuring the
+    linker's precision/recall against closed-form ground truth (the
+    north-rule P/R criterion as a driver-checked query, not just
+    exact-match oracles):
+
+    * doc ``i`` mentions ``ex:M%09d(i)`` (unique IRI per doc) and truly
+      denotes entity group ``g = i % K``;
+    * **false-negative noise**: docs with ``i % 7 == 3`` carry a
+      corrupted, globally-unique ssn (``BAD-%09d(i)``) — key blocking
+      cannot recover them;
+    * **false-positive noise**: groups with ``g % 5 == 4`` carry group
+      ``g-1``'s ssn, so the linker merges two distinct entities (the
+      scorer accepts: 5/7 token Jaccard + 0.5 strong-key bonus caps
+      at 1.0).
+
+    The ssn digit layout is injective in ``g`` for g < 10^9
+    (``g%1000 | (g//1000)%100 | g//100000``), so no accidental
+    collisions at any test scale. Every noise rule is a pure function of
+    ``i``, so predicted-vs-true pair counts have a closed form the
+    DuckDB oracle reproduces (queries/kg.py O_LINKING_QUALITY)."""
+    if n_entities is None:
+        n_entities = max(2, n_docs // 10)
+    df = spark.range(n_docs).withColumnRenamed("id", "i")
+    i = F.col("i")
+    grp = i % n_entities
+    carried = F.when((grp % 5 == 4), grp - 1).otherwise(grp)
+    ssn = F.format_string(
+        "%03d-%02d-%04d",
+        carried % 1000, (carried / 1000).cast("long") % 100,
+        (carried / 100000).cast("long"),
+    )
+    corrupt = i % 7 == 3
+    content = F.concat(
+        F.lit("@prefix ex: <http://example.com/ns#> .\n"),
+        F.format_string("ex:M%09d", i),
+        F.lit(" a ex:Person ;\n  ex:name "),
+        F.concat(F.lit('"Person '), grp, F.lit(' Name"')),
+        F.lit(" ;\n  ex:ssn "),
+        F.when(corrupt, F.format_string('"BAD-%09d"', i))
+        .otherwise(F.concat(F.lit('"'), ssn, F.lit('"'))),
+        F.lit(" .\n"),
+    )
+    return df.select(
+        F.format_string("repo%d", i % 16).alias("repo"),
+        F.concat(F.lit("data/noisy/e"), i, F.lit(".ttl")).alias("path"),
+        F.sha2(F.format_string("ncommit%d", i), 256).substr(1, 40).alias("commit"),
+        F.lit("turtle").alias("lang"),
+        content.alias("content"),
+    )
+
+
 def generate_chain_sources(
     spark: SparkSession, n_docs: int, chain_len: int = 8
 ) -> DataFrame:
