@@ -19,6 +19,7 @@ output is one table/dir, resumable by (run_id, stage).
 
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,6 +66,59 @@ class ParquetStageStore:
     def read(self, run_id: str, stage: str) -> DataFrame:
         return self.spark.read.parquet(self._path(run_id, stage))
 
+    def compact(self, run_id: str, stage: str,
+                target_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Small-file compaction: rewrite the stage dir into
+        ``ceil(total_bytes / target_bytes)`` files and swap atomically
+        (write aside → two renames → delete). At 100 TB the small-file
+        problem is operational, not cosmetic — a checkpointed stage
+        written at high parallelism leaves thousands of tiny parquet
+        files whose per-file open/footer cost dominates later scans and
+        whose NameNode/object-store listing cost grows per file.
+
+        Unpartitioned stages compact with ``coalesce`` (split merging,
+        NO shuffle). Hive-partitioned stages (``col=val`` dirs from
+        ``write(partition_by=...)``) hash-cluster on the partition
+        columns — one shuffle — so each output task owns whole partition
+        values and file counts drop to ~1 per partition dir. A row-count
+        parity check on the rewritten copy gates the swap."""
+        path = self._path(run_id, stage)
+        entries = [
+            e for e in fs.listdir(self.spark, path)
+            if not e.startswith(("_", "."))
+        ]
+        part_cols = sorted({e.split("=", 1)[0] for e in entries if "=" in e})
+        total = fs.tree_size(self.spark, path)
+        n_out = max(1, math.ceil(total / target_bytes))
+        df = self.spark.read.parquet(path)
+        tmp, old = path + ".__compacting__", path + ".__pre_compact__"
+        fs.delete(self.spark, tmp, recursive=True)
+        if part_cols:
+            w = df.repartition(n_out, *part_cols).write.partitionBy(*part_cols)
+        else:
+            if n_out >= len(entries):
+                return {"files_before": len(entries),
+                        "files_after": len(entries), "bytes": total,
+                        "skipped": True}
+            w = df.coalesce(n_out).write
+        w.mode("overwrite").parquet(tmp)
+        n_src, n_tmp = df.count(), self.spark.read.parquet(tmp).count()
+        if n_src != n_tmp:
+            fs.delete(self.spark, tmp, recursive=True)
+            raise IOError(
+                f"compaction row-count mismatch for {path}: "
+                f"{n_src} != {n_tmp}; source left untouched"
+            )
+        fs.rename(self.spark, path, old)
+        fs.rename(self.spark, tmp, path)
+        fs.delete(self.spark, old, recursive=True)
+        files_after = len([
+            e for e in fs.listdir(self.spark, path)
+            if not e.startswith(("_", "."))
+        ])
+        return {"files_before": len(entries), "files_after": files_after,
+                "bytes": total, "skipped": False}
+
 
 class IcebergStageStore:
     """Stage outputs as Iceberg tables
@@ -100,6 +154,23 @@ class IcebergStageStore:
 
     def read(self, run_id: str, stage: str) -> DataFrame:
         return self.spark.table(self.ident(run_id, stage))
+
+    def _rewrite_sql(self, run_id: str, stage: str,
+                     target_bytes: int) -> str:
+        """The Iceberg-native compaction call (rewrite_data_files binpacks
+        small files into target-size ones inside a snapshot commit)."""
+        return (
+            f"CALL {self.catalog}.system.rewrite_data_files("
+            f"table => '{self.namespace}.{self.ident(run_id, stage).rsplit('.', 1)[-1]}', "
+            f"options => map('target-file-size-bytes', '{target_bytes}'))"
+        )
+
+    def compact(self, run_id: str, stage: str,
+                target_bytes: int = 128 * 1024 * 1024) -> dict:
+        row = self.spark.sql(
+            self._rewrite_sql(run_id, stage, target_bytes)
+        ).collect()[0]
+        return {"rewritten_files": row[0], "added_files": row[1]}
 
 
 def stage_store(spark: SparkSession, root: str,
