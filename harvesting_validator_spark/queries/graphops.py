@@ -23,6 +23,10 @@ uses.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import functions as F
 
 from harvesting_validator_spark.queries.common import epoch_us, tbl
@@ -90,32 +94,48 @@ def q_pagerank_bipartite(spark, sf_dir):
     floor-division, so the result is exact and engine-independent.
     Dangling mass is not redistributed (every node here has out-edges by
     construction — the graph is symmetrized)."""
-    # materialize the DEGREE-ANNOTATED edge list ONCE before the loop,
-    # hash-partitioned on the loop's join key (repo invariant for
-    # iterative plans). Checkpointing the raw edges alone (r3) still left
-    # edges⋈deg re-executing inside every unrolled round; checkpointing
-    # `ed` post-join, pre-partitioned on src, makes each round exactly
-    # one ranks-side exchange + one contribution groupBy — measured at
-    # sf0.1 local[32], interleaved fresh-JVM A/B over 6 clean-window
-    # pairs: median 26.9→22.5s (−16%), new faster in 5/6 pairs (the
-    # per-round e⋈deg recompute it removes is small next to the
-    # contribution shuffle, so the win is real but modest)
+    # materialize the DEGREE-ANNOTATED edge list ONCE before the loop as a
+    # parquet table BUCKETED on the loop's join key. The r3/r4 shape
+    # (repartition("src").localCheckpoint()) computed it once but PySpark's
+    # localCheckpoint re-enters the plan as `Scan ExistingRDD,
+    # UnknownPartitioning` — Catalyst forgets the hash layout and re-adds a
+    # FULL edge-list Exchange inside every unrolled round (K×|E| shuffled
+    # bytes, the dominant per-round cost at graph scale). A bucketed scan
+    # reports HashPartitioning(src, n_buckets), so each round's join is
+    # satisfied in place on the edge side and the only per-round shuffle is
+    # the O(|V|) rank vector (ranks-side Exchange + contribution groupBy).
+    # The repartition before write puts exactly one file under each bucket
+    # (writer-task partitioning == bucket hash), keeping file count flat.
+    # Measured sf0.1 local[32] (4 interleaved fresh-JVM pairs): wall-
+    # neutral (old min 21.9s / new 22.6s) — the graph there is too small
+    # for K×|E| shuffle mass to dominate; the change buys the per-round
+    # byte complexity and drops the resident localCheckpoint storage.
     e = _edges(spark, sf_dir)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = (
-        e.join(deg, "src")
-        .select("src", "dst", "outdeg")
-        .repartition("src")
-        .localCheckpoint()
+    ed = e.join(deg, "src").select("src", "dst", "outdeg")
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tag = hashlib.sha256(str(sf_dir).encode()).hexdigest()[:12]
+    name = f"pr_edges_b_{tag}_{os.getpid()}"
+    path = os.path.join(
+        tempfile.gettempdir(), "hv_spark_bucketed", name
     )
-    # r0 from the checkpointed ed (src-partitioned -> partial-agg local):
-    # deriving it from `deg` would re-run the whole upstream join
-    ranks = ed.select("src").distinct().select(
+    (
+        ed.repartition(n_buckets, "src")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "src")
+        .sortBy("src")
+        .option("path", path)
+        .saveAsTable(name)
+    )
+    edb = spark.table(name)
+    # r0 from the bucketed table (src-clustered -> aggregates in place)
+    ranks = edb.select("src").distinct().select(
         "src", F.lit(PR_SCALE).cast("bigint").alias("rank")
     )
     for _ in range(PR_ITERS):
         contrib = (
-            ed.join(ranks, "src")
+            edb.join(ranks, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr(f"(rank * 85) div (100 * outdeg)").alias("c"),

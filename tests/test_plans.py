@@ -249,6 +249,24 @@ def test_range_join_is_bucketized_equi_join(spark, sf_dir):
     assert "Join" in plan  # it IS a join, just an equi one
 
 
+def test_pagerank_edges_never_reshuffled(spark, sf_dir):
+    """The PageRank loop's edge side must come from the bucketed table
+    (scan reports ``Bucketed: true``) with no Exchange re-distributing the
+    edge relation: per-round shuffled bytes are the O(|V|) contribution
+    mass keyed on ``node``, never the O(|E|) edge list. (The earlier
+    ``repartition.localCheckpoint`` shape silently regressed to K
+    full-edge shuffles because PySpark's localCheckpoint re-enters as
+    ``Scan ExistingRDD, UnknownPartitioning``.)"""
+    import re
+
+    from harvesting_validator_spark.queries import graphops
+
+    plan = _formatted(graphops.q_pagerank_bipartite(spark, sf_dir))
+    assert "Bucketed: true" in plan
+    for key in re.findall(r"Arguments: hashpartitioning\(([a-zA-Z_]+)", plan):
+        assert key == "node", f"edge-side exchange on {key!r}"
+
+
 def test_corpusops_plan_shapes(spark, sf_dir):
     """corpusops stays Catalyst-side and shuffle-lean:
 

@@ -68,12 +68,11 @@ def test_kg_run_cleanup_returns_storage_to_baseline(spark):
 
 
 def test_bench_style_sweep_after_pagerank(spark, sf_dir):
-    """The pagerank edge-list checkpoint is pinned while the result is
-    consumed, then released by the bench harness's post-query sweep."""
+    """The pagerank edge list now lives in a bucketed table, not a
+    localCheckpoint, so the query leaves NO resident executor storage —
+    nothing for the bench harness's post-query sweep to release."""
     from harvesting_validator_spark.queries.graphops import q_pagerank_bipartite
 
     base = _storage_ids(spark)
     assert q_pagerank_bipartite(spark, sf_dir).count() > 0
-    assert _storage_ids(spark) - base, "expected the edge checkpoint resident"
-    release_new_rdds(spark, base, blocking=True)
-    assert _storage_ids(spark) == base
+    assert _storage_ids(spark) == base, "expected no resident storage"
