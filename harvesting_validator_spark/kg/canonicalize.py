@@ -9,10 +9,12 @@ partitioning — no monotonically_increasing_id anywhere, C4).
 Scale notes: each round combines neighbor min-propagation with pointer
 jumping (label(n) <- label(label(n))), so convergence is O(log diameter)
 rounds — a 10^6-long equivalence chain resolves in ~20 rounds, not 10^6.
-Each round is one groupBy-min + two joins, all keyed on the node id so the
-exchange is reused. ``localCheckpoint`` truncates the lineage each round
-(iterative plans otherwise grow exponentially and re-execute from the
-source). Skew (one giant component) is bounded because propagation only
+Each round is one groupBy-min + two joins; the edge side is served from a
+persisted repartition("b") cache whose InMemoryTableScan advertises its
+hash layout and sort order, so only O(|V|) label rows shuffle per round —
+never the edge list. ``localCheckpoint`` truncates the label chain's
+lineage each round (iterative plans otherwise grow exponentially and
+re-execute from the source). Skew (one giant component) is bounded because propagation only
 ever materializes (node, label) pairs — never the component as a row.
 """
 
@@ -58,25 +60,44 @@ def connected_components(
     )
     spark = edges.sparkSession
     pre_ids = persistent_rdd_ids(spark)
-    und = (
+    und0 = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
-        # materialize ONCE: every iteration joins against `und`, and the
-        # edge list usually sits on an expensive upstream (LSH blocking +
+        # materialize ONCE: every iteration joins against the edge list,
+        # which usually sits on an expensive upstream (LSH blocking +
         # Arrow pair scoring) — without this, each round re-executed that
         # whole pipeline (measured 57s -> ~3s for the 5k-doc bench corpus)
         .localCheckpoint()
     )
-    und_ids = persistent_rdd_ids(spark) - pre_ids
     # iterative rounds work on small (node,label) tables whose size is
     # known after the checkpoint: size the loop's shuffle partitions to
     # the data instead of the session-wide corpus setting (64 near-empty
     # reduce tasks per join made each tiny round cost like a corpus scan;
     # at web scale `und` is huge and this keeps the session value)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = max(8, min(int(prev_parts), und.count() // 200_000 + 8))
+    loop_parts = max(8, min(int(prev_parts), und0.count() // 200_000 + 8))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    # the checkpoint re-enters the plan as `Scan ExistingRDD,
+    # UnknownPartitioning` — joined as-is, Catalyst would re-shuffle the
+    # FULL edge list on `b` inside every round (K x |E| shuffled bytes).
+    # A persisted post-repartition cache fixes that: InMemoryTableScan
+    # reports the cached plan's partitioning AND ordering, so the
+    # per-round neighbor join reads the edge side in place, pre-sorted,
+    # and only the O(|V|) label table moves. (A one-time shuffle off the
+    # checkpoint buys K shuffle-free scans; same trick is NOT applicable
+    # to the label chain, which needs lineage truncation each round.)
+    # Measured sf0.1 local[32], 4 interleaved fresh-JVM pairs:
+    # wall-neutral (old min 20.7s / new 21.1s) — blocked entity graphs
+    # converge in ~2 probed rounds here, so the K x |E| term is tiny at
+    # this sf; the change buys the at-scale byte complexity.
+    und = (
+        und0.repartition(loop_parts, "b")
+        .sortWithinPartitions("b")
+        .persist()
+    )
+    und.count()  # materialize the cache with the layout above
+    und_ids = persistent_rdd_ids(spark) - pre_ids
     try:
         # label(n) starts as min(n, min(neighbors))
         labels = (
