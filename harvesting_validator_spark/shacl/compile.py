@@ -128,6 +128,28 @@ def compute_focus(triples: DataFrame, shapes: ShapesGraph,
             )
         )
 
+    # implicit target selectors: one broadcast join each against the tiny
+    # (pred -> shape) spec — same shape as the targetClass selector
+    subj_rows = [
+        (s.iri, p) for s in shapes.shapes for p in s.target_subjects_of
+    ]
+    if subj_rows:
+        spec_s = spark.createDataFrame(subj_rows, "shape string, tpred string")
+        frames.append(
+            triples.join(F.broadcast(spec_s), triples.pred == spec_s.tpred)
+            .select("doc_id", F.col("subj").alias("focus_node"), "shape")
+        )
+    obj_rows = [
+        (s.iri, p) for s in shapes.shapes for p in s.target_objects_of
+    ]
+    if obj_rows:
+        spec_o = spark.createDataFrame(obj_rows, "shape string, tpred string")
+        frames.append(
+            triples.filter(F.col("obj_kind") != "literal")
+            .join(F.broadcast(spec_o), F.col("pred") == spec_o.tpred)
+            .select("doc_id", F.col("obj_value").alias("focus_node"), "shape")
+        )
+
     base = _union_all(frames)
     if base is None:
         return spark.createDataFrame(
@@ -175,6 +197,30 @@ def compute_focus(triples: DataFrame, shapes: ShapesGraph,
             all_frames.append(child)
             frontier = child
     return _union_all(all_frames).distinct()
+
+
+def _restrict_graph(shapes: ShapesGraph, ids: set) -> ShapesGraph:
+    """Sub-graph containing the given shape ids plus every shape they
+    reach via sh:node / sh:qualifiedValueShape / sh:not (cycle-safe)."""
+    keep: set = set()
+    frontier = {i for i in ids if i in shapes.by_id}
+    while frontier:
+        keep |= frontier
+        nxt: set = set()
+        for sid in frontier:
+            s = shapes.by_id[sid]
+            for ref in s.not_shapes:
+                nxt.add(ref)
+            for p in s.properties:
+                if p.node_shape:
+                    nxt.add(p.node_shape)
+                if p.qualified_shape:
+                    nxt.add(p.qualified_shape)
+        frontier = {i for i in nxt if i in shapes.by_id} - keep
+    return ShapesGraph(
+        shapes=tuple(s for s in shapes.shapes if s.iri in keep),
+        by_id=shapes.by_id,
+    )
 
 
 def _static_nesting_depth(shapes: ShapesGraph) -> int:
@@ -360,6 +406,7 @@ def validate(
     focus: DataFrame | None = None,
     cache_intermediate: bool = True,
     persisted: list | None = None,
+    _sub_depth: int = 0,
 ) -> DataFrame:
     """All violations for all shapes in four passes total, independent of
     how many shapes/constraints the profile declares:
@@ -713,6 +760,180 @@ def validate(
             F.col("c_msg").alias("message"),
             F.col("c_src").alias("source_shape"),
         )))
+
+    # pass 6: shape-valued components — sh:qualifiedValueShape (+
+    # qualifiedMin/MaxCount) and node-level sh:not. Both reduce to "does
+    # node X conform to sub-shape S?", answered by ONE recursive
+    # validate() over the union of all (doc, node, sub-shape) probes
+    # (explicit focus, so no target re-derivation): a probe conforms iff
+    # it yields no violation row. Sub-shapes using further shape-valued
+    # components recurse again, capped at _MAX_NESTING_DEPTH, beyond
+    # which the inner components are skipped (model.py contract). The
+    # probe set is a slice of ftrip, so the extra passes stay keyed on
+    # the same (doc_id, node) prefix as everything else.
+    q_rows = [
+        (s.iri, p.path, p.qualified_shape, p.qualified_min, p.qualified_max,
+         p.message, skolem_shape_id(s.iri, p))
+        for s in shapes.shapes for p in s.properties
+        if p.qualified_shape and p.qualified_shape in shapes.by_id
+        and (p.qualified_min is not None or p.qualified_max is not None)
+    ]
+    not_rows = [
+        (s.iri, n) for s in shapes.shapes for n in s.not_shapes
+        if n in shapes.by_id
+    ]
+    if (q_rows or not_rows) and _sub_depth < _MAX_NESTING_DEPTH:
+        probes = []
+        q_cand = None
+        if q_rows:
+            qspec = F.broadcast(spark.createDataFrame(
+                q_rows,
+                "q_shape string, q_path string, q_sub string, q_min int, "
+                "q_max int, q_msg string, q_src string",
+            ))
+            # candidate value nodes, SET semantics (SHACL counts value
+            # nodes, not occurrences)
+            q_cand = ftrip.join(
+                qspec,
+                (F.col("shape") == F.col("q_shape"))
+                & (F.col("pred") == F.col("q_path")),
+            ).select(
+                "doc_id", "focus_node", "shape", "q_path", "q_sub",
+                "q_min", "q_max", "q_msg", "q_src",
+                F.col("obj_value").alias("val"),
+            ).distinct()
+            probes.append(q_cand.select(
+                "doc_id", F.col("val").alias("focus_node"),
+                F.col("q_sub").alias("shape"),
+            ))
+        n_base = None
+        if not_rows:
+            nspec = F.broadcast(spark.createDataFrame(
+                not_rows, "n_shape string, n_sub string"
+            ))
+            n_base = focus.join(
+                nspec, F.col("shape") == F.col("n_shape")
+            ).select("doc_id", "focus_node", "shape", "n_sub")
+            probes.append(n_base.select(
+                "doc_id", "focus_node", F.col("n_sub").alias("shape")
+            ))
+        probe_focus = _union_all(probes).distinct()
+        # restrict the recursive graph to the referenced sub-shapes (and
+        # their transitive children): the recursion then terminates as
+        # soon as a level's sub-shapes declare no shape-valued components
+        # of their own — without the restriction every level would rebuild
+        # the FULL constraint machinery and the plan tree grows
+        # exponentially with _MAX_NESTING_DEPTH
+        sub_ids = {r[2] for r in q_rows} | {n for _, n in not_rows}
+        sub_viol = validate(
+            triples, _restrict_graph(shapes, sub_ids), spark,
+            focus=probe_focus,
+            cache_intermediate=cache_intermediate, persisted=persisted,
+            _sub_depth=_sub_depth + 1,
+        ).select(
+            F.col("doc_id").alias("s_doc"),
+            F.col("focus_node").alias("s_node"),
+            F.col("shape").alias("s_shape"),
+        ).distinct()
+        if q_rows:
+            marked = q_cand.join(
+                sub_viol,
+                (F.col("doc_id") == F.col("s_doc"))
+                & (F.col("val") == F.col("s_node"))
+                & (F.col("q_sub") == F.col("s_shape")),
+                "left",
+            )
+            conf_cnt = marked.groupBy(
+                "doc_id", "focus_node", "shape", "q_path", "q_sub",
+                "q_min", "q_max", "q_msg", "q_src",
+            ).agg(F.sum(
+                F.when(F.col("s_node").isNull(), 1).otherwise(0)
+            ).alias("n_conf"))
+            over_q = conf_cnt.filter(
+                F.col("q_max").isNotNull()
+                & (F.col("n_conf") > F.col("q_max"))
+            )
+            frames.append(_project(over_q.select(
+                "doc_id", "shape", "focus_node",
+                F.col("q_path").alias("result_path"),
+                F.lit(None).cast("string").alias("value"),
+                F.lit(None).cast("string").alias("value_kind"),
+                F.lit(SH + "QualifiedMaxCountConstraintComponent")
+                .alias("constraint_component"),
+                F.coalesce(
+                    F.col("q_msg"),
+                    F.concat(F.lit("more than "), F.col("q_max").cast("string"),
+                             F.lit(" values conform to the qualified shape")),
+                ).alias("message"),
+                F.col("q_src").alias("source_shape"),
+            )))
+            # min side starts from the focus table so focus nodes with
+            # ZERO path values (or zero conforming values) violate too
+            qmin_spec = F.broadcast(spark.createDataFrame(
+                [r for r in q_rows if r[3] is not None],
+                "q_shape string, q_path string, q_sub string, q_min int, "
+                "q_max int, q_msg string, q_src string",
+            )) if any(r[3] is not None for r in q_rows) else None
+            if qmin_spec is not None:
+                have = conf_cnt.select(
+                    F.col("doc_id").alias("h_doc"),
+                    F.col("focus_node").alias("h_focus"),
+                    F.col("shape").alias("h_shape"),
+                    F.col("q_path").alias("h_path"),
+                    F.col("q_sub").alias("h_sub"),
+                    F.col("n_conf").alias("h_conf"),
+                )
+                under_q = (
+                    focus.join(qmin_spec, F.col("shape") == F.col("q_shape"))
+                    .join(
+                        have,
+                        (F.col("doc_id") == F.col("h_doc"))
+                        & (F.col("focus_node") == F.col("h_focus"))
+                        & (F.col("shape") == F.col("h_shape"))
+                        & (F.col("q_path") == F.col("h_path"))
+                        & (F.col("q_sub") == F.col("h_sub")),
+                        "left",
+                    )
+                    .filter(
+                        F.coalesce(F.col("h_conf"), F.lit(0)) < F.col("q_min")
+                    )
+                )
+                frames.append(_project(under_q.select(
+                    "doc_id", "shape", "focus_node",
+                    F.col("q_path").alias("result_path"),
+                    F.lit(None).cast("string").alias("value"),
+                    F.lit(None).cast("string").alias("value_kind"),
+                    F.lit(SH + "QualifiedMinCountConstraintComponent")
+                    .alias("constraint_component"),
+                    F.coalesce(
+                        F.col("q_msg"),
+                        F.concat(F.lit("fewer than "), F.col("q_min").cast("string"),
+                                 F.lit(" values conform to the qualified "
+                                       "shape")),
+                    ).alias("message"),
+                    F.col("q_src").alias("source_shape"),
+                )))
+        if not_rows:
+            conforms_to_not = n_base.join(
+                sub_viol,
+                (F.col("doc_id") == F.col("s_doc"))
+                & (F.col("focus_node") == F.col("s_node"))
+                & (F.col("n_sub") == F.col("s_shape")),
+                "left_anti",
+            )
+            frames.append(_project(conforms_to_not.select(
+                "doc_id", "shape", "focus_node",
+                F.lit(None).cast("string").alias("result_path"),
+                F.lit(None).cast("string").alias("value"),
+                F.lit(None).cast("string").alias("value_kind"),
+                F.lit(SH + "NotConstraintComponent")
+                .alias("constraint_component"),
+                F.concat(
+                    F.lit("focus node conforms to negated shape <"),
+                    F.col("n_sub"), F.lit(">"),
+                ).alias("message"),
+                F.col("shape").alias("source_shape"),
+            )))
 
     result = _union_all(frames)
     if result is None:

@@ -13,8 +13,13 @@ class, nodeKind, minLength/maxLength, closed+ignoredProperties, nested
 node shapes, sh:in, sh:hasValue — plus the rest of SHACL core's
 SQL-expressible constraint components (beyond-reference breadth): value
 ranges (min/maxInclusive, min/maxExclusive, numeric comparison via
-DECIMAL cast), sh:languageIn, sh:uniqueLang, and the property-pair
-components sh:equals / sh:disjoint / sh:lessThan / sh:lessThanOrEquals.
+DECIMAL cast), sh:languageIn, sh:uniqueLang, the property-pair
+components sh:equals / sh:disjoint / sh:lessThan / sh:lessThanOrEquals,
+sh:qualifiedValueShape with sh:qualifiedMin/MaxCount, node-level sh:not,
+and the sh:targetSubjectsOf / sh:targetObjectsOf selectors. Out of
+contract: property paths beyond a single IRI, SPARQL-based constraints,
+sh:and/sh:xone (sh:or is supported for datatype unions), and
+sh:qualifiedValueShapesDisjoint.
 """
 
 from __future__ import annotations
@@ -67,6 +72,11 @@ class PropertyShape:
     disjoint: str | None = None
     less_than: str | None = None
     less_than_or_equals: str | None = None
+    # qualified cardinality: count values CONFORMING to the referenced
+    # shape (id into ShapesGraph.by_id) against the min/max bounds
+    qualified_shape: str | None = None
+    qualified_min: int | None = None
+    qualified_max: int | None = None
     message: str | None = None
 
 
@@ -75,9 +85,15 @@ class NodeShape:
     iri: str
     target_classes: tuple[str, ...] = ()
     target_nodes: tuple[str, ...] = ()
+    # implicit target selectors: focus = subjects (resp. non-literal
+    # objects) of any triple whose predicate is listed
+    target_subjects_of: tuple[str, ...] = ()
+    target_objects_of: tuple[str, ...] = ()
     properties: tuple[PropertyShape, ...] = ()
     closed: bool = False
     ignored_properties: tuple[str, ...] = ()
+    # node-level sh:not — focus violates iff it CONFORMS to the shape
+    not_shapes: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -88,5 +104,7 @@ class ShapesGraph:
 
     def targeted(self) -> tuple[NodeShape, ...]:
         return tuple(
-            s for s in self.shapes if s.target_classes or s.target_nodes
+            s for s in self.shapes
+            if s.target_classes or s.target_nodes
+            or s.target_subjects_of or s.target_objects_of
         )

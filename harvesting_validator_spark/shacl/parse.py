@@ -120,6 +120,12 @@ def _parse_property_shape(by_subj, ps_id: str) -> PropertyShape | None:
         disjoint=_lex("disjoint"),
         less_than=_lex("lessThan"),
         less_than_or_equals=_lex("lessThanOrEquals"),
+        qualified_shape=(
+            _value(by_subj, ps_id, SH + "qualifiedValueShape").obj_value
+            if _value(by_subj, ps_id, SH + "qualifiedValueShape") else None
+        ),
+        qualified_min=_int(_value(by_subj, ps_id, SH + "qualifiedMinCount")),
+        qualified_max=_int(_value(by_subj, ps_id, SH + "qualifiedMaxCount")),
         message=msg_t.obj_value if msg_t else None,
     )
 
@@ -135,9 +141,13 @@ def parse_shapes_triples(triples: list[Triple]) -> ShapesGraph:
         if (is_decl or has_target) and t.subj not in seen:
             seen.add(t.subj)
             node_shape_ids.append(t.subj)
-    # also any object of sh:node is a node shape (nested)
+    # also any object of sh:node / sh:qualifiedValueShape / sh:not is a
+    # node shape (nested, qualified, or negated sub-shape)
     for t in triples:
-        if t.pred == SH + "node" and t.obj_value not in seen:
+        if (
+            t.pred in (SH + "node", SH + "qualifiedValueShape", SH + "not")
+            and t.obj_value not in seen
+        ):
             seen.add(t.obj_value)
             node_shape_ids.append(t.obj_value)
 
@@ -159,11 +169,22 @@ def parse_shapes_triples(triples: list[Triple]) -> ShapesGraph:
                 target_nodes=tuple(
                     t.obj_value for t in _values(by_subj, sid, SH + "targetNode")
                 ),
+                target_subjects_of=tuple(
+                    t.obj_value
+                    for t in _values(by_subj, sid, SH + "targetSubjectsOf")
+                ),
+                target_objects_of=tuple(
+                    t.obj_value
+                    for t in _values(by_subj, sid, SH + "targetObjectsOf")
+                ),
                 properties=tuple(props),
                 closed=closed_t is not None and closed_t.obj_value == "true",
                 ignored_properties=tuple(
                     _rdf_list(by_subj, ignored_t.obj_value)
                 ) if ignored_t else (),
+                not_shapes=tuple(
+                    t.obj_value for t in _values(by_subj, sid, SH + "not")
+                ),
             )
         )
     return ShapesGraph(

@@ -1,0 +1,179 @@
+"""Shape-valued SHACL components and implicit target selectors:
+sh:qualifiedValueShape (+ sh:qualifiedMin/MaxCount), node-level sh:not,
+sh:targetSubjectsOf / sh:targetObjectsOf.
+
+Handcrafted documents with EXACT expected violation identity sets (the
+independent evaluator in tests/reference_shacl.py predates these
+components, so this suite pins semantics with closed-form fixtures, the
+same strategy as the golden validation tests). Covers the zero-value
+qualifiedMinCount edge, the over-max edge, and one level of recursion
+(a qualified shape whose body is itself a sh:not)."""
+
+from __future__ import annotations
+
+from harvesting_validator_spark.shacl.compile import validate
+from harvesting_validator_spark.shacl.parse import parse_shapes_turtle
+from harvesting_validator_spark.sources.rdf_parse import Triple
+
+EX = "http://example.com/ns#"
+SH = "http://www.w3.org/ns/shacl#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+PROFILE = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+
+ex:PersonShape a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:pet ;
+                sh:qualifiedValueShape ex:DogShape ;
+                sh:qualifiedMinCount 1 ; sh:qualifiedMaxCount 2 ] .
+
+ex:DogShape a sh:NodeShape ;
+  sh:property [ sh:path ex:species ; sh:hasValue "dog" ; sh:minCount 1 ] .
+
+ex:BuyerShape a sh:NodeShape ;
+  sh:targetSubjectsOf ex:orders ;
+  sh:not ex:BannedShape .
+
+ex:SellerShape a sh:NodeShape ;
+  sh:targetObjectsOf ex:soldBy ;
+  sh:property [ sh:path ex:rating ; sh:minCount 1 ] .
+
+ex:BannedShape a sh:NodeShape ;
+  sh:property [ sh:path ex:banned ; sh:hasValue "true" ; sh:minCount 1 ] .
+
+ex:VipShape a sh:NodeShape ;
+  sh:targetClass ex:Vip ;
+  sh:property [ sh:path ex:friend ;
+                sh:qualifiedValueShape ex:CleanShape ;
+                sh:qualifiedMinCount 1 ] .
+
+ex:CleanShape a sh:NodeShape ;
+  sh:not ex:BannedShape .
+"""
+
+SHAPES = parse_shapes_turtle(PROFILE)
+
+
+def _t(subj, pred, val, kind="literal", dt=XSD + "string", lang=None):
+    if kind != "literal":
+        dt = None
+    return Triple(subj, pred, val, kind, dt, lang)
+
+
+def _violations(spark, docs):
+    rows = [
+        (doc_id, t.subj, t.pred, t.obj_value, t.obj_kind,
+         t.obj_datatype, t.obj_lang)
+        for doc_id, ts in docs.items()
+        for t in ts
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj_value string, "
+        "obj_kind string, obj_datatype string, obj_lang string",
+    )
+    viol = validate(df, SHAPES, spark, cache_intermediate=False)
+    return {
+        (r.focus_node, r.shape, r.constraint_component, r.result_path)
+        for r in viol.collect()
+    }
+
+
+def test_parse_shape_valued_constructs():
+    by_iri = {s.iri: s for s in SHAPES.shapes}
+    person = by_iri[EX + "PersonShape"].properties[0]
+    assert person.qualified_shape == EX + "DogShape"
+    assert person.qualified_min == 1 and person.qualified_max == 2
+    buyer = by_iri[EX + "BuyerShape"]
+    assert buyer.target_subjects_of == (EX + "orders",)
+    assert buyer.not_shapes == (EX + "BannedShape",)
+    assert by_iri[EX + "SellerShape"].target_objects_of == (EX + "soldBy",)
+    # referenced sub-shapes are resolvable even without their own targets
+    assert EX + "DogShape" in SHAPES.by_id
+    assert EX + "CleanShape" in SHAPES.by_id
+
+
+def test_qualified_value_shape_counts(spark):
+    docs = {
+        "d": [
+            # alice: 2 pets, 1 conforming dog -> within [1, 2], conforms
+            _t(EX + "alice", RDF_TYPE, EX + "Person", kind="iri"),
+            _t(EX + "alice", EX + "pet", EX + "rex", kind="iri"),
+            _t(EX + "alice", EX + "pet", EX + "fluffy", kind="iri"),
+            _t(EX + "rex", EX + "species", "dog"),
+            _t(EX + "fluffy", EX + "species", "cat"),
+            # bob: 1 pet, 0 conforming -> qualifiedMinCount violation
+            _t(EX + "bob", RDF_TYPE, EX + "Person", kind="iri"),
+            _t(EX + "bob", EX + "pet", EX + "whiskers", kind="iri"),
+            _t(EX + "whiskers", EX + "species", "cat"),
+            # eve: 3 conforming dogs -> qualifiedMaxCount violation
+            _t(EX + "eve", RDF_TYPE, EX + "Person", kind="iri"),
+            _t(EX + "eve", EX + "pet", EX + "d1", kind="iri"),
+            _t(EX + "eve", EX + "pet", EX + "d2", kind="iri"),
+            _t(EX + "eve", EX + "pet", EX + "d3", kind="iri"),
+            _t(EX + "d1", EX + "species", "dog"),
+            _t(EX + "d2", EX + "species", "dog"),
+            _t(EX + "d3", EX + "species", "dog"),
+            # zed: NO pet triples at all -> zero conforming -> min violates
+            _t(EX + "zed", RDF_TYPE, EX + "Person", kind="iri"),
+        ]
+    }
+    got = _violations(spark, docs)
+    shape = EX + "PersonShape"
+    assert got == {
+        (EX + "bob", shape, SH + "QualifiedMinCountConstraintComponent",
+         EX + "pet"),
+        (EX + "eve", shape, SH + "QualifiedMaxCountConstraintComponent",
+         EX + "pet"),
+        (EX + "zed", shape, SH + "QualifiedMinCountConstraintComponent",
+         EX + "pet"),
+    }
+
+
+def test_not_and_implicit_targets(spark):
+    docs = {
+        "d": [
+            # carol orders AND is banned -> conforms to BannedShape -> Not
+            _t(EX + "carol", EX + "orders", EX + "o1", kind="iri"),
+            _t(EX + "carol", EX + "banned", "true"),
+            # dave orders, not banned -> conforms
+            _t(EX + "dave", EX + "orders", EX + "o2", kind="iri"),
+            # shop1 is an OBJECT of soldBy with no rating -> minCount via
+            # targetObjectsOf; shop2 has a rating -> conforms
+            _t(EX + "item1", EX + "soldBy", EX + "shop1", kind="iri"),
+            _t(EX + "item2", EX + "soldBy", EX + "shop2", kind="iri"),
+            _t(EX + "shop2", EX + "rating", "5"),
+            # literal soldBy object: out of focus, must NOT violate
+            _t(EX + "item3", EX + "soldBy", "unknown-seller"),
+        ]
+    }
+    got = _violations(spark, docs)
+    assert got == {
+        (EX + "carol", EX + "BuyerShape", SH + "NotConstraintComponent",
+         None),
+        (EX + "shop1", EX + "SellerShape",
+         SH + "MinCountConstraintComponent", EX + "rating"),
+    }
+
+
+def test_qualified_over_negated_shape_recurses(spark):
+    docs = {
+        "d": [
+            # vip1's only friend is banned -> 0 conforming to CleanShape
+            # (sh:not BannedShape) -> qualifiedMinCount violation
+            _t(EX + "vip1", RDF_TYPE, EX + "Vip", kind="iri"),
+            _t(EX + "vip1", EX + "friend", EX + "carol", kind="iri"),
+            _t(EX + "carol", EX + "banned", "true"),
+            # vip2's friend is clean -> conforms
+            _t(EX + "vip2", RDF_TYPE, EX + "Vip", kind="iri"),
+            _t(EX + "vip2", EX + "friend", EX + "dave", kind="iri"),
+        ]
+    }
+    got = {v for v in _violations(spark, docs) if v[1] == EX + "VipShape"}
+    assert got == {
+        (EX + "vip1", EX + "VipShape",
+         SH + "QualifiedMinCountConstraintComponent", EX + "friend"),
+    }
