@@ -574,9 +574,50 @@ FROM idx
 """
 
 
+def q_kg_qualified_verdicts(spark, sf_dir):
+    """Same pipeline as kg_extended_verdicts but with QUALIFIED_PROFILE —
+    certifies the shape-valued components (sh:qualifiedValueShape with
+    min/max counts via the recursive conformance probe, node-level
+    sh:not) and the implicit target selectors (sh:targetSubjectsOf) at
+    the driver, closed-form by doc mode (i%6)."""
+    from harvesting_validator_spark.sources.synthetic import (
+        QUALIFIED_PROFILE,
+        generate_qualified_sources,
+    )
+
+    key = (id(spark), sf_dir, "qual")
+    if key not in _RUN_CACHE:
+        n = _corpus_n(spark, sf_dir)
+        sources = generate_qualified_sources(spark, n)
+        with _sized_shuffle(spark, n):
+            _RUN_CACHE[key] = run_validation(spark, sources, QUALIFIED_PROFILE)
+    return hex_doc_id(_RUN_CACHE[key].verdicts)
+
+
+O_QUALIFIED_VERDICTS = """
+WITH idx AS (
+  SELECT doc_id AS i,
+         doc_id % 6 AS mode,
+         sha256(
+           printf('repo%d', doc_id % 16) || chr(31) ||
+           ('data/owners/own' || doc_id || '.ttl') || chr(31) ||
+           substr(sha256(printf('commit%d', doc_id)), 1, 40)
+         ) AS doc_id
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN mode IN (0, 5) THEN 0 ELSE 1 END AS BIGINT)
+         AS n_violations,
+       TRUE AS parse_ok,
+       mode IN (0, 5) AS conforms
+FROM idx
+"""
+
+
 QUERIES = {
     "kg_verdicts": q_kg_verdicts,
     "kg_extended_verdicts": q_kg_extended_verdicts,
+    "kg_qualified_verdicts": q_kg_qualified_verdicts,
     "kg_linked_clusters": q_kg_linked_clusters,
     "kg_incremental_clusters": q_kg_incremental_clusters,
     "kg_chain_clusters": q_kg_chain_clusters,
@@ -593,6 +634,7 @@ QUERIES = {
 ORACLES = {
     "kg_verdicts": O_VERDICTS,
     "kg_extended_verdicts": O_EXTENDED_VERDICTS,
+    "kg_qualified_verdicts": O_QUALIFIED_VERDICTS,
     "kg_linked_clusters": O_LINKED_CLUSTERS,
     "kg_incremental_clusters": O_LINKED_CLUSTERS,
     "kg_chain_clusters": O_CHAIN_CLUSTERS,

@@ -396,6 +396,91 @@ ex:ProductShape a sh:NodeShape ;
 """
 
 
+QUALIFIED_PROFILE = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+
+ex:OwnerShape a sh:NodeShape ;
+  sh:targetClass ex:Owner ;
+  sh:property [ sh:path ex:pet ;
+                sh:qualifiedValueShape ex:DogShape ;
+                sh:qualifiedMinCount 1 ; sh:qualifiedMaxCount 2 ] .
+
+ex:DogShape a sh:NodeShape ;
+  sh:property [ sh:path ex:species ; sh:hasValue "dog" ; sh:minCount 1 ] .
+
+ex:BuyerShape a sh:NodeShape ;
+  sh:targetSubjectsOf ex:orders ;
+  sh:not ex:BannedShape .
+
+ex:BannedShape a sh:NodeShape ;
+  sh:property [ sh:path ex:banned ; sh:hasValue "true" ; sh:minCount 1 ] .
+"""
+
+
+def generate_qualified_sources(
+    spark: SparkSession, n_docs: int, n_partitions: int | None = None
+) -> DataFrame:
+    """n synthetic docs exercising the shape-valued components and
+    implicit target selectors (QUALIFIED_PROFILE) in closed form by i%6:
+
+    mode 0: owner, pets dog+cat (1 conforming, within [1,2]) — conforms;
+    mode 1: owner, one cat pet (0 conforming) — qualifiedMinCount;
+    mode 2: owner, three dog pets (3 conforming) — qualifiedMaxCount;
+    mode 3: owner with NO pets — qualifiedMinCount (zero-value edge);
+    mode 4: orders + banned "true" (targetSubjectsOf focus CONFORMS to
+            the negated BannedShape) — sh:not;
+    mode 5: orders, not banned — conforms.
+    n_violations: [0,1,1,1,1,0][mode]; conforms: mode IN (0, 5).
+    """
+    df = (
+        spark.range(0, n_docs, 1, n_partitions)
+        if n_partitions
+        else spark.range(n_docs)
+    ).withColumnRenamed("id", "i")
+    i = F.col("i")
+    mode = i % 6
+    body = (
+        F.when(mode == 0, F.concat(
+            F.lit("ex:N"), i, F.lit(" a ex:Owner ; ex:pet ex:A"), i,
+            F.lit(", ex:B"), i, F.lit(" .\nex:A"), i,
+            F.lit(' ex:species "dog" .\nex:B'), i,
+            F.lit(' ex:species "cat" .'),
+        ))
+        .when(mode == 1, F.concat(
+            F.lit("ex:N"), i, F.lit(" a ex:Owner ; ex:pet ex:B"), i,
+            F.lit(" .\nex:B"), i, F.lit(' ex:species "cat" .'),
+        ))
+        .when(mode == 2, F.concat(
+            F.lit("ex:N"), i, F.lit(" a ex:Owner ; ex:pet ex:A"), i,
+            F.lit(", ex:B"), i, F.lit(", ex:C"), i,
+            F.lit(" .\nex:A"), i, F.lit(' ex:species "dog" .\nex:B'), i,
+            F.lit(' ex:species "dog" .\nex:C'), i,
+            F.lit(' ex:species "dog" .'),
+        ))
+        .when(mode == 3, F.concat(
+            F.lit("ex:N"), i, F.lit(" a ex:Owner ."),
+        ))
+        .when(mode == 4, F.concat(
+            F.lit("ex:N"), i, F.lit(" ex:orders ex:O"), i,
+            F.lit(' ; ex:banned "true" .'),
+        ))
+        .otherwise(F.concat(
+            F.lit("ex:N"), i, F.lit(" ex:orders ex:O"), i, F.lit(" ."),
+        ))
+    )
+    content = F.concat(
+        F.lit("@prefix ex: <http://example.com/ns#> .\n"), body, F.lit("\n")
+    )
+    return df.select(
+        F.format_string("repo%d", i % 16).alias("repo"),
+        F.concat(F.lit("data/owners/own"), i, F.lit(".ttl")).alias("path"),
+        F.sha2(F.format_string("commit%d", i), 256).substr(1, 40).alias("commit"),
+        F.lit("turtle").alias("lang"),
+        content.alias("content"),
+    )
+
+
 def generate_product_sources(
     spark: SparkSession, n_docs: int, n_partitions: int | None = None
 ) -> DataFrame:
