@@ -209,7 +209,9 @@ def _restrict_graph(shapes: ShapesGraph, ids: set) -> ShapesGraph:
         nxt: set = set()
         for sid in frontier:
             s = shapes.by_id[sid]
-            for ref in s.not_shapes:
+            for ref in (
+                s.not_shapes + s.and_shapes + s.or_shapes + s.xone_shapes
+            ):
                 nxt.add(ref)
             for p in s.properties:
                 if p.node_shape:
@@ -782,7 +784,21 @@ def validate(
         (s.iri, n) for s in shapes.shapes for n in s.not_shapes
         if n in shapes.by_id
     ]
-    if (q_rows or not_rows) and _sub_depth < _MAX_NESTING_DEPTH:
+    # logical lists: one row per member, with the member count carried so
+    # the conforming-count test is a plain per-row comparison
+    logic_rows = [
+        (s.iri, comp, m, len(members))
+        for s in shapes.shapes
+        for comp, members in (
+            ("And", s.and_shapes), ("Or", s.or_shapes),
+            ("Xone", s.xone_shapes),
+        )
+        if members and all(m in shapes.by_id for m in members)
+        for m in members
+    ]
+    if (
+        q_rows or not_rows or logic_rows
+    ) and _sub_depth < _MAX_NESTING_DEPTH:
         probes = []
         q_cand = None
         if q_rows:
@@ -817,6 +833,20 @@ def validate(
             probes.append(n_base.select(
                 "doc_id", "focus_node", F.col("n_sub").alias("shape")
             ))
+        l_base = None
+        if logic_rows:
+            lspec = F.broadcast(spark.createDataFrame(
+                logic_rows,
+                "l_shape string, l_comp string, l_member string, l_n int",
+            ))
+            l_base = focus.join(
+                lspec, F.col("shape") == F.col("l_shape")
+            ).select(
+                "doc_id", "focus_node", "shape", "l_comp", "l_member", "l_n"
+            )
+            probes.append(l_base.select(
+                "doc_id", "focus_node", F.col("l_member").alias("shape")
+            ))
         probe_focus = _union_all(probes).distinct()
         # restrict the recursive graph to the referenced sub-shapes (and
         # their transitive children): the recursion then terminates as
@@ -824,7 +854,11 @@ def validate(
         # of their own — without the restriction every level would rebuild
         # the FULL constraint machinery and the plan tree grows
         # exponentially with _MAX_NESTING_DEPTH
-        sub_ids = {r[2] for r in q_rows} | {n for _, n in not_rows}
+        sub_ids = (
+            {r[2] for r in q_rows}
+            | {n for _, n in not_rows}
+            | {r[2] for r in logic_rows}
+        )
         sub_viol = validate(
             triples, _restrict_graph(shapes, sub_ids), spark,
             focus=probe_focus,
@@ -931,6 +965,41 @@ def validate(
                 F.concat(
                     F.lit("focus node conforms to negated shape <"),
                     F.col("n_sub"), F.lit(">"),
+                ).alias("message"),
+                F.col("shape").alias("source_shape"),
+            )))
+        if logic_rows:
+            l_marked = l_base.join(
+                sub_viol,
+                (F.col("doc_id") == F.col("s_doc"))
+                & (F.col("focus_node") == F.col("s_node"))
+                & (F.col("l_member") == F.col("s_shape")),
+                "left",
+            )
+            l_cnt = l_marked.groupBy(
+                "doc_id", "focus_node", "shape", "l_comp", "l_n"
+            ).agg(F.sum(
+                F.when(F.col("s_node").isNull(), 1).otherwise(0)
+            ).alias("n_conf"))
+            bad_logic = l_cnt.filter(
+                ((F.col("l_comp") == "And") & (F.col("n_conf") < F.col("l_n")))
+                | ((F.col("l_comp") == "Or") & (F.col("n_conf") == 0))
+                | ((F.col("l_comp") == "Xone") & (F.col("n_conf") != 1))
+            )
+            frames.append(_project(bad_logic.select(
+                "doc_id", "shape", "focus_node",
+                F.lit(None).cast("string").alias("result_path"),
+                F.lit(None).cast("string").alias("value"),
+                F.lit(None).cast("string").alias("value_kind"),
+                F.concat(
+                    F.lit(SH), F.col("l_comp"), F.lit("ConstraintComponent")
+                ).alias("constraint_component"),
+                F.concat(
+                    F.lit("focus node conforms to "),
+                    F.col("n_conf").cast("string"), F.lit(" of "),
+                    F.col("l_n").cast("string"),
+                    F.lit(" member shapes of sh:"),
+                    F.lower(F.col("l_comp")),
                 ).alias("message"),
                 F.col("shape").alias("source_shape"),
             )))

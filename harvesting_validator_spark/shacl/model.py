@@ -15,10 +15,12 @@ SQL-expressible constraint components (beyond-reference breadth): value
 ranges (min/maxInclusive, min/maxExclusive, numeric comparison via
 DECIMAL cast), sh:languageIn, sh:uniqueLang, the property-pair
 components sh:equals / sh:disjoint / sh:lessThan / sh:lessThanOrEquals,
-sh:qualifiedValueShape with sh:qualifiedMin/MaxCount, node-level sh:not,
-and the sh:targetSubjectsOf / sh:targetObjectsOf selectors. Out of
-contract: property paths beyond a single IRI, SPARQL-based constraints,
-sh:and/sh:xone (sh:or is supported for datatype unions), and
+sh:qualifiedValueShape with sh:qualifiedMin/MaxCount, the node-level
+logical components sh:not / sh:and / sh:or / sh:xone (all answered by
+one recursive conformance probe; property-level sh:or of datatypes stays
+the single-scan union), and the sh:targetSubjectsOf /
+sh:targetObjectsOf selectors (non-literal focus only). Out of contract:
+property paths beyond a single IRI, SPARQL-based constraints, and
 sh:qualifiedValueShapesDisjoint.
 """
 
@@ -92,8 +94,15 @@ class NodeShape:
     properties: tuple[PropertyShape, ...] = ()
     closed: bool = False
     ignored_properties: tuple[str, ...] = ()
-    # node-level sh:not — focus violates iff it CONFORMS to the shape
+    # node-level logical components over sub-shape conformance:
+    # sh:not — focus violates iff it CONFORMS to the shape;
+    # sh:and — violates unless it conforms to EVERY member;
+    # sh:or — violates unless it conforms to AT LEAST ONE member;
+    # sh:xone — violates unless it conforms to EXACTLY ONE member
     not_shapes: tuple[str, ...] = ()
+    and_shapes: tuple[str, ...] = ()
+    or_shapes: tuple[str, ...] = ()
+    xone_shapes: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)

@@ -142,7 +142,8 @@ def parse_shapes_triples(triples: list[Triple]) -> ShapesGraph:
             seen.add(t.subj)
             node_shape_ids.append(t.subj)
     # also any object of sh:node / sh:qualifiedValueShape / sh:not is a
-    # node shape (nested, qualified, or negated sub-shape)
+    # node shape (nested, qualified, or negated sub-shape), and every
+    # member of a node-level sh:and / sh:or / sh:xone list
     for t in triples:
         if (
             t.pred in (SH + "node", SH + "qualifiedValueShape", SH + "not")
@@ -150,6 +151,17 @@ def parse_shapes_triples(triples: list[Triple]) -> ShapesGraph:
         ):
             seen.add(t.obj_value)
             node_shape_ids.append(t.obj_value)
+    logical_preds = (SH + "and", SH + "or", SH + "xone")
+    declared = set(node_shape_ids)
+    for t in triples:
+        # node-LEVEL logical lists only: the subject must be a declared
+        # node shape (property-level sh:or datatype unions live on
+        # property bnodes and are consumed by _parse_property_shape)
+        if t.pred in logical_preds and t.subj in declared:
+            for member in _rdf_list(by_subj, t.obj_value):
+                if member not in seen:
+                    seen.add(member)
+                    node_shape_ids.append(member)
 
     shapes: list[NodeShape] = []
     for sid in node_shape_ids:
@@ -184,6 +196,21 @@ def parse_shapes_triples(triples: list[Triple]) -> ShapesGraph:
                 ) if ignored_t else (),
                 not_shapes=tuple(
                     t.obj_value for t in _values(by_subj, sid, SH + "not")
+                ),
+                and_shapes=tuple(
+                    m
+                    for t in _values(by_subj, sid, SH + "and")
+                    for m in _rdf_list(by_subj, t.obj_value)
+                ),
+                or_shapes=tuple(
+                    m
+                    for t in _values(by_subj, sid, SH + "or")
+                    for m in _rdf_list(by_subj, t.obj_value)
+                ),
+                xone_shapes=tuple(
+                    m
+                    for t in _values(by_subj, sid, SH + "xone")
+                    for m in _rdf_list(by_subj, t.obj_value)
                 ),
             )
         )

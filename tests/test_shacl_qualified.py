@@ -159,6 +159,83 @@ def test_not_and_implicit_targets(spark):
     }
 
 
+LOGIC_PROFILE = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+
+ex:ContactShape a sh:NodeShape ;
+  sh:targetClass ex:Contact ;
+  sh:xone ( ex:EmailShape ex:PhoneShape ) .
+
+ex:AuditedShape a sh:NodeShape ;
+  sh:targetClass ex:Audited ;
+  sh:and ( ex:EmailShape ex:PhoneShape ) .
+
+ex:ReachableShape a sh:NodeShape ;
+  sh:targetClass ex:Reachable ;
+  sh:or ( ex:EmailShape ex:PhoneShape ) .
+
+ex:EmailShape a sh:NodeShape ;
+  sh:property [ sh:path ex:email ; sh:minCount 1 ] .
+
+ex:PhoneShape a sh:NodeShape ;
+  sh:property [ sh:path ex:phone ; sh:minCount 1 ] .
+"""
+
+LOGIC_SHAPES = parse_shapes_turtle(LOGIC_PROFILE)
+
+
+def test_parse_logical_lists():
+    by_iri = {s.iri: s for s in LOGIC_SHAPES.shapes}
+    assert by_iri[EX + "ContactShape"].xone_shapes == (
+        EX + "EmailShape", EX + "PhoneShape")
+    assert by_iri[EX + "AuditedShape"].and_shapes == (
+        EX + "EmailShape", EX + "PhoneShape")
+    assert by_iri[EX + "ReachableShape"].or_shapes == (
+        EX + "EmailShape", EX + "PhoneShape")
+
+
+def test_logical_components(spark):
+    rows = [
+        # c1: email only -> exactly one member conforms -> ok
+        ("d", EX + "c1", RDF_TYPE, EX + "Contact", "iri", None, None),
+        ("d", EX + "c1", EX + "email", "a@b", "literal", XSD + "string", None),
+        # c2: both -> xone violated (2 conforming)
+        ("d", EX + "c2", RDF_TYPE, EX + "Contact", "iri", None, None),
+        ("d", EX + "c2", EX + "email", "a@b", "literal", XSD + "string", None),
+        ("d", EX + "c2", EX + "phone", "123", "literal", XSD + "string", None),
+        # c3: neither -> xone violated (0 conforming)
+        ("d", EX + "c3", RDF_TYPE, EX + "Contact", "iri", None, None),
+        # a1: email only -> sh:and violated
+        ("d", EX + "a1", RDF_TYPE, EX + "Audited", "iri", None, None),
+        ("d", EX + "a1", EX + "email", "a@b", "literal", XSD + "string", None),
+        # a2: both -> ok
+        ("d", EX + "a2", RDF_TYPE, EX + "Audited", "iri", None, None),
+        ("d", EX + "a2", EX + "email", "a@b", "literal", XSD + "string", None),
+        ("d", EX + "a2", EX + "phone", "123", "literal", XSD + "string", None),
+        # r1: neither -> sh:or violated
+        ("d", EX + "r1", RDF_TYPE, EX + "Reachable", "iri", None, None),
+        # r2: phone only -> ok
+        ("d", EX + "r2", RDF_TYPE, EX + "Reachable", "iri", None, None),
+        ("d", EX + "r2", EX + "phone", "123", "literal", XSD + "string", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj_value string, "
+        "obj_kind string, obj_datatype string, obj_lang string",
+    )
+    viol = validate(df, LOGIC_SHAPES, spark, cache_intermediate=False)
+    got = {
+        (r.focus_node, r.constraint_component) for r in viol.collect()
+    }
+    assert got == {
+        (EX + "c2", SH + "XoneConstraintComponent"),
+        (EX + "c3", SH + "XoneConstraintComponent"),
+        (EX + "a1", SH + "AndConstraintComponent"),
+        (EX + "r1", SH + "OrConstraintComponent"),
+    }
+
+
 def test_qualified_over_negated_shape_recurses(spark):
     docs = {
         "d": [
