@@ -64,6 +64,10 @@ def _focus_set(doc_triples, shapes):
         for t in doc_triples:
             if t.pred == RDF_TYPE and t.obj_value in s.target_classes:
                 out.add((t.subj, s.iri))
+            if t.pred in s.target_subjects_of:
+                out.add((t.subj, s.iri))
+            if t.pred in s.target_objects_of and t.obj_kind != "literal":
+                out.add((t.obj_value, s.iri))
         for n in s.target_nodes:
             out.add((n, s.iri))
     # nested: child focus = non-literal values of parent property
@@ -91,7 +95,61 @@ def _focus_set(doc_triples, shapes):
     return out
 
 
-def validate_reference(triples_by_doc: dict, shapes) -> set:
+def _shape_closure(shapes, root: str) -> set:
+    """root plus every shape it reaches via sh:node / qualified / logical
+    references (cycle-safe)."""
+    keep = {root}
+    frontier = {root}
+    while frontier:
+        nxt = set()
+        for sid in frontier:
+            s = shapes.by_id[sid]
+            refs = (
+                set(s.not_shapes) | set(s.and_shapes)
+                | set(s.or_shapes) | set(s.xone_shapes)
+            )
+            for p in s.properties:
+                if p.node_shape:
+                    refs.add(p.node_shape)
+                if p.qualified_shape:
+                    refs.add(p.qualified_shape)
+            nxt |= {r for r in refs if r in shapes.by_id}
+        frontier = nxt - keep
+        keep |= frontier
+    return keep
+
+
+def _conforms(doc_id, doc, node, shape_id, shapes, depth: int) -> bool:
+    """Does `node` conform to `shape_id`? Probed by re-validating the doc
+    against a derived shapes graph where the probed shape targets exactly
+    this node (a mechanism deliberately different from the Spark
+    compiler's probe-join). Conformance = no violation attributed to
+    (node, shape_id) itself — nested child-shape findings do not bubble,
+    matching the engine's documented nested-shape semantics."""
+    import dataclasses as _dc
+
+    if depth >= 5:
+        return True
+    ids = _shape_closure(shapes, shape_id)
+    probe_shapes = []
+    by_id = {}
+    for sid in ids:
+        s = shapes.by_id[sid]
+        s2 = _dc.replace(
+            s,
+            target_classes=(),
+            target_nodes=(node,) if sid == shape_id else (),
+            target_subjects_of=(),
+            target_objects_of=(),
+        )
+        probe_shapes.append(s2)
+        by_id[sid] = s2
+    pg = type(shapes)(shapes=tuple(probe_shapes), by_id=by_id)
+    vs = validate_reference({doc_id: doc}, pg, _depth=depth + 1)
+    return not any(v[1] == shape_id and v[2] == node for v in vs)
+
+
+def validate_reference(triples_by_doc: dict, shapes, _depth: int = 0) -> set:
     """dict(doc_id -> list of Triple) -> set of violation identity tuples."""
     violations = set()
     for doc_id, doc in triples_by_doc.items():
@@ -226,4 +284,62 @@ def validate_reference(triples_by_doc: dict, shapes) -> set:
                         violations.add((doc_id, shape_iri, focus,
                                         SH + "ClosedConstraintComponent",
                                         t.pred, t.obj_value))
+            # shape-valued components (depth-capped, SET semantics over
+            # value nodes — mirrors the Spark probe contract)
+            for ps in shape.properties:
+                if (
+                    ps.qualified_shape
+                    and ps.qualified_shape in shapes.by_id
+                    and (ps.qualified_min is not None
+                         or ps.qualified_max is not None)
+                    and _depth < 5
+                ):
+                    vset = {t.obj_value for t in own if t.pred == ps.path}
+                    conf = {
+                        v for v in vset
+                        if _conforms(doc_id, doc, v, ps.qualified_shape,
+                                     shapes, _depth)
+                    }
+                    if (ps.qualified_min is not None
+                            and len(conf) < ps.qualified_min):
+                        violations.add((
+                            doc_id, shape_iri, focus,
+                            SH + "QualifiedMinCountConstraintComponent",
+                            ps.path, None))
+                    if (ps.qualified_max is not None
+                            and len(conf) > ps.qualified_max):
+                        violations.add((
+                            doc_id, shape_iri, focus,
+                            SH + "QualifiedMaxCountConstraintComponent",
+                            ps.path, None))
+            if _depth < 5:
+                for n in shape.not_shapes:
+                    if n in shapes.by_id and _conforms(
+                        doc_id, doc, focus, n, shapes, _depth
+                    ):
+                        violations.add((doc_id, shape_iri, focus,
+                                        SH + "NotConstraintComponent",
+                                        None, None))
+                for comp, members in (
+                    ("And", shape.and_shapes),
+                    ("Or", shape.or_shapes),
+                    ("Xone", shape.xone_shapes),
+                ):
+                    if not members or not all(
+                        m in shapes.by_id for m in members
+                    ):
+                        continue
+                    n_conf = sum(
+                        1 for m in members
+                        if _conforms(doc_id, doc, focus, m, shapes, _depth)
+                    )
+                    bad = (
+                        (comp == "And" and n_conf < len(members))
+                        or (comp == "Or" and n_conf == 0)
+                        or (comp == "Xone" and n_conf != 1)
+                    )
+                    if bad:
+                        violations.add((doc_id, shape_iri, focus,
+                                        SH + comp + "ConstraintComponent",
+                                        None, None))
     return violations

@@ -236,6 +236,70 @@ def test_logical_components(spark):
     }
 
 
+def test_differential_random_corpora(spark):
+    """Seeded randomized sweep over the COMBINED profile (qualified, not,
+    and/or/xone, implicit targets, recursion through CleanShape): Spark
+    compiler == independent evaluator violation-for-violation. The two
+    probe mechanisms are genuinely different (probe-join vs re-targeted
+    re-validation), so agreement pins the semantics."""
+    import random
+
+    from tests.reference_shacl import validate_reference
+
+    combined = parse_shapes_turtle(PROFILE + LOGIC_PROFILE)
+    rng = random.Random(0xBEEF)
+    species = ["dog", "cat", None]
+    for trial in range(4):
+        docs = {}
+        for d in range(rng.randint(1, 4)):
+            ts = []
+            subjects = [f"{EX}S{d}_{i}" for i in range(rng.randint(2, 4))]
+            for subj in subjects:
+                typ = rng.choice(
+                    ["Person", "Vip", "Contact", "Audited", "Reachable",
+                     None])
+                if typ:
+                    ts.append(_t(subj, RDF_TYPE, EX + typ, kind="iri"))
+                for p in range(rng.randint(0, 3)):
+                    pet = f"{subj}_pet{p}"
+                    ts.append(_t(subj, EX + "pet", pet, kind="iri"))
+                    sp = rng.choice(species)
+                    if sp:
+                        ts.append(_t(pet, EX + "species", sp))
+                if rng.random() < 0.5:
+                    ts.append(_t(subj, EX + "friend",
+                                 rng.choice(subjects), kind="iri"))
+                if rng.random() < 0.5:
+                    ts.append(_t(subj, EX + "orders", subj + "_o",
+                                 kind="iri"))
+                if rng.random() < 0.4:
+                    ts.append(_t(subj, EX + "banned", "true"))
+                if rng.random() < 0.5:
+                    ts.append(_t(subj, EX + "email", "a@b"))
+                if rng.random() < 0.5:
+                    ts.append(_t(subj, EX + "phone", "123"))
+            docs[f"doc{d}"] = ts
+        rows = [
+            (doc_id, t.subj, t.pred, t.obj_value, t.obj_kind,
+             t.obj_datatype, t.obj_lang)
+            for doc_id, ts in docs.items() for t in ts
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id string, subj string, pred string, obj_value string, "
+            "obj_kind string, obj_datatype string, obj_lang string",
+        )
+        got = {
+            (r.doc_id, r.shape, r.focus_node, r.constraint_component,
+             r.result_path, r.value)
+            for r in validate(
+                df, combined, spark, cache_intermediate=False
+            ).collect()
+        }
+        want = validate_reference(docs, combined)
+        assert got == want, f"trial {trial}: {got ^ want}"
+
+
 def test_qualified_over_negated_shape_recurses(spark):
     docs = {
         "d": [
