@@ -172,6 +172,14 @@ def parse_shapes_triples(triples: list[Triple]) -> ShapesGraph:
                 props.append(ps)
         closed_t = _value(by_subj, sid, SH + "closed")
         ignored_t = _value(by_subj, sid, SH + "ignoredProperties")
+        deact_t = _value(by_subj, sid, SH + "deactivated")
+        if deact_t is not None and deact_t.obj_value == "true":
+            # sh:deactivated: the shape validates NOTHING — no targets, no
+            # constraints — and every node trivially conforms to it when
+            # referenced as a sub-shape (probes find no violations).
+            # Neutralizing at parse time gives both behaviors for free.
+            shapes.append(NodeShape(iri=sid))
+            continue
         shapes.append(
             NodeShape(
                 iri=sid,

@@ -236,6 +236,40 @@ def test_logical_components(spark):
     }
 
 
+def test_deactivated_shape_is_neutral(spark):
+    """sh:deactivated true: the shape's targets and constraints vanish,
+    and a probe against it trivially conforms (so a sh:not of a
+    deactivated shape always violates)."""
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+ex:DeadShape a sh:NodeShape ;
+  sh:deactivated true ;
+  sh:targetClass ex:Thing ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+ex:LiveShape a sh:NodeShape ;
+  sh:targetClass ex:Thing ;
+  sh:not ex:DeadShape .
+"""
+    shapes = parse_shapes_turtle(ttl)
+    dead = shapes.by_id[EX + "DeadShape"]
+    assert dead.target_classes == () and dead.properties == ()
+    rows = [("d", EX + "x", RDF_TYPE, EX + "Thing", "iri", None, None)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj_value string, "
+        "obj_kind string, obj_datatype string, obj_lang string",
+    )
+    got = {
+        (r.shape, r.constraint_component)
+        for r in validate(df, shapes, spark,
+                          cache_intermediate=False).collect()
+    }
+    # no MinCount from the deactivated shape; the sh:not fires because
+    # x trivially conforms to the neutralized DeadShape
+    assert got == {(EX + "LiveShape", SH + "NotConstraintComponent")}
+
+
 def test_differential_random_corpora(spark):
     """Seeded randomized sweep over the COMBINED profile (qualified, not,
     and/or/xone, implicit targets, recursion through CleanShape): Spark
