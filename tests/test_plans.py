@@ -151,6 +151,39 @@ def test_linking_plan_has_no_python_eval(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_qualified_probe_plan_stays_jvm_side(spark):
+    """The shape-valued components' recursive conformance probe (SHACL
+    pass 6) must compile to pure Catalyst joins/aggregates — no Python
+    eval nodes beyond the sanctioned parse kernel, and no Cartesian
+    product from the probe anti-joins."""
+    from harvesting_validator_spark.shacl.compile import validate
+    from harvesting_validator_spark.shacl.parse import parse_shapes_turtle
+    from harvesting_validator_spark.sources.synthetic import (
+        QUALIFIED_PROFILE,
+    )
+
+    rows = [
+        ("d", "http://e/N1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://example.com/ns#Owner", "iri", None, None),
+        ("d", "http://e/N1", "http://example.com/ns#pet", "http://e/P1",
+         "iri", None, None),
+        ("d", "http://e/P1", "http://example.com/ns#species", "dog",
+         "literal", "http://www.w3.org/2001/XMLSchema#string", None),
+        ("d", "http://e/N2", "http://example.com/ns#orders", "http://e/O1",
+         "iri", None, None),
+    ]
+    triples = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj_value string, "
+        "obj_kind string, obj_datatype string, obj_lang string",
+    )
+    shapes = parse_shapes_turtle(QUALIFIED_PROFILE)
+    plan = _plan(validate(triples, shapes, spark, cache_intermediate=False))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_validate_reuses_single_doc_id_exchange(spark):
     """The headline scale property of the validation stage graph: with the
     parse output hash-partitioned by doc_id (repartition_by_doc) and
