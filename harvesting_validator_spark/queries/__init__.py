@@ -31,21 +31,26 @@ ALL_QUERIES = {}
 ALL_ORACLES = {}
 # Merge order is DRIVER-VISIBLE: the correctness driver checks the first
 # ~50 registered queries (registration order) out of the full registry.
-# The flagship reference-parity families (kg, mm), the embedding suite,
-# and the sketches therefore register FIRST; the relational queries —
-# driver-green in rounds 1-3 — are the expendable tail.
+# The flagship reference-parity families (kg, mm) stay PINNED first; the
+# remaining slots ROTATE so every family earns a fresh driver row within
+# two rounds (VERDICT r4 next-step #1). Round 5 window: corpusops (never
+# driver-checked), textops + relational (riding on r3 evidence), sketches
+# (rows-only). Tail this round: similarity/dedup/graphops/eventops/
+# textprep — all hash-green in CORRECTNESS_r04.json and additionally
+# gated locally by tests/test_oracle_tail.py (driver-fetch mimic), so
+# "outside the driver window" never means "unchecked".
 for _m in (
     kg,
     mm,
-    similarity,
+    corpusops,
+    textops,
+    relational,
     sketches,
+    similarity,
     dedup,
     graphops,
     eventops,
     textprep,
-    textops,
-    relational,
-    corpusops,
 ):
     overlap = set(ALL_QUERIES) & set(_m.QUERIES)
     if overlap:
