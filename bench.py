@@ -79,7 +79,11 @@ def main() -> None:
     # two passes, min per query: this box is a shared VM with CPU-steal
     # windows of ±30% (BENCH.md §3); the min of two samples measures the
     # operator, not the neighbor load. Declared in the JSON note.
-    from harvesting_validator_spark.runtime import persistent_rdd_ids, release_new_rdds
+    from harvesting_validator_spark.runtime import (
+        persistent_rdd_ids,
+        release_bucketed_tables,
+        release_new_rdds,
+    )
 
     baseline_ids = persistent_rdd_ids(spark)
     timings: dict[str, float] = {}
@@ -109,10 +113,12 @@ def main() -> None:
             print(f"# pass{_pass} {name}: {n} rows in {dt}s", file=sys.stderr)
             if not name.startswith("kg_"):
                 # non-kg queries share no caches across the suite: release
-                # whatever this one pinned (iterative checkpoints) right
-                # away. kg_* caches are shared intra-pass and released at
-                # the pass boundary via cleanup() above.
+                # whatever this one pinned (iterative checkpoints, bucketed
+                # scratch tables) right away. kg_* caches are shared
+                # intra-pass and released at the pass boundary via
+                # cleanup() above.
                 release_new_rdds(spark, baseline_ids)
+                release_bucketed_tables(spark)
     total = round(sum(timings.values()), 3)
 
     # flagship throughput: the kg_verdicts query runs the full

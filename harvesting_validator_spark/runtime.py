@@ -59,3 +59,38 @@ def release_new_rdds(
     after a query's output is fully materialized (counted/collected) —
     at that point no plan will re-read the checkpoints."""
     return unpersist_rdds(spark, persistent_rdd_ids(spark) - before, blocking)
+
+
+# --- bucketed scratch tables ---------------------------------------------------
+# Loop-invariant join inputs written as BUCKETED parquet tables (the
+# localCheckpoint-UnknownPartitioning workaround, queries/graphops.py)
+# register a session-catalog entry AND an on-disk directory; neither has
+# an RDD id, so the storage sweeps above never see them. Track them here
+# with the same discipline: record at creation, release once the
+# consuming query's output is materialized. After release, the query's
+# returned DataFrames must NOT be re-evaluated (the scan's files are
+# gone — same contract as releasing a localCheckpoint).
+_BUCKETED_TABLES: dict[int, dict[str, str]] = {}
+
+
+def track_bucketed_table(spark: SparkSession, name: str, path: str) -> None:
+    _BUCKETED_TABLES.setdefault(id(spark), {})[name] = path
+
+
+def release_bucketed_tables(spark: SparkSession) -> int:
+    """DROP every tracked bucketed scratch table of this session and
+    delete its files; returns how many were released. Degrades to
+    best-effort per table (a missing dir or already-dropped entry is not
+    an error — release is idempotent)."""
+    from harvesting_validator_spark import fs
+
+    tables = _BUCKETED_TABLES.pop(id(spark), {})
+    released = 0
+    for name, path in tables.items():
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+            fs.delete(spark, path, recursive=True)
+            released += 1
+        except Exception:
+            pass
+    return released
