@@ -52,6 +52,16 @@ def rename(spark: SparkSession, src: str, dst: str) -> None:
         raise IOError(f"rename failed: {src} -> {dst}")
 
 
+def mkdirs(spark: SparkSession, p: str) -> bool:
+    fs, path = _fs_path(spark, p)
+    return bool(fs.mkdirs(path))
+
+
+def is_file(spark: SparkSession, p: str) -> bool:
+    fs, path = _fs_path(spark, p)
+    return bool(fs.exists(path)) and bool(fs.getFileStatus(path).isFile())
+
+
 def delete(spark: SparkSession, p: str, recursive: bool = False) -> bool:
     fs, path = _fs_path(spark, p)
     return bool(fs.delete(path, recursive))

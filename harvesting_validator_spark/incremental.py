@@ -99,9 +99,52 @@ class IncrementalLedger:
         # doc_id dtype follows whatever the caller's source table uses
         # (binary sha256 bytes under the repo convention); the empty-table
         # schema below only matters before the first mark()
+        self._migrate_legacy_processed()
         return self._read(
             self.processed_path, "doc_id binary, run_id string, processed_at double"
         )
+
+    def _migrate_legacy_processed(self) -> None:
+        """One-time in-place upgrade of a pre-r4 processed ledger
+        (ADVICE r4 #4): the old layout wrote UNPARTITIONED part files at
+        the ledger root with hex-string doc_ids; mixed with the current
+        run_id-partitioned binary layout it is unreadable (conflicting
+        directory structures + dtype mismatch). On first contact, move
+        the root part files aside, rewrite them into run_id partitions
+        (doc_id re-encoded via unhex), and drop the aside dir.
+
+        Crash-safe at-least-once: the aside dir is the restart marker —
+        a crash mid-rewrite leaves it in place and the next read resumes
+        the rewrite. A resumed rewrite can duplicate ledger rows, which
+        is harmless here (the ledger is consumed via anti-joins on
+        doc_id and distinct batch_id sets)."""
+        aside = self.processed_path + ".legacy_migrating"
+        if fs.exists(self.spark, self.processed_path):
+            legacy = [
+                n for n in fs.listdir(self.spark, self.processed_path)
+                if n.startswith("part-")
+                and fs.is_file(self.spark, fs.join(self.processed_path, n))
+            ]
+            if legacy:
+                if not fs.exists(self.spark, aside):
+                    fs.mkdirs(self.spark, aside)
+                for n in legacy:
+                    fs.rename(
+                        self.spark,
+                        fs.join(self.processed_path, n),
+                        fs.join(aside, n),
+                    )
+        if fs.exists(self.spark, aside):
+            old = self.spark.read.parquet(aside)
+            if dict(old.dtypes).get("doc_id") == "string":
+                old = old.withColumn("doc_id", F.unhex("doc_id"))
+            (
+                old.select("doc_id", "run_id", "processed_at")
+                .write.mode("append")
+                .partitionBy("run_id")
+                .parquet(self.processed_path)
+            )
+            fs.delete(self.spark, aside, recursive=True)
 
     def read_inflight(self) -> DataFrame:
         return self._read(self.inflight_path, "doc_id binary, batch_id string")
@@ -121,21 +164,27 @@ class IncrementalLedger:
         O(history) per batch, correct for any source table.
 
         With ``watermark_col`` (a source column that is MONOTONE over
-        appends — ingest timestamp, snapshot id, commit sequence) the
-        read emulates an Iceberg snapshot diff (VERDICT r3 ask #7):
+        appends — ingest timestamp, snapshot id, commit sequence; NON-
+        STRICT monotonicity is the contract, ties are allowed) the read
+        emulates an Iceberg snapshot diff (VERDICT r3 ask #7):
 
-        * rows at or below the committed high-watermark are already
+        * rows strictly below the committed high-watermark are already
           processed by the append-only contract — pruned with a plain
-          column filter, NO join, NO ledger read;
-        * the anti-join safety net (for runs that marked docs but crashed
-          before committing their watermark) reads ONLY the processed
-          ledger's run_id partitions not yet covered by a committed
-          watermark — parquet PARTITION PRUNING on the run window, empty
-          in the steady state.
+          column filter, NO join, NO ledger read. Rows AT the watermark
+          stay candidates: under non-strict monotonicity a row appended
+          after a run commits may carry exactly hw, and a strict filter
+          would lose it forever (ADVICE r4 #2);
+        * the anti-join safety net (for rows at the boundary value and
+          for runs that marked docs but crashed before committing their
+          watermark) reads ONLY the processed ledger's run_id partitions
+          not yet strictly covered — a run is prunable once its committed
+          watermark is BELOW the global hw (all its docs fail the
+          ``>= hw`` filter); the boundary run(s) whose watermark equals
+          hw stay in the anti-join so their hw-valued docs dedupe.
 
-        Per-batch cost is O(new rows) + O(crash window), independent of
-        corpus history — the property that keeps a years-old 100 TB
-        warehouse's intake as cheap as day one's."""
+        Per-batch cost is O(new rows) + O(boundary run) + O(crash
+        window), independent of corpus history — the property that keeps
+        a years-old 100 TB warehouse's intake as cheap as day one's."""
         if watermark_col is None:
             if not fs.exists(self.spark, self.processed_path):
                 return sources  # first run: no ledger, no join (and no
@@ -144,11 +193,11 @@ class IncrementalLedger:
             return sources.join(seen, "doc_id", "left_anti")
         wms = self.read_watermarks().collect()  # tiny: one row per run
         hw = max((r.high_watermark for r in wms), default=None)
-        covered = [r.run_id for r in wms]
+        covered = [r.run_id for r in wms if r.high_watermark < hw]
         candidates = (
             sources
             if hw is None
-            else sources.filter(F.col(watermark_col) > F.lit(hw))
+            else sources.filter(F.col(watermark_col) >= F.lit(hw))
         )
         if not fs.exists(self.spark, self.processed_path):
             return candidates
@@ -182,6 +231,7 @@ class IncrementalLedger:
         return [r.batch_id for r in doubt.select("batch_id").distinct().collect()]
 
     def mark(self, doc_ids: DataFrame, run_id: str) -> None:
+        self._migrate_legacy_processed()  # never append into a legacy layout
         rows = doc_ids.select("doc_id").distinct().select(
             "doc_id",
             F.lit(run_id).alias("run_id"),

@@ -164,13 +164,18 @@ def test_snapshot_diff_intake_prunes_ledger(spark, tmp_path):
     # run A: docs 0..9 processed and watermark-committed
     ledger.mark(mk(0, 10).select("doc_id"), "runA")
     ledger.record_watermark("runA", 9.0)
-    # run B: docs 10..14 marked but CRASHED before committing a watermark
-    ledger.mark(mk(10, 15).select("doc_id"), "runB")
+    # run C: docs 10..12 processed, watermark 12 committed — the current
+    # BOUNDARY run (its watermark equals the global hw, so it must stay
+    # in the anti-join set; runA is strictly below and prunable)
+    ledger.mark(mk(10, 13).select("doc_id"), "runC")
+    ledger.record_watermark("runC", 12.0)
+    # run B: docs 13..14 marked but CRASHED before committing a watermark
+    ledger.mark(mk(13, 15).select("doc_id"), "runB")
 
     new = ledger.new_docs(mk(0, 20), watermark_col="ingested_at")
     got = {r.doc_id for r in new.collect()}
-    # 0..9 pruned by the watermark filter; 10..14 caught by the bounded
-    # anti-join against runB's (uncovered) partition; 15..19 are new
+    # 0..11 pruned by the >= hw filter; 12 (boundary) via runC's
+    # partition; 13..14 via runB's (uncovered) partition; 15..19 are new
     assert got == {f"d{i}" for i in range(15, 20)}
 
     # the ledger scan must carry a run_id PARTITION filter (runA pruned
@@ -181,12 +186,80 @@ def test_snapshot_diff_intake_prunes_ledger(spark, tmp_path):
     part_lines = [l for l in fmt.splitlines() if "PartitionFilters" in l]
     assert part_lines and any("run_id" in l for l in part_lines), fmt
 
-    # after runB's watermark commits, the steady state needs no join at
-    # all for covered history: everything <= hw drops via the filter
+    # after runB's watermark commits, covered history below the new hw
+    # (runA, runC) drops via the column filter + pruning; runB is the
+    # new boundary
     ledger.record_watermark("runB", 14.0)
     got2 = {r.doc_id for r in
             ledger.new_docs(mk(0, 20), watermark_col="ingested_at").collect()}
     assert got2 == {f"d{i}" for i in range(15, 20)}
+
+
+def test_watermark_boundary_append_is_not_lost(spark, tmp_path):
+    """ADVICE r4 #2: the watermark contract is NON-strict monotonicity —
+    a row appended after a run commits with watermark exactly equal to
+    the committed hw must still surface as new work, while the processed
+    boundary rows dedupe via the boundary run's ledger partition."""
+    from harvesting_validator_spark.incremental import IncrementalLedger
+
+    wh = str(tmp_path / "wh")
+    ledger = IncrementalLedger(spark, wh)
+    first = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "doc_id string, ingested_at double"
+    )
+    ledger.mark(first.select("doc_id"), "run1")
+    ledger.record_watermark("run1", 2.0)
+    # late tie: "c" lands AFTER run1 committed, with the same watermark
+    appended = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 2.0)],
+        "doc_id string, ingested_at double",
+    )
+    got = {
+        r.doc_id
+        for r in ledger.new_docs(appended, watermark_col="ingested_at").collect()
+    }
+    assert got == {"c"}, "boundary-valued append must not be lost"
+
+
+def test_legacy_unpartitioned_ledger_migrates(spark, tmp_path):
+    """ADVICE r4 #4: a processed ledger written by the pre-r4 code
+    (unpartitioned part files at the root, hex-string doc_id) is
+    upgraded in place on first read — rewritten into run_id partitions
+    with binary doc_id — and then coexists with new-layout appends."""
+    import os
+
+    from harvesting_validator_spark.incremental import IncrementalLedger
+
+    wh = str(tmp_path / "wh")
+    processed = f"{wh}/_processed"
+    legacy = spark.createDataFrame(
+        [("aa" * 32, "old1", 1.0), ("bb" * 32, "old2", 2.0)],
+        "doc_id string, run_id string, processed_at double",
+    )
+    legacy.write.mode("overwrite").parquet(processed)  # the old layout
+    assert any(n.startswith("part-") for n in os.listdir(processed))
+
+    ledger = IncrementalLedger(spark, wh)
+    rows = ledger.read().collect()
+    assert {bytes(r.doc_id).hex() for r in rows} == {"aa" * 32, "bb" * 32}
+    assert {r.run_id for r in rows} == {"old1", "old2"}
+    # physically partitioned now, no root part files left
+    assert any(n.startswith("run_id=") for n in os.listdir(processed))
+    assert not any(
+        n.startswith("part-") and os.path.isfile(os.path.join(processed, n))
+        for n in os.listdir(processed)
+    )
+    # new-layout appends land alongside the migrated history
+    new = spark.createDataFrame([(b"\xcc" * 32,)], "doc_id binary")
+    ledger.mark(new, "run3")
+    after = ledger.read()
+    assert after.count() == 3
+    assert {r.run_id for r in after.collect()} == {"old1", "old2", "run3"}
+    # anti-join consumers see the migrated doc_ids
+    src = spark.createDataFrame(
+        [(bytes.fromhex("aa" * 32),), (b"\xdd" * 32,)], "doc_id binary"
+    )
+    assert ledger.new_docs(src).count() == 1
 
 
 def test_process_incremental_with_watermark(spark, tmp_path):
