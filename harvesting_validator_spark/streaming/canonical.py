@@ -66,14 +66,39 @@ class CanonicalStreamState:
         return self._read(self.mentions_path, MENTIONS_SCHEMA).distinct()
 
     def mapping(self) -> DataFrame:
+        # the primary may be missing inside write_mapping's swap window
+        # (crash between rename-aside and rename-in): fall back to the
+        # backup so an at-least-once replay folds into the FULL history,
+        # never a batch-only mapping (ADVICE r4 #1)
+        if not fs.exists(self.spark, self.mapping_path) and fs.exists(
+            self.spark, self.mapping_path + ".bak"
+        ):
+            return self.spark.read.parquet(self.mapping_path + ".bak")
         return self._read(self.mapping_path, MAPPING_SCHEMA)
 
     def write_mapping(self, mapping: DataFrame) -> None:
+        """Swap in the new mapping with the two-rename pattern
+        (ParquetStageStore.compact): write aside → rename current to
+        .bak → rename tmp in → delete .bak. Every crash window leaves a
+        readable full mapping: before the first rename the primary is
+        intact; between the renames mapping() reads the .bak; after the
+        second rename the new primary is in place (a stale .bak is
+        deleted on the next successful swap). The old delete-then-rename
+        had a window with NO mapping at all, and foreachBatch replay
+        would then have overwritten history with batch-only entries."""
         tmp = self.mapping_path + ".next"
+        bak = self.mapping_path + ".bak"
         mapping.write.mode("overwrite").parquet(tmp)
         if fs.exists(self.spark, self.mapping_path):
-            fs.delete(self.spark, self.mapping_path, recursive=True)
+            # a stale .bak is only deletable while the primary exists —
+            # if the primary is missing we are recovering from a crashed
+            # swap and the .bak IS the mapping until the new primary lands
+            if fs.exists(self.spark, bak):
+                fs.delete(self.spark, bak, recursive=True)
+            fs.rename(self.spark, self.mapping_path, bak)
         fs.rename(self.spark, tmp, self.mapping_path)
+        if fs.exists(self.spark, bak):
+            fs.delete(self.spark, bak, recursive=True)
 
     def append_mentions(self, keyed: DataFrame) -> None:
         keyed.write.mode("append").parquet(self.mentions_path)

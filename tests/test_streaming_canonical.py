@@ -99,3 +99,36 @@ def test_streaming_canonicalization_replay_idempotent(spark, tmp_path):
     }
     assert first == second
     assert len({c for _, c in first}) == 5
+
+
+def test_mapping_swap_crash_window_preserves_history(spark, tmp_path):
+    """ADVICE r4 #1: a crash between write_mapping's two renames must
+    never lose the historical mapping — mapping() falls back to the
+    .bak copy, and an at-least-once replay of the batch folds into the
+    FULL history (then the next successful swap clears the backup)."""
+    from harvesting_validator_spark import fs
+    from harvesting_validator_spark.streaming.canonical import (
+        CanonicalStreamState,
+    )
+
+    wh = str(tmp_path / "wh")
+    state = CanonicalStreamState(spark, wh)
+    m1 = spark.createDataFrame(
+        [("e1", "c1"), ("e2", "c1")], "entity string, canonical string"
+    )
+    state.write_mapping(m1)
+    assert not fs.exists(spark, state.mapping_path + ".bak")
+
+    # simulate the crash window: primary renamed aside, new one not in
+    fs.rename(spark, state.mapping_path, state.mapping_path + ".bak")
+    got = {(r.entity, r.canonical) for r in state.mapping().collect()}
+    assert got == {("e1", "c1"), ("e2", "c1")}, "backup fallback lost history"
+
+    # the replayed batch merges against the FULL history and swaps clean
+    m2 = state.mapping().unionByName(
+        spark.createDataFrame([("e3", "c3")], "entity string, canonical string")
+    )
+    state.write_mapping(m2)
+    assert not fs.exists(spark, state.mapping_path + ".bak")
+    final = {(r.entity, r.canonical) for r in state.mapping().collect()}
+    assert final == {("e1", "c1"), ("e2", "c1"), ("e3", "c3")}
