@@ -247,6 +247,75 @@ def _static_nesting_depth(shapes: ShapesGraph) -> int:
     )
 
 
+def _nested_closure(
+    probe_focus: DataFrame, shapes: ShapesGraph, triples: DataFrame,
+    spark: SparkSession,
+) -> DataFrame | None:
+    """Probe rows plus every (doc, node, child-shape) reachable from them
+    via property ``sh:node`` references, each row carrying its ROOT probe
+    (r_node, r_shape).
+
+    Conformance probes (pass 6) call validate() with an explicit focus,
+    which bypasses compute_focus's nested-sh:node focus derivation — so
+    a sub-shape referenced via sh:qualifiedValueShape / sh:not /
+    sh:and/or/xone that itself nests ``sh:node`` would have that nested
+    constraint silently ignored (ADVICE r4 #3). This closure restores the
+    spec answer: the probed node conforms iff the WHOLE probe tree —
+    probed shape plus transitively nested child shapes over its value
+    nodes — yields no violation; child findings map back to the root via
+    (r_node, r_shape). Returns None when no probed sub-shape nests
+    sh:node (the common case — callers keep the closure-free plan).
+
+    Scale shape: each nesting level is one join of the (tiny) frontier
+    against triples keyed (doc_id, node) — the same key prefix as ftrip,
+    so the existing exchange is reused; depth is static in the shapes
+    graph, never data-driven."""
+    nest_rows = [
+        (s.iri, p.path, p.node_shape)
+        for s in shapes.shapes
+        for p in s.properties
+        if p.node_shape and p.node_shape in shapes.by_id
+    ]
+    if not nest_rows:
+        return None
+    base = probe_focus.select(
+        "doc_id", "focus_node", "shape",
+        F.col("focus_node").alias("r_node"),
+        F.col("shape").alias("r_shape"),
+    )
+    nspec = spark.createDataFrame(
+        nest_rows, "parent_shape string, path string, child_shape string"
+    )
+    frames = [base]
+    frontier = base
+    for _ in range(_static_nesting_depth(shapes)):
+        child = (
+            frontier.alias("f")
+            .join(
+                triples.alias("t"),
+                (F.col("f.doc_id") == F.col("t.doc_id"))
+                & (F.col("f.focus_node") == F.col("t.subj")),
+            )
+            .join(
+                F.broadcast(nspec),
+                (F.col("f.shape") == F.col("parent_shape"))
+                & (F.col("t.pred") == F.col("path")),
+            )
+            .filter(F.col("t.obj_kind") != "literal")
+            .select(
+                F.col("t.doc_id").alias("doc_id"),
+                F.col("t.obj_value").alias("focus_node"),
+                F.col("child_shape").alias("shape"),
+                F.col("f.r_node").alias("r_node"),
+                F.col("f.r_shape").alias("r_shape"),
+            )
+            .distinct()
+        )
+        frames.append(child)
+        frontier = child
+    return _union_all(frames).distinct()
+
+
 def skolem_shape_id(shape_iri: str, ps) -> str:
     """Deterministic id for a (possibly blank-node) property shape — Jena
     reports name the PROPERTY shape as sh:sourceShape and skolemize blank
@@ -859,16 +928,42 @@ def validate(
             | {n for _, n in not_rows}
             | {r[2] for r in logic_rows}
         )
-        sub_viol = validate(
-            triples, _restrict_graph(shapes, sub_ids), spark,
-            focus=probe_focus,
+        sub_graph = _restrict_graph(shapes, sub_ids)
+        # nested sh:node inside probed sub-shapes: expand the probe set
+        # with the value-node closure and bubble child findings back to
+        # the root probe (None when no probed shape nests sh:node)
+        closure = _nested_closure(probe_focus, sub_graph, triples, spark)
+        inner_focus = (
+            probe_focus if closure is None
+            else closure.select("doc_id", "focus_node", "shape").distinct()
+        )
+        raw_viol = validate(
+            triples, sub_graph, spark,
+            focus=inner_focus,
             cache_intermediate=cache_intermediate, persisted=persisted,
             _sub_depth=_sub_depth + 1,
         ).select(
-            F.col("doc_id").alias("s_doc"),
-            F.col("focus_node").alias("s_node"),
-            F.col("shape").alias("s_shape"),
+            F.col("doc_id").alias("v_doc"),
+            F.col("focus_node").alias("v_node"),
+            F.col("shape").alias("v_shape"),
         ).distinct()
+        if closure is None:
+            sub_viol = raw_viol.select(
+                F.col("v_doc").alias("s_doc"),
+                F.col("v_node").alias("s_node"),
+                F.col("v_shape").alias("s_shape"),
+            )
+        else:
+            sub_viol = closure.join(
+                raw_viol,
+                (F.col("doc_id") == F.col("v_doc"))
+                & (F.col("focus_node") == F.col("v_node"))
+                & (F.col("shape") == F.col("v_shape")),
+            ).select(
+                F.col("doc_id").alias("s_doc"),
+                F.col("r_node").alias("s_node"),
+                F.col("r_shape").alias("s_shape"),
+            ).distinct()
         if q_rows:
             marked = q_cand.join(
                 sub_viol,

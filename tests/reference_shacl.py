@@ -123,9 +123,12 @@ def _conforms(doc_id, doc, node, shape_id, shapes, depth: int) -> bool:
     """Does `node` conform to `shape_id`? Probed by re-validating the doc
     against a derived shapes graph where the probed shape targets exactly
     this node (a mechanism deliberately different from the Spark
-    compiler's probe-join). Conformance = no violation attributed to
-    (node, shape_id) itself — nested child-shape findings do not bubble,
-    matching the engine's documented nested-shape semantics."""
+    compiler's probe-join). Conformance = NO violation anywhere in the
+    probe run: the only focus rows the probe graph can produce are the
+    probed (node, shape_id) and its transitively nested sh:node children
+    over the node's value paths, so nested child findings bubble into
+    the answer — the spec semantics (sh:node requires value-node
+    conformance), matching the engine's _nested_closure probe."""
     import dataclasses as _dc
 
     if depth >= 5:
@@ -146,7 +149,7 @@ def _conforms(doc_id, doc, node, shape_id, shapes, depth: int) -> bool:
         by_id[sid] = s2
     pg = type(shapes)(shapes=tuple(probe_shapes), by_id=by_id)
     vs = validate_reference({doc_id: doc}, pg, _depth=depth + 1)
-    return not any(v[1] == shape_id and v[2] == node for v in vs)
+    return not vs
 
 
 def validate_reference(triples_by_doc: dict, shapes, _depth: int = 0) -> set:

@@ -352,3 +352,104 @@ def test_qualified_over_negated_shape_recurses(spark):
         (EX + "vip1", EX + "VipShape",
          SH + "QualifiedMinCountConstraintComponent", EX + "friend"),
     }
+
+
+NESTED_PROBE_PROFILE = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+
+ex:RootShape a sh:NodeShape ;
+  sh:targetClass ex:T ;
+  sh:not ex:GoodOwnerShape .
+
+ex:GoodOwnerShape a sh:NodeShape ;
+  sh:property [ sh:path ex:pet ; sh:node ex:ProbedDogShape ] .
+
+ex:ProbedDogShape a sh:NodeShape ;
+  sh:property [ sh:path ex:species ; sh:hasValue "dog" ; sh:minCount 1 ] .
+
+ex:OwnerShape2 a sh:NodeShape ;
+  sh:targetClass ex:O ;
+  sh:property [ sh:path ex:pet ;
+                sh:qualifiedValueShape ex:StrictDogShape ;
+                sh:qualifiedMinCount 1 ] .
+
+ex:StrictDogShape a sh:NodeShape ;
+  sh:property [ sh:path ex:collar ; sh:node ex:TagShape ; sh:minCount 1 ] .
+
+ex:TagShape a sh:NodeShape ;
+  sh:property [ sh:path ex:id ; sh:minCount 1 ] .
+"""
+
+NESTED_PROBE_SHAPES = parse_shapes_turtle(NESTED_PROBE_PROFILE)
+
+
+def _violations_for(spark, docs, shapes):
+    rows = [
+        (doc_id, t.subj, t.pred, t.obj_value, t.obj_kind,
+         t.obj_datatype, t.obj_lang)
+        for doc_id, ts in docs.items()
+        for t in ts
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj_value string, "
+        "obj_kind string, obj_datatype string, obj_lang string",
+    )
+    viol = validate(df, shapes, spark, cache_intermediate=False)
+    return {
+        (r.focus_node, r.shape, r.constraint_component, r.result_path)
+        for r in viol.collect()
+    }
+
+
+def test_probe_bubbles_nested_node_shape_via_not(spark):
+    """ADVICE r4 #3: a sub-shape referenced via sh:not whose property
+    nests sh:node must have the nested constraint COUNT toward the
+    conformance probe — n1's dog-owning makes it conform to
+    GoodOwnerShape (sh:not violated); n2's cat fails the nested
+    ProbedDogShape, so n2 does NOT conform and sh:not is satisfied."""
+    docs = {
+        "d": [
+            _t(EX + "n1", RDF_TYPE, EX + "T", kind="iri"),
+            _t(EX + "n1", EX + "pet", EX + "p1", kind="iri"),
+            _t(EX + "p1", EX + "species", "dog"),
+            _t(EX + "n2", RDF_TYPE, EX + "T", kind="iri"),
+            _t(EX + "n2", EX + "pet", EX + "p2", kind="iri"),
+            _t(EX + "p2", EX + "species", "cat"),
+        ]
+    }
+    got = _violations_for(spark, docs, NESTED_PROBE_SHAPES)
+    not_viols = {
+        v for v in got if v[2] == SH + "NotConstraintComponent"
+    }
+    assert not_viols == {
+        (EX + "n1", EX + "RootShape", SH + "NotConstraintComponent", None)
+    }, got
+
+
+def test_probe_bubbles_nested_node_shape_via_qualified(spark):
+    """Same bug through sh:qualifiedValueShape: d2's collar fails the
+    sh:node-nested TagShape (no ex:id), so d2 does not count as a
+    conforming value and o2 violates qualifiedMinCount; o1's fully
+    tagged dog keeps o1 conforming."""
+    docs = {
+        "d": [
+            _t(EX + "o1", RDF_TYPE, EX + "O", kind="iri"),
+            _t(EX + "o1", EX + "pet", EX + "d1", kind="iri"),
+            _t(EX + "d1", EX + "collar", EX + "c1", kind="iri"),
+            _t(EX + "c1", EX + "id", "5"),
+            _t(EX + "o2", RDF_TYPE, EX + "O", kind="iri"),
+            _t(EX + "o2", EX + "pet", EX + "d2", kind="iri"),
+            _t(EX + "d2", EX + "collar", EX + "c2", kind="iri"),
+        ]
+    }
+    got = _violations_for(spark, docs, NESTED_PROBE_SHAPES)
+    q_viols = {
+        v for v in got
+        if v[2] == SH + "QualifiedMinCountConstraintComponent"
+    }
+    assert q_viols == {
+        (EX + "o2", EX + "OwnerShape2",
+         SH + "QualifiedMinCountConstraintComponent", EX + "pet")
+    }, got
