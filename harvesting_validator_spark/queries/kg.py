@@ -614,10 +614,51 @@ FROM idx
 """
 
 
+def q_kg_path_verdicts(spark, sf_dir):
+    """Same pipeline as kg_extended_verdicts but with PATH_PROFILE —
+    certifies the property-path expressions (2-hop sequence path with
+    value-node SET semantics, inverse path; shacl/compile.py
+    _path_value_frames) end-to-end at the driver, closed-form by doc
+    mode (i%5): see generate_path_sources."""
+    from harvesting_validator_spark.sources.synthetic import (
+        PATH_PROFILE,
+        generate_path_sources,
+    )
+
+    key = (id(spark), sf_dir, "path")
+    if key not in _RUN_CACHE:
+        n = _corpus_n(spark, sf_dir)
+        sources = generate_path_sources(spark, n)
+        with _sized_shuffle(spark, n):
+            _RUN_CACHE[key] = run_validation(spark, sources, PATH_PROFILE)
+    return hex_doc_id(_RUN_CACHE[key].verdicts)
+
+
+O_PATH_VERDICTS = """
+WITH idx AS (
+  SELECT doc_id AS i,
+         doc_id % 5 AS mode,
+         sha256(
+           printf('repo%d', doc_id % 16) || chr(31) ||
+           ('data/paths/emp' || doc_id || '.ttl') || chr(31) ||
+           substr(sha256(printf('commit%d', doc_id)), 1, 40)
+         ) AS doc_id
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN mode IN (0, 4) THEN 0 ELSE 1 END AS BIGINT)
+         AS n_violations,
+       TRUE AS parse_ok,
+       mode IN (0, 4) AS conforms
+FROM idx
+"""
+
+
 QUERIES = {
     "kg_verdicts": q_kg_verdicts,
     "kg_extended_verdicts": q_kg_extended_verdicts,
     "kg_qualified_verdicts": q_kg_qualified_verdicts,
+    "kg_path_verdicts": q_kg_path_verdicts,
     "kg_linked_clusters": q_kg_linked_clusters,
     "kg_incremental_clusters": q_kg_incremental_clusters,
     "kg_chain_clusters": q_kg_chain_clusters,
@@ -635,6 +676,7 @@ ORACLES = {
     "kg_verdicts": O_VERDICTS,
     "kg_extended_verdicts": O_EXTENDED_VERDICTS,
     "kg_qualified_verdicts": O_QUALIFIED_VERDICTS,
+    "kg_path_verdicts": O_PATH_VERDICTS,
     "kg_linked_clusters": O_LINKED_CLUSTERS,
     "kg_incremental_clusters": O_LINKED_CLUSTERS,
     "kg_chain_clusters": O_CHAIN_CLUSTERS,

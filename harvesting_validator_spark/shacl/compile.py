@@ -329,6 +329,117 @@ def skolem_shape_id(shape_iri: str, ps) -> str:
     return "urn:skolem:shape:" + hashlib.sha256(key).hexdigest()
 
 
+def _path_value_frames(
+    focus: DataFrame, triples: DataFrame, shapes: ShapesGraph,
+    spark: SparkSession,
+) -> DataFrame | None:
+    """Synthetic ftrip rows for property-path EXPRESSIONS (r5): one row
+    per (doc, focus, shape, path-id, value node), where ``pred`` carries
+    the path's display id (model.py PropertyShape.path) so every
+    downstream pass — the single-scan value constraints, the cardinality
+    groupBy, sh:class, uniqueLang, property pairs, qualified probes —
+    consumes path values exactly like plain predicate values with ZERO
+    changes. Closed shapes are untouched: the SHACL spec whitelists only
+    direct IRI paths, and the synthetic ids never match a document
+    predicate.
+
+    * inverse paths: value nodes = subjects of (v, p, focus) — ONE join
+      of the focus table against triples keyed (doc_id, object). This is
+      the one join in the engine keyed on the object side; it cannot
+      reuse the (doc_id, subj) exchange by definition of inversion.
+    * sequence paths: objects reachable by chaining the hops, each hop a
+      join keyed (doc_id, node) — the same key prefix as ftrip.
+
+    Rows are DISTINCT per (focus, path, value term): SHACL counts value
+    NODES, and a diamond (two routes to the same value) must count once.
+    Returns None when the profile declares no path expressions (the
+    reference profiles — plan unchanged)."""
+    inv_rows = sorted({
+        (s.iri, p.path, p.path_preds[0])
+        for s in shapes.shapes for p in s.properties
+        if p.path_kind == "inverse"
+    })
+    seq_specs = sorted({
+        (s.iri, p.path, p.path_preds)
+        for s in shapes.shapes for p in s.properties
+        if p.path_kind == "sequence"
+    })
+    if not inv_rows and not seq_specs:
+        return None
+
+    def subj_kind(col):
+        return F.when(col.startswith("_:"), F.lit("bnode")).otherwise(
+            F.lit("iri")
+        )
+
+    frames: list[DataFrame] = []
+    if inv_rows:
+        ispec = F.broadcast(spark.createDataFrame(
+            inv_rows, "i_shape string, i_path string, i_pred string"
+        ))
+        frames.append(
+            focus.alias("f")
+            .join(
+                triples.alias("t"),
+                (F.col("f.doc_id") == F.col("t.doc_id"))
+                & (F.col("f.focus_node") == F.col("t.obj_value"))
+                & (F.col("t.obj_kind") != "literal"),
+            )
+            .join(
+                ispec,
+                (F.col("f.shape") == F.col("i_shape"))
+                & (F.col("t.pred") == F.col("i_pred")),
+            )
+            .select(
+                F.col("t.doc_id").alias("doc_id"),
+                "f.focus_node", "f.shape",
+                F.col("i_path").alias("pred"),
+                F.col("t.subj").alias("obj_value"),
+                subj_kind(F.col("t.subj")).alias("obj_kind"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+                F.lit(None).cast("string").alias("obj_lang"),
+            )
+            .distinct()
+        )
+    for shape_iri, path_id, preds in seq_specs:
+        cur = focus.filter(F.col("shape") == shape_iri).select(
+            "doc_id", "focus_node", "shape",
+            F.col("focus_node").alias("node"),
+        )
+        for k, pred in enumerate(preds):
+            last = k == len(preds) - 1
+            hop = (
+                cur.alias("c")
+                .join(
+                    triples.alias("t"),
+                    (F.col("c.doc_id") == F.col("t.doc_id"))
+                    & (F.col("c.node") == F.col("t.subj"))
+                    & (F.col("t.pred") == F.lit(pred)),
+                )
+            )
+            if last:
+                cur = hop.select(
+                    F.col("t.doc_id").alias("doc_id"),
+                    "c.focus_node", "c.shape",
+                    F.lit(path_id).alias("pred"),
+                    F.col("t.obj_value").alias("obj_value"),
+                    F.col("t.obj_kind").alias("obj_kind"),
+                    F.col("t.obj_datatype").alias("obj_datatype"),
+                    F.col("t.obj_lang").alias("obj_lang"),
+                ).distinct()
+            else:
+                # intermediates must be resources (literals have no
+                # outgoing triples); distinct keeps the diamond fan-out
+                # from multiplying downstream rows
+                cur = hop.filter(F.col("t.obj_kind") != "literal").select(
+                    F.col("t.doc_id").alias("doc_id"),
+                    "c.focus_node", "c.shape",
+                    F.col("t.obj_value").alias("node"),
+                ).distinct()
+        frames.append(cur)
+    return _union_all(frames)
+
+
 def _vstruct(component: str, message, path, value=None, value_kind=None,
              source_shape=None):
     """Violation payload struct (shared shape across all constraints so
@@ -516,6 +627,12 @@ def validate(
             "t.pred", "t.obj_value", "t.obj_kind", "t.obj_datatype", "t.obj_lang",
         )
     )
+    # property-path expressions: synthetic value-node rows keyed by the
+    # path's display id ride the SAME cached ftrip every pass consumes
+    # (None for the reference profiles — plan byte-identical)
+    path_frames = _path_value_frames(focus, triples, shapes, spark)
+    if path_frames is not None:
+        ftrip = ftrip.unionByName(path_frames)
     if cache_intermediate:
         # the scan/cardinality/class passes each consume ftrip; without a
         # persist, AQE re-derives it per pass — including a sequential

@@ -18,9 +18,15 @@ components sh:equals / sh:disjoint / sh:lessThan / sh:lessThanOrEquals,
 sh:qualifiedValueShape with sh:qualifiedMin/MaxCount, the node-level
 logical components sh:not / sh:and / sh:or / sh:xone (all answered by
 one recursive conformance probe; property-level sh:or of datatypes stays
-the single-scan union), and the sh:targetSubjectsOf /
-sh:targetObjectsOf selectors (non-literal focus only). Out of contract:
-property paths beyond a single IRI, SPARQL-based constraints, and
+the single-scan union), the sh:targetSubjectsOf /
+sh:targetObjectsOf selectors (non-literal focus only), and (r5) the
+property-path expressions sh:inversePath and sequence paths (rdf:lists
+of >=2 IRIs) — compiled to synthetic value-node rows that every
+constraint component then consumes unchanged (compile.py
+_path_value_frames). Out of contract (raise at parse time,
+degrade-don't-guess): sh:alternativePath / zeroOrMorePath /
+oneOrMorePath / zeroOrOnePath, nested path expressions, sh:node under
+a non-IRI path, SPARQL-based constraints, and
 sh:qualifiedValueShapesDisjoint.
 """
 
@@ -47,7 +53,14 @@ class PropertyShape:
     """One ``sh:property`` blank node of a node shape."""
 
     shape_id: str  # skolemized id of the property shape (for reporting)
-    path: str  # simple IRI path only (the reference uses nothing else)
+    # canonical path id. For a simple IRI path this IS the predicate (the
+    # only form the reference's profiles use); for path EXPRESSIONS it is
+    # the deterministic SPARQL-syntax display form ("^<pred>" without
+    # brackets: "^"+iri for inverse, "/".join(iris) for sequences) — the
+    # id the compiler stamps on synthetic ftrip rows and reports as
+    # result_path, guaranteed not to collide with a real predicate IRI
+    # in the document (compile.py _path_value_frames)
+    path: str
     min_count: int | None = None
     max_count: int | None = None
     datatypes: tuple[str, ...] = ()  # >1 entries = sh:or of datatypes
@@ -79,6 +92,16 @@ class PropertyShape:
     qualified_shape: str | None = None
     qualified_min: int | None = None
     qualified_max: int | None = None
+    # property-path expressions (r5): "iri" = plain predicate path;
+    # "inverse" = sh:inversePath (value nodes = SUBJECTS of triples whose
+    # object is the focus); "sequence" = an rdf:list of >=2 IRIs (value
+    # nodes = objects reachable by chaining the hops). path_preds holds
+    # the underlying predicate IRIs in traversal order (empty for "iri",
+    # where `path` is the predicate itself). Unsupported forms
+    # (alternative/zeroOrMore/oneOrMore/zeroOrOne, nested expressions)
+    # raise at parse time — degrade-don't-guess.
+    path_kind: str = "iri"
+    path_preds: tuple[str, ...] = ()
     message: str | None = None
 
 

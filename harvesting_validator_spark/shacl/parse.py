@@ -63,11 +63,75 @@ def _int(t: Triple | None) -> int | None:
         return None
 
 
+_UNSUPPORTED_PATH_PREDS = (
+    SH + "alternativePath",
+    SH + "zeroOrMorePath",
+    SH + "oneOrMorePath",
+    SH + "zeroOrOnePath",
+)
+
+
+def _parse_path(by_subj, path_t) -> tuple[str, str, tuple[str, ...]]:
+    """Resolve a sh:path object -> (display_id, kind, underlying preds).
+
+    Supported beyond the simple IRI the reference uses (SURVEY §2.6):
+    ``[sh:inversePath <p>]`` and sequence paths ``( <p1> <p2> ... )``
+    with >=2 IRI members. Everything else raises — the degrade-don't-
+    guess contract (silently skipping a constraint would under-validate).
+    Display ids use SPARQL path syntax over raw IRIs ("^"+iri,
+    "/".join(iris)); an IRI cannot start with "^" or contain an
+    unescaped "/"-joined second IRI, so the ids never collide with real
+    predicates in the data."""
+    if path_t.obj_kind != "bnode":
+        return path_t.obj_value, "iri", ()
+    node = path_t.obj_value
+    inv = _value(by_subj, node, SH + "inversePath")
+    if inv is not None:
+        if inv.obj_kind == "bnode":
+            raise NotImplementedError(
+                "nested path expression under sh:inversePath is out of "
+                "contract (shacl/model.py)"
+            )
+        return "^" + inv.obj_value, "inverse", (inv.obj_value,)
+    for pred in _UNSUPPORTED_PATH_PREDS:
+        if _value(by_subj, node, pred) is not None:
+            raise NotImplementedError(
+                f"sh:path expression <{pred}> is out of contract "
+                "(shacl/model.py)"
+            )
+    if _value(by_subj, node, RDF_FIRST) is not None:
+        preds: list[str] = []
+        cur = node
+        seen: set[str] = set()
+        while cur and cur != RDF_NIL and cur not in seen:
+            seen.add(cur)
+            first = _value(by_subj, cur, RDF_FIRST)
+            if first is None:
+                break
+            if first.obj_kind == "bnode":
+                raise NotImplementedError(
+                    "nested path expression inside a sequence path is "
+                    "out of contract (shacl/model.py)"
+                )
+            preds.append(first.obj_value)
+            rest = _value(by_subj, cur, RDF_REST)
+            cur = rest.obj_value if rest is not None else RDF_NIL
+        if len(preds) < 2:
+            raise NotImplementedError(
+                "sequence path needs >=2 IRI members"
+            )
+        return "/".join(preds), "sequence", tuple(preds)
+    raise NotImplementedError(
+        "unrecognized sh:path blank-node expression is out of contract "
+        "(shacl/model.py)"
+    )
+
+
 def _parse_property_shape(by_subj, ps_id: str) -> PropertyShape | None:
     path_t = _value(by_subj, ps_id, SH + "path")
-    if path_t is None or path_t.obj_kind == "bnode":
-        # sequence/inverse paths don't occur in the reference (SURVEY §2.6)
+    if path_t is None:
         return None
+    path, path_kind, path_preds = _parse_path(by_subj, path_t)
     datatypes: list[str] = []
     dt = _value(by_subj, ps_id, SH + "datatype")
     if dt is not None:
@@ -94,9 +158,19 @@ def _parse_property_shape(by_subj, ps_id: str) -> PropertyShape | None:
 
     lang_in_t = _value(by_subj, ps_id, SH + "languageIn")
     ul_t = _value(by_subj, ps_id, SH + "uniqueLang")
+    if node_t is not None and path_kind != "iri":
+        # compute_focus / _nested_closure derive child focus by joining
+        # triples on the parent's SIMPLE path; wiring them through the
+        # synthetic path rows is future work — raise, don't under-validate
+        raise NotImplementedError(
+            "sh:node under a non-IRI sh:path is out of contract "
+            "(shacl/model.py)"
+        )
     return PropertyShape(
         shape_id=ps_id,
-        path=path_t.obj_value,
+        path=path,
+        path_kind=path_kind,
+        path_preds=path_preds,
         min_count=_int(_value(by_subj, ps_id, SH + "minCount")),
         max_count=_int(_value(by_subj, ps_id, SH + "maxCount")),
         datatypes=tuple(datatypes),

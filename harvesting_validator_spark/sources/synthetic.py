@@ -481,6 +481,88 @@ def generate_qualified_sources(
     )
 
 
+# profile exercising PROPERTY-PATH expressions (r5): a 2-hop sequence
+# path (employee -> employer -> city) and an inverse path (who manages
+# the employee). Beyond the reference's simple-IRI paths, but a Jena
+# user's profile CAN declare them (ApplicationConfig.java:44-50 loads
+# arbitrary profiles), so the engine compiles them (shacl/compile.py
+# _path_value_frames).
+PATH_PROFILE = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+
+ex:EmployeeShape a sh:NodeShape ;
+  sh:targetClass ex:Employee ;
+  sh:property [ sh:path ( ex:worksFor ex:city ) ;
+                sh:minCount 1 ; sh:maxCount 1 ] ;
+  sh:property [ sh:path [ sh:inversePath ex:manages ] ;
+                sh:maxCount 1 ] .
+"""
+
+
+def generate_path_sources(
+    spark: SparkSession, n_docs: int, n_partitions: int | None = None
+) -> DataFrame:
+    """n synthetic employee docs exercising PATH_PROFILE in closed form
+    by i%5 (pure Catalyst, same contract as generate_sources):
+
+    mode 0: one employer with a city, one manager — conforms;
+    mode 1: no employer — sequence-path minCount (zero-value edge);
+    mode 2: employer with TWO cities — sequence-path maxCount;
+    mode 3: TWO managers — inverse-path maxCount;
+    mode 4: two employers sharing the SAME city (diamond) + one manager
+            — conforms iff sequence values are counted as a SET.
+    n_violations: [0,1,1,1,0][mode]; conforms: mode IN (0, 4).
+    """
+    df = (
+        spark.range(0, n_docs, 1, n_partitions)
+        if n_partitions
+        else spark.range(n_docs)
+    ).withColumnRenamed("id", "i")
+    i = F.col("i")
+    mode = i % 5
+    body = (
+        F.when(mode == 0, F.concat(
+            F.lit("ex:W"), i, F.lit(" a ex:Employee ; ex:worksFor ex:C"), i,
+            F.lit(" .\nex:C"), i, F.lit(' ex:city "City A" .\nex:M'), i,
+            F.lit(" ex:manages ex:W"), i, F.lit(" ."),
+        ))
+        .when(mode == 1, F.concat(
+            F.lit("ex:W"), i, F.lit(" a ex:Employee .\nex:M"), i,
+            F.lit(" ex:manages ex:W"), i, F.lit(" ."),
+        ))
+        .when(mode == 2, F.concat(
+            F.lit("ex:W"), i, F.lit(" a ex:Employee ; ex:worksFor ex:C"), i,
+            F.lit(" .\nex:C"), i,
+            F.lit(' ex:city "City A", "City B" .\nex:M'), i,
+            F.lit(" ex:manages ex:W"), i, F.lit(" ."),
+        ))
+        .when(mode == 3, F.concat(
+            F.lit("ex:W"), i, F.lit(" a ex:Employee ; ex:worksFor ex:C"), i,
+            F.lit(" .\nex:C"), i, F.lit(' ex:city "City A" .\nex:M'), i,
+            F.lit(" ex:manages ex:W"), i, F.lit(" .\nex:N"), i,
+            F.lit(" ex:manages ex:W"), i, F.lit(" ."),
+        ))
+        .otherwise(F.concat(
+            F.lit("ex:W"), i, F.lit(" a ex:Employee ; ex:worksFor ex:C"), i,
+            F.lit(", ex:D"), i, F.lit(" .\nex:C"), i,
+            F.lit(' ex:city "City A" .\nex:D'), i,
+            F.lit(' ex:city "City A" .\nex:M'), i,
+            F.lit(" ex:manages ex:W"), i, F.lit(" ."),
+        ))
+    )
+    content = F.concat(
+        F.lit("@prefix ex: <http://example.com/ns#> .\n"), body, F.lit("\n")
+    )
+    return df.select(
+        F.format_string("repo%d", i % 16).alias("repo"),
+        F.concat(F.lit("data/paths/emp"), i, F.lit(".ttl")).alias("path"),
+        F.sha2(F.format_string("commit%d", i), 256).substr(1, 40).alias("commit"),
+        F.lit("turtle").alias("lang"),
+        content.alias("content"),
+    )
+
+
 def generate_product_sources(
     spark: SparkSession, n_docs: int, n_partitions: int | None = None
 ) -> DataFrame:

@@ -336,3 +336,46 @@ def test_corpusops_plan_shapes(spark, sf_dir):
     for q in corpusops.QUERIES.values():
         p = _plan(q(spark, sf_dir))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_path_validation_reuses_single_doc_id_exchange(spark):
+    """Property-path expressions must not add exchanges: the inverse
+    join keys (doc_id, object) and each sequence hop keys (doc_id, subj)
+    — all doc_id-prefixed supersets of the parse repartition, so with
+    subset co-partitioning the whole path machinery rides the SAME
+    single exchange as plain validation (and stays JVM-side)."""
+    import re
+
+    from harvesting_validator_spark.shacl.compile import validate
+    from harvesting_validator_spark.shacl.parse import parse_shapes_turtle
+    from harvesting_validator_spark.sources.rdf_parse import (
+        parse_sources_to_triples,
+    )
+    from harvesting_validator_spark.sources.synthetic import (
+        PATH_PROFILE,
+        generate_path_sources,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        t = parse_sources_to_triples(
+            generate_path_sources(spark, 100), repartition_by_doc=True
+        )
+        shapes = parse_shapes_turtle(PATH_PROFILE)
+        v = validate(t, shapes, spark, cache_intermediate=False)
+        plan = _plan(v.select("doc_id").distinct())
+        keys = {
+            re.sub(r"#\d+L?", "", m).strip()
+            for m in re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)
+        }
+        assert keys == {"doc_id"}, f"unexpected exchange keys: {keys}"
+        assert "ArrowEvalPython" not in plan.replace(
+            "ArrowEvalPython", "", 1
+        )  # exactly the one sanctioned parse kernel
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)

@@ -1,0 +1,219 @@
+"""SHACL property-path expressions (r5): sh:inversePath and sequence
+paths, compiled to synthetic value-node rows every constraint component
+consumes unchanged (shacl/compile.py _path_value_frames).
+
+The independent evaluator (tests/reference_shacl.py) predates paths, so
+this suite pins semantics with closed-form handcrafted fixtures — the
+same strategy as the qualified/shape-valued suite. The corpus-scale
+closed form rides the kg_path_verdicts driver oracle (queries/kg.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from harvesting_validator_spark.shacl.compile import validate
+from harvesting_validator_spark.shacl.parse import parse_shapes_turtle
+from harvesting_validator_spark.sources.rdf_parse import Triple
+
+EX = "http://example.com/ns#"
+SH = "http://www.w3.org/ns/shacl#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+PROFILE = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+
+ex:EmployeeShape a sh:NodeShape ;
+  sh:targetClass ex:Employee ;
+  sh:property [ sh:path ( ex:worksFor ex:city ) ;
+                sh:minCount 1 ; sh:maxCount 1 ;
+                sh:pattern "^City" ] ;
+  sh:property [ sh:path [ sh:inversePath ex:manages ] ;
+                sh:maxCount 1 ; sh:nodeKind sh:IRI ] ;
+  sh:property [ sh:path ( ex:worksFor ex:sector ) ;
+                sh:class ex:Sector ] .
+"""
+
+SHAPES = parse_shapes_turtle(PROFILE)
+SEQ = EX + "worksFor/" + EX + "city"
+INV = "^" + EX + "manages"
+SEC = EX + "worksFor/" + EX + "sector"
+
+
+def _t(subj, pred, val, kind="literal", dt=XSD + "string", lang=None):
+    if kind != "literal":
+        dt = None
+    return Triple(subj, pred, val, kind, dt, lang)
+
+
+def _violations(spark, docs, shapes=SHAPES):
+    rows = [
+        (doc_id, t.subj, t.pred, t.obj_value, t.obj_kind,
+         t.obj_datatype, t.obj_lang)
+        for doc_id, ts in docs.items()
+        for t in ts
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj_value string, "
+        "obj_kind string, obj_datatype string, obj_lang string",
+    )
+    viol = validate(df, shapes, spark, cache_intermediate=False)
+    return {
+        (r.focus_node, r.constraint_component, r.result_path, r.value)
+        for r in viol.collect()
+    }
+
+
+# --- parsing -------------------------------------------------------------------
+def test_parse_path_expressions():
+    by_path = {
+        p.path: p for s in SHAPES.shapes for p in s.properties
+    }
+    seq = by_path[SEQ]
+    assert seq.path_kind == "sequence"
+    assert seq.path_preds == (EX + "worksFor", EX + "city")
+    inv = by_path[INV]
+    assert inv.path_kind == "inverse"
+    assert inv.path_preds == (EX + "manages",)
+
+
+@pytest.mark.parametrize("snippet", [
+    # alternative path
+    "sh:path [ sh:alternativePath ( ex:a ex:b ) ]",
+    # recursive paths
+    "sh:path [ sh:zeroOrMorePath ex:a ]",
+    "sh:path [ sh:oneOrMorePath ex:a ]",
+    # nested expression inside a sequence
+    "sh:path ( ex:a [ sh:inversePath ex:b ] )",
+    # nested expression under inverse
+    "sh:path [ sh:inversePath [ sh:inversePath ex:a ] ]",
+    # 1-element sequence
+    "sh:path ( ex:a )",
+])
+def test_unsupported_path_forms_raise(snippet):
+    turtle = f"""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ {snippet} ; sh:minCount 1 ] .
+"""
+    with pytest.raises(NotImplementedError):
+        parse_shapes_turtle(turtle)
+
+
+def test_node_shape_under_path_expression_raises():
+    turtle = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path [ sh:inversePath ex:p ] ; sh:node ex:Child ] .
+ex:Child a sh:NodeShape .
+"""
+    with pytest.raises(NotImplementedError):
+        parse_shapes_turtle(turtle)
+
+
+# --- evaluation ----------------------------------------------------------------
+def test_sequence_path_cardinality_and_set_semantics(spark):
+    docs = {
+        "d": [
+            # w0: diamond — two employers, SAME city value: counts ONCE
+            _t(EX + "w0", RDF_TYPE, EX + "Employee", kind="iri"),
+            _t(EX + "w0", EX + "worksFor", EX + "c0a", kind="iri"),
+            _t(EX + "w0", EX + "worksFor", EX + "c0b", kind="iri"),
+            _t(EX + "c0a", EX + "city", "City A"),
+            _t(EX + "c0b", EX + "city", "City A"),
+            # w1: no employer -> zero sequence values -> minCount
+            _t(EX + "w1", RDF_TYPE, EX + "Employee", kind="iri"),
+            # w2: one employer, two cities -> maxCount
+            _t(EX + "w2", RDF_TYPE, EX + "Employee", kind="iri"),
+            _t(EX + "w2", EX + "worksFor", EX + "c2", kind="iri"),
+            _t(EX + "c2", EX + "city", "City A"),
+            _t(EX + "c2", EX + "city", "City B"),
+        ]
+    }
+    got = _violations(spark, docs)
+    card = {v for v in got if "Count" in v[1]}
+    assert card == {
+        (EX + "w1", SH + "MinCountConstraintComponent", SEQ, None),
+        (EX + "w2", SH + "MaxCountConstraintComponent", SEQ, None),
+    }, got
+
+
+def test_value_constraints_apply_to_path_values(spark):
+    """Pass-2 scan constraints (sh:pattern) and the pass-4 sh:class join
+    must see the synthetic path rows exactly like plain values."""
+    docs = {
+        "d": [
+            # bad city spelling -> pattern violation on the SEQUENCE path
+            _t(EX + "w0", RDF_TYPE, EX + "Employee", kind="iri"),
+            _t(EX + "w0", EX + "worksFor", EX + "c0", kind="iri"),
+            _t(EX + "c0", EX + "city", "Metropolis"),
+            # sector value lacks rdf:type ex:Sector -> class violation
+            _t(EX + "c0", EX + "sector", EX + "untyped", kind="iri"),
+            # manager present exactly once: no inverse violation
+            _t(EX + "m0", EX + "manages", EX + "w0", kind="iri"),
+        ]
+    }
+    got = _violations(spark, docs)
+    assert (
+        EX + "w0", SH + "PatternConstraintComponent", SEQ, "Metropolis"
+    ) in got
+    assert (
+        EX + "w0", SH + "ClassConstraintComponent", SEC, EX + "untyped"
+    ) in got
+    assert not any(v[2] == INV for v in got)
+
+
+def test_inverse_path_values_and_nodekind(spark):
+    docs = {
+        "d": [
+            _t(EX + "w3", RDF_TYPE, EX + "Employee", kind="iri"),
+            _t(EX + "w3", EX + "worksFor", EX + "c3", kind="iri"),
+            _t(EX + "c3", EX + "city", "City A"),
+            # two managers -> inverse maxCount; one is a bnode -> nodeKind
+            _t(EX + "ma", EX + "manages", EX + "w3", kind="iri"),
+            _t("_:mb", EX + "manages", EX + "w3", kind="iri"),
+        ]
+    }
+    got = _violations(spark, docs)
+    assert (
+        EX + "w3", SH + "MaxCountConstraintComponent", INV, None
+    ) in got
+    assert (
+        EX + "w3", SH + "NodeKindConstraintComponent", INV, "_:mb"
+    ) in got
+
+
+def test_closed_shape_ignores_synthetic_path_rows(spark):
+    """A closed shape with a path-expression property must neither flag
+    the synthetic rows (their pred is the path id, which IS in the
+    allowed set) nor whitelist the underlying predicates (per spec,
+    closed only covers direct IRI paths)."""
+    turtle = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix ex: <http://example.com/ns#> .
+ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:ok ] ;
+  sh:property [ sh:path [ sh:inversePath ex:boss ] ; sh:maxCount 2 ] ;
+  sh:closed true ; sh:ignoredProperties ( rdf:type ) .
+"""
+    shapes = parse_shapes_turtle(turtle)
+    docs = {
+        "d": [
+            _t(EX + "n", RDF_TYPE, EX + "T", kind="iri"),
+            _t(EX + "n", EX + "ok", "fine"),
+            # direct use of the inverse path's underlying predicate on
+            # the focus is NOT whitelisted by the path expression
+            _t(EX + "n", EX + "boss", EX + "x", kind="iri"),
+            _t(EX + "m", EX + "boss", EX + "n", kind="iri"),
+        ]
+    }
+    got = _violations(spark, docs, shapes)
+    closed = {v for v in got if v[1] == SH + "ClosedConstraintComponent"}
+    assert closed == {
+        (EX + "n", SH + "ClosedConstraintComponent", EX + "boss", EX + "x")
+    }, got
