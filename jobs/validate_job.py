@@ -11,6 +11,14 @@ The job is resumable: re-submitting with the same --run-id skips completed
 stages via the lineage table (lineage.py). Local smoke:
     spark-submit --master 'local[8]' --py-files dist/... jobs/validate_job.py \\
         --sources synthetic:1000 --warehouse /tmp/wh
+
+Streaming mode (--stream) points --sources at a landing DIRECTORY and
+drains it through the foreachBatch incremental canonicalizer
+(streaming/canonical.py) with trigger(availableNow) — re-submit with the
+same --checkpoint as new files land (cron shape), or --follow for a
+long-lived query:
+    spark-submit ... jobs/validate_job.py --stream \\
+        --sources /data/landing --warehouse /data/wh
 """
 
 from __future__ import annotations
@@ -52,7 +60,26 @@ def main(argv: list[str] | None = None) -> int:
                          "enabling the snapshot-diff intake (committed "
                          "history pruned by a column filter + run_id "
                          "partition pruning, never a full-ledger scan)")
+    ap.add_argument("--stream", action="store_true",
+                    help="treat --sources as a LANDING DIRECTORY of "
+                         "source parquet files and drain it through the "
+                         "foreachBatch incremental canonicalizer "
+                         "(streaming/canonical.py); the mapping under "
+                         "<warehouse>/_stream_mapping converges to the "
+                         "one-shot batch union-find over everything seen")
+    ap.add_argument("--checkpoint", default=None,
+                    help="with --stream: Structured Streaming checkpoint "
+                         "dir (default <warehouse>/_stream_checkpoint); "
+                         "reuse it across submissions to resume the "
+                         "stream exactly-once per landed file")
+    ap.add_argument("--follow", action="store_true",
+                    help="with --stream: keep the query running instead "
+                         "of trigger(availableNow) drain-and-exit")
     args = ap.parse_args(argv)
+
+    if args.stream and args.sources.startswith("synthetic:"):
+        ap.error("--stream needs a landing directory, not synthetic:N "
+                 "(write the corpus to parquet first)")
 
     from pyspark.sql import SparkSession
 
@@ -64,6 +91,48 @@ def main(argv: list[str] | None = None) -> int:
 
     # spark-submit provides the session config; getOrCreate attaches to it
     spark = SparkSession.builder.getOrCreate()
+
+    if args.stream:
+        from harvesting_validator_spark import fs
+        from harvesting_validator_spark.streaming.canonical import (
+            canonicalize_stream,
+        )
+        from harvesting_validator_spark.streaming.micro_batch import (
+            SOURCE_SCHEMA,
+        )
+
+        checkpoint = args.checkpoint or fs.join(
+            args.warehouse, "_stream_checkpoint"
+        )
+        stream = (
+            spark.readStream.schema(SOURCE_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(args.sources)
+        )
+        query = canonicalize_stream(
+            stream, args.warehouse, checkpoint,
+            available_now=not args.follow,
+        )
+        if args.follow:
+            query.awaitTermination()
+            return 0
+        if not query.awaitTermination(600):
+            print(json.dumps({"mode": "stream", "error": "drain timeout"}))
+            return 1
+        mapping_path = fs.join(args.warehouse, "_stream_mapping")
+        if fs.exists(spark, mapping_path):
+            mapping = spark.read.parquet(mapping_path)
+            n_entities = mapping.count()
+            n_components = mapping.select("canonical").distinct().count()
+        else:
+            n_entities = n_components = 0
+        print(json.dumps({
+            "mode": "stream",
+            "checkpoint": checkpoint,
+            "mapping_entities": n_entities,
+            "components": n_components,
+        }))
+        return 0
 
     if args.sources.startswith("synthetic:"):
         sources = generate_sources(spark, int(args.sources.split(":", 1)[1]))
