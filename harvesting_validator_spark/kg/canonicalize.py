@@ -54,7 +54,14 @@ def connected_components(
     round — measured r2: per-round probes made kg_canonical_graph swing
     17s -> 38s under host noise because every round paid TWO job launches
     (eager checkpoint + probe). Unprobed rounds stay lazy: their joins fuse
-    into the next probed round's plan, so 2 rounds cost ONE job."""
+    into the next probed round's plan, so 2 rounds cost ONE job.
+
+    Concurrency caveat: the loop temporarily sets the SESSION-global
+    ``spark.sql.shuffle.partitions`` (restored in ``finally``) to size the
+    tiny per-round label shuffles. Safe for the one-job-per-session shape
+    every entrypoint here uses; two queries planned CONCURRENTLY in one
+    session would race on it — give each concurrent caller its own
+    session (``spark.newSession()``) if that shape ever appears."""
     edges = edges.select(
         _sort_key(F.col("src")).alias("src"), _sort_key(F.col("dst")).alias("dst")
     )
