@@ -17,8 +17,18 @@ Variants, each a fresh-JVM run of the flagship validate slice
 * bindict — bindoc + pred/obj_datatype/obj_kind dictionary-encoded to
             int codes before the exchange (decode map broadcast), the
             full narrowing the ask describes
+* edgecode (r5, VERDICT r4 ask #5) — bindoc + pred/obj_datatype as
+            xxhash64 LONG codes THROUGH the doc_id exchange, decoded at
+            the far edge by ONE broadcast hash join per dim (replacing
+            bindict's per-row create_map scan, the measured cause of its
+            null). Because validate is served by the single doc_id
+            exchange (zero downstream exchanges, plan-guarded), the
+            exchange IS the only byte mover — so this variant captures
+            the full wire-width benefit of "codes through the whole
+            graph"; pushing codes further into the constraint joins
+            could only narrow in-memory operator buffers, not shuffles.
 
-Usage: python tools/shuffle_payload_study.py [n_docs] [repeats]
+Usage: python tools/shuffle_payload_study.py [n_docs] [repeats] [variants,...]
 Prints one JSON line per (variant, cores) sample plus a summary.
 """
 
@@ -60,6 +70,18 @@ def run_once(cores: int, n_docs: int, variant: str) -> dict:
         if variant == "bindoc":
             return parsed
         out = parsed
+        if variant == "edgecode":
+            out = (
+                out.withColumn("pred_code", F.xxhash64("pred"))
+                .withColumn(
+                    "dt_code",
+                    F.when(
+                        F.col("obj_datatype").isNotNull(),
+                        F.xxhash64("obj_datatype"),
+                    ),
+                )
+                .drop("pred", "obj_datatype")
+            )
         if variant == "bindict":
             out = (
                 out.withColumn(
@@ -79,6 +101,31 @@ def run_once(cores: int, n_docs: int, variant: str) -> dict:
     def slice_run(sources):
         parsed = parse_sources_to_triples(sources)
         enc = narrow(parsed).repartition("doc_id")
+        if variant == "edgecode":
+            # decode at the exchange's far edge with ONE broadcast hash
+            # join per dim (JVM codegen probe, amortized — not bindict's
+            # O(|dict|)-per-row create_map). Dims from a head sample:
+            # the synthetic vocabulary is closed; production would add a
+            # string fallback column for unseen codes.
+            sample = parse_sources_to_triples(generate_sources(spark, 512))
+            pred_dim = (
+                sample.select(
+                    F.xxhash64("pred").alias("pred_code"),
+                    F.col("pred"),
+                ).distinct()
+            )
+            dt_dim = (
+                sample.filter(F.col("obj_datatype").isNotNull())
+                .select(
+                    F.xxhash64("obj_datatype").alias("dt_code"),
+                    F.col("obj_datatype"),
+                ).distinct()
+            )
+            enc = (
+                enc.join(F.broadcast(pred_dim), "pred_code")
+                .join(F.broadcast(dt_dim), "dt_code", "left")
+                .drop("pred_code", "dt_code")
+            )
         if variant == "bindict":
             # decode via tiny broadcast maps built from a corpus sample
             # (the synthetic vocabulary is closed; a production integration
@@ -148,7 +195,10 @@ def run_sub(cores: int, n_docs: int, variant: str) -> dict:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    variants = ["base", "bindoc", "bindict"]
+    variants = (
+        sys.argv[3].split(",") if len(sys.argv) > 3
+        else ["base", "bindoc", "bindict"]
+    )
     cores_list = [8, 32]
     samples: list[dict] = []
     for _ in range(repeats):
@@ -186,6 +236,13 @@ def main() -> None:
         summary["bindict_vs_base_local32"] = round(
             summary["bindict"]["local32_docs_per_s"]
             / summary["base"]["local32_docs_per_s"],
+            3,
+        )
+    if "bindoc" in summary and "edgecode" in summary:
+        # bindoc IS the integrated engine; >=1.15 here is the keep bar
+        summary["edgecode_vs_bindoc_local32"] = round(
+            summary["edgecode"]["local32_docs_per_s"]
+            / summary["bindoc"]["local32_docs_per_s"],
             3,
         )
     print(json.dumps({"samples": samples, "best": summary}, indent=2))
