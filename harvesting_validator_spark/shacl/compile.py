@@ -349,6 +349,15 @@ def _path_value_frames(
       reuse the (doc_id, subj) exchange by definition of inversion.
     * sequence paths: objects reachable by chaining the hops, each hop a
       join keyed (doc_id, node) — the same key prefix as ftrip.
+    * alternative paths (r5): objects over ANY member predicate — one
+      focus⋈triples join against a (shape, path, member) spec; a value
+      reachable via two members counts once (distinct).
+    * zero-or-one paths (r5): the focus node itself (the zero step —
+      always present, so sh:minCount 1 is trivially met per spec) union
+      the one-hop objects; a self-loop collapses with the zero step
+      under the same distinct. Focus nodes are never literals here
+      (compute_focus filters literal targets), so subject-kind typing
+      of the zero step is exact.
 
     Rows are DISTINCT per (focus, path, value term): SHACL counts value
     NODES, and a diamond (two routes to the same value) must count once.
@@ -364,7 +373,18 @@ def _path_value_frames(
         for s in shapes.shapes for p in s.properties
         if p.path_kind == "sequence"
     })
-    if not inv_rows and not seq_specs:
+    alt_rows = sorted({
+        (s.iri, p.path, member)
+        for s in shapes.shapes for p in s.properties
+        if p.path_kind == "alternative"
+        for member in p.path_preds
+    })
+    zoo_rows = sorted({
+        (s.iri, p.path, p.path_preds[0])
+        for s in shapes.shapes for p in s.properties
+        if p.path_kind == "zero_or_one"
+    })
+    if not inv_rows and not seq_specs and not alt_rows and not zoo_rows:
         return None
 
     def subj_kind(col):
@@ -400,6 +420,56 @@ def _path_value_frames(
                 F.lit(None).cast("string").alias("obj_lang"),
             )
             .distinct()
+        )
+    def _forward_hop_frame(spec_rows, schema):
+        """focus⋈triples forward hop gated by a broadcast (shape, path,
+        pred) spec — shared by alternative and the zero-or-one one-step."""
+        spec = F.broadcast(spark.createDataFrame(spec_rows, schema))
+        return (
+            focus.alias("f")
+            .join(
+                triples.alias("t"),
+                (F.col("f.doc_id") == F.col("t.doc_id"))
+                & (F.col("f.focus_node") == F.col("t.subj")),
+            )
+            .join(
+                spec,
+                (F.col("f.shape") == F.col("s_shape"))
+                & (F.col("t.pred") == F.col("s_pred")),
+            )
+            .select(
+                F.col("t.doc_id").alias("doc_id"),
+                "f.focus_node", "f.shape",
+                F.col("s_path").alias("pred"),
+                F.col("t.obj_value").alias("obj_value"),
+                F.col("t.obj_kind").alias("obj_kind"),
+                F.col("t.obj_datatype").alias("obj_datatype"),
+                F.col("t.obj_lang").alias("obj_lang"),
+            )
+        )
+
+    spec_schema = "s_shape string, s_path string, s_pred string"
+    if alt_rows:
+        frames.append(_forward_hop_frame(alt_rows, spec_schema).distinct())
+    if zoo_rows:
+        zspec = F.broadcast(spark.createDataFrame(
+            [(s, p) for s, p, _ in zoo_rows], "s_shape string, s_path string"
+        ).distinct())
+        zero_step = (
+            focus.join(zspec, focus.shape == F.col("s_shape"))
+            .select(
+                "doc_id", "focus_node", "shape",
+                F.col("s_path").alias("pred"),
+                F.col("focus_node").alias("obj_value"),
+                subj_kind(F.col("focus_node")).alias("obj_kind"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+                F.lit(None).cast("string").alias("obj_lang"),
+            )
+        )
+        frames.append(
+            zero_step.unionByName(
+                _forward_hop_frame(zoo_rows, spec_schema)
+            ).distinct()
         )
     for shape_iri, path_id, preds in seq_specs:
         cur = focus.filter(F.col("shape") == shape_iri).select(

@@ -20,14 +20,16 @@ logical components sh:not / sh:and / sh:or / sh:xone (all answered by
 one recursive conformance probe; property-level sh:or of datatypes stays
 the single-scan union), the sh:targetSubjectsOf /
 sh:targetObjectsOf selectors (non-literal focus only), and (r5) the
-property-path expressions sh:inversePath and sequence paths (rdf:lists
-of >=2 IRIs) — compiled to synthetic value-node rows that every
+property-path expressions sh:inversePath, sequence paths (rdf:lists
+of >=2 IRIs), sh:alternativePath (rdf:list of >=2 IRIs), and
+sh:zeroOrOnePath — compiled to synthetic value-node rows that every
 constraint component then consumes unchanged (compile.py
 _path_value_frames). Out of contract (raise at parse time,
-degrade-don't-guess): sh:alternativePath / zeroOrMorePath /
-oneOrMorePath / zeroOrOnePath, nested path expressions, sh:node under
-a non-IRI path, SPARQL-based constraints, and
-sh:qualifiedValueShapesDisjoint.
+degrade-don't-guess): the recursive paths zeroOrMorePath /
+oneOrMorePath (transitive closure needs an iterative fixpoint — the
+union-find machinery could host it, but no profile has asked),
+nested path expressions, sh:node under a non-IRI path, SPARQL-based
+constraints, and sh:qualifiedValueShapesDisjoint.
 """
 
 from __future__ import annotations
@@ -56,7 +58,8 @@ class PropertyShape:
     # canonical path id. For a simple IRI path this IS the predicate (the
     # only form the reference's profiles use); for path EXPRESSIONS it is
     # the deterministic SPARQL-syntax display form ("^<pred>" without
-    # brackets: "^"+iri for inverse, "/".join(iris) for sequences) — the
+    # brackets: "^"+iri for inverse, "/".join(iris) for sequences,
+    # "|".join(iris) for alternatives, iri+"?" for zero-or-one) — the
     # id the compiler stamps on synthetic ftrip rows and reports as
     # result_path, guaranteed not to collide with a real predicate IRI
     # in the document (compile.py _path_value_frames)
@@ -95,11 +98,14 @@ class PropertyShape:
     # property-path expressions (r5): "iri" = plain predicate path;
     # "inverse" = sh:inversePath (value nodes = SUBJECTS of triples whose
     # object is the focus); "sequence" = an rdf:list of >=2 IRIs (value
-    # nodes = objects reachable by chaining the hops). path_preds holds
-    # the underlying predicate IRIs in traversal order (empty for "iri",
-    # where `path` is the predicate itself). Unsupported forms
-    # (alternative/zeroOrMore/oneOrMore/zeroOrOne, nested expressions)
-    # raise at parse time — degrade-don't-guess.
+    # nodes = objects reachable by chaining the hops); "alternative" =
+    # sh:alternativePath over an rdf:list of >=2 IRIs (union of the
+    # members' objects, set semantics); "zero_or_one" = sh:zeroOrOnePath
+    # (the focus node itself union the one-hop objects). path_preds holds
+    # the underlying predicate IRIs in traversal/member order (empty for
+    # "iri", where `path` is the predicate itself). Unsupported forms
+    # (zeroOrMore/oneOrMore, nested expressions) raise at parse time —
+    # degrade-don't-guess.
     path_kind: str = "iri"
     path_preds: tuple[str, ...] = ()
     message: str | None = None

@@ -64,24 +64,47 @@ def _int(t: Triple | None) -> int | None:
 
 
 _UNSUPPORTED_PATH_PREDS = (
-    SH + "alternativePath",
     SH + "zeroOrMorePath",
     SH + "oneOrMorePath",
-    SH + "zeroOrOnePath",
 )
+
+
+def _iri_list(by_subj, head: str, ctx: str) -> tuple[str, ...]:
+    """Walk an rdf:list of plain IRIs; nested expressions raise (the
+    degrade-don't-guess contract)."""
+    preds: list[str] = []
+    cur = head
+    seen: set[str] = set()
+    while cur and cur != RDF_NIL and cur not in seen:
+        seen.add(cur)
+        first = _value(by_subj, cur, RDF_FIRST)
+        if first is None:
+            break
+        if first.obj_kind == "bnode":
+            raise NotImplementedError(
+                f"nested path expression inside {ctx} is out of contract "
+                "(shacl/model.py)"
+            )
+        preds.append(first.obj_value)
+        rest = _value(by_subj, cur, RDF_REST)
+        cur = rest.obj_value if rest is not None else RDF_NIL
+    return tuple(preds)
 
 
 def _parse_path(by_subj, path_t) -> tuple[str, str, tuple[str, ...]]:
     """Resolve a sh:path object -> (display_id, kind, underlying preds).
 
     Supported beyond the simple IRI the reference uses (SURVEY §2.6):
-    ``[sh:inversePath <p>]`` and sequence paths ``( <p1> <p2> ... )``
-    with >=2 IRI members. Everything else raises — the degrade-don't-
-    guess contract (silently skipping a constraint would under-validate).
+    ``[sh:inversePath <p>]``, sequence paths ``( <p1> <p2> ... )`` with
+    >=2 IRI members, ``[sh:alternativePath ( <p1> <p2> ... )]``, and
+    ``[sh:zeroOrOnePath <p>]``. The recursive forms (zeroOrMore/
+    oneOrMore) and nested expressions raise — the degrade-don't-guess
+    contract (silently skipping a constraint would under-validate).
     Display ids use SPARQL path syntax over raw IRIs ("^"+iri,
-    "/".join(iris)); an IRI cannot start with "^" or contain an
-    unescaped "/"-joined second IRI, so the ids never collide with real
-    predicates in the data."""
+    "/".join(iris), "|".join(iris), iri+"?"); an IRI cannot start with
+    "^" or contain an unescaped second IRI joined by "/" or "|" or a
+    trailing "?", so the ids never collide with real predicates in the
+    data."""
     if path_t.obj_kind != "bnode":
         return path_t.obj_value, "iri", ()
     node = path_t.obj_value
@@ -93,6 +116,26 @@ def _parse_path(by_subj, path_t) -> tuple[str, str, tuple[str, ...]]:
                 "contract (shacl/model.py)"
             )
         return "^" + inv.obj_value, "inverse", (inv.obj_value,)
+    alt = _value(by_subj, node, SH + "alternativePath")
+    if alt is not None:
+        if alt.obj_kind != "bnode":
+            raise NotImplementedError(
+                "sh:alternativePath needs an rdf:list of >=2 IRI members"
+            )
+        preds = _iri_list(by_subj, alt.obj_value, "sh:alternativePath")
+        if len(preds) < 2:
+            raise NotImplementedError(
+                "sh:alternativePath needs an rdf:list of >=2 IRI members"
+            )
+        return "|".join(preds), "alternative", preds
+    zoo = _value(by_subj, node, SH + "zeroOrOnePath")
+    if zoo is not None:
+        if zoo.obj_kind == "bnode":
+            raise NotImplementedError(
+                "nested path expression under sh:zeroOrOnePath is out of "
+                "contract (shacl/model.py)"
+            )
+        return zoo.obj_value + "?", "zero_or_one", (zoo.obj_value,)
     for pred in _UNSUPPORTED_PATH_PREDS:
         if _value(by_subj, node, pred) is not None:
             raise NotImplementedError(
@@ -100,27 +143,12 @@ def _parse_path(by_subj, path_t) -> tuple[str, str, tuple[str, ...]]:
                 "(shacl/model.py)"
             )
     if _value(by_subj, node, RDF_FIRST) is not None:
-        preds: list[str] = []
-        cur = node
-        seen: set[str] = set()
-        while cur and cur != RDF_NIL and cur not in seen:
-            seen.add(cur)
-            first = _value(by_subj, cur, RDF_FIRST)
-            if first is None:
-                break
-            if first.obj_kind == "bnode":
-                raise NotImplementedError(
-                    "nested path expression inside a sequence path is "
-                    "out of contract (shacl/model.py)"
-                )
-            preds.append(first.obj_value)
-            rest = _value(by_subj, cur, RDF_REST)
-            cur = rest.obj_value if rest is not None else RDF_NIL
+        preds = _iri_list(by_subj, node, "a sequence path")
         if len(preds) < 2:
             raise NotImplementedError(
                 "sequence path needs >=2 IRI members"
             )
-        return "/".join(preds), "sequence", tuple(preds)
+        return "/".join(preds), "sequence", preds
     raise NotImplementedError(
         "unrecognized sh:path blank-node expression is out of contract "
         "(shacl/model.py)"

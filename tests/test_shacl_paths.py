@@ -80,9 +80,7 @@ def test_parse_path_expressions():
 
 
 @pytest.mark.parametrize("snippet", [
-    # alternative path
-    "sh:path [ sh:alternativePath ( ex:a ex:b ) ]",
-    # recursive paths
+    # recursive paths (transitive closure — documented out of contract)
     "sh:path [ sh:zeroOrMorePath ex:a ]",
     "sh:path [ sh:oneOrMorePath ex:a ]",
     # nested expression inside a sequence
@@ -91,6 +89,12 @@ def test_parse_path_expressions():
     "sh:path [ sh:inversePath [ sh:inversePath ex:a ] ]",
     # 1-element sequence
     "sh:path ( ex:a )",
+    # alternative: 1-element list / bare IRI / nested member
+    "sh:path [ sh:alternativePath ( ex:a ) ]",
+    "sh:path [ sh:alternativePath ex:a ]",
+    "sh:path [ sh:alternativePath ( ex:a [ sh:inversePath ex:b ] ) ]",
+    # nested expression under zero-or-one
+    "sh:path [ sh:zeroOrOnePath [ sh:inversePath ex:a ] ]",
 ])
 def test_unsupported_path_forms_raise(snippet):
     turtle = f"""
@@ -185,6 +189,89 @@ def test_inverse_path_values_and_nodekind(spark):
     assert (
         EX + "w3", SH + "NodeKindConstraintComponent", INV, "_:mb"
     ) in got
+
+
+ALT_PROFILE = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+ex:ContactShape a sh:NodeShape ;
+  sh:targetClass ex:Contact ;
+  sh:property [ sh:path [ sh:alternativePath ( ex:email ex:backupEmail ) ] ;
+                sh:minCount 1 ; sh:maxCount 2 ; sh:pattern "@" ] .
+"""
+ALT = EX + "email|" + EX + "backupEmail"
+
+
+def test_alternative_path_union_and_set_semantics(spark):
+    shapes = parse_shapes_turtle(ALT_PROFILE)
+    by_path = {p.path: p for s in shapes.shapes for p in s.properties}
+    assert by_path[ALT].path_kind == "alternative"
+    assert by_path[ALT].path_preds == (EX + "email", EX + "backupEmail")
+    docs = {
+        "d": [
+            # c0: one email only -> fine
+            _t(EX + "c0", RDF_TYPE, EX + "Contact", kind="iri"),
+            _t(EX + "c0", EX + "email", "a@x"),
+            # c1: neither member -> minCount on the alternative id
+            _t(EX + "c1", RDF_TYPE, EX + "Contact", kind="iri"),
+            # c2: 3 distinct values across both members -> maxCount
+            _t(EX + "c2", RDF_TYPE, EX + "Contact", kind="iri"),
+            _t(EX + "c2", EX + "email", "a@x"),
+            _t(EX + "c2", EX + "email", "b@x"),
+            _t(EX + "c2", EX + "backupEmail", "c@x"),
+            # c3: SAME value via both members counts ONCE -> 2 values, ok;
+            # one of them fails the pattern
+            _t(EX + "c3", RDF_TYPE, EX + "Contact", kind="iri"),
+            _t(EX + "c3", EX + "email", "dup@x"),
+            _t(EX + "c3", EX + "backupEmail", "dup@x"),
+            _t(EX + "c3", EX + "backupEmail", "nodomain"),
+        ]
+    }
+    got = _violations(spark, docs, shapes)
+    assert got == {
+        (EX + "c1", SH + "MinCountConstraintComponent", ALT, None),
+        (EX + "c2", SH + "MaxCountConstraintComponent", ALT, None),
+        (EX + "c3", SH + "PatternConstraintComponent", ALT, "nodomain"),
+    }, got
+
+
+ZOO_PROFILE = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+ex:PersonShape a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path [ sh:zeroOrOnePath ex:spouse ] ;
+                sh:maxCount 2 ; sh:nodeKind sh:IRI ] .
+"""
+ZOO = EX + "spouse?"
+
+
+def test_zero_or_one_path_includes_focus(spark):
+    shapes = parse_shapes_turtle(ZOO_PROFILE)
+    by_path = {p.path: p for s in shapes.shapes for p in s.properties}
+    assert by_path[ZOO].path_kind == "zero_or_one"
+    assert by_path[ZOO].path_preds == (EX + "spouse",)
+    docs = {
+        "d": [
+            # p0: no spouse -> zero step alone = {p0}: 1 value, IRI, fine
+            _t(EX + "p0", RDF_TYPE, EX + "Person", kind="iri"),
+            # p1: two spouses -> {p1, s1a, s1b}: 3 values -> maxCount 2
+            _t(EX + "p1", RDF_TYPE, EX + "Person", kind="iri"),
+            _t(EX + "p1", EX + "spouse", EX + "s1a", kind="iri"),
+            _t(EX + "p1", EX + "spouse", EX + "s1b", kind="iri"),
+            # p2: self-loop collapses with the zero step -> {p2}: fine
+            _t(EX + "p2", RDF_TYPE, EX + "Person", kind="iri"),
+            _t(EX + "p2", EX + "spouse", EX + "p2", kind="iri"),
+            # p3: bnode spouse -> nodeKind IRI violation on the hop value
+            _t(EX + "p3", RDF_TYPE, EX + "Person", kind="iri"),
+            _t(EX + "p3", EX + "spouse", "_:sb", kind="bnode"),
+        ]
+    }
+    got = _violations(spark, docs, shapes)
+    assert got == {
+        (EX + "p1", SH + "MaxCountConstraintComponent", ZOO, None),
+        (EX + "p3", SH + "NodeKindConstraintComponent", ZOO, "_:sb"),
+    }, got
 
 
 def test_closed_shape_ignores_synthetic_path_rows(spark):
