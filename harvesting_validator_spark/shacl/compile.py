@@ -1036,6 +1036,24 @@ def validate(
         if p.qualified_shape and p.qualified_shape in shapes.by_id
         and (p.qualified_min is not None or p.qualified_max is not None)
     ]
+    # sh:qualifiedValueShapesDisjoint (r5, spec §4.5.3): for a disjoint
+    # property shape, a value conforming to any SIBLING qualified shape
+    # (the qualified shapes of the parent node shape's other property
+    # shapes) is excluded from the conforming count. Keyed on the skolem
+    # property-shape id (q_src) so two siblings sharing a path stay
+    # distinct.
+    sib_rows = sorted({
+        (skolem_shape_id(s.iri, p), sib)
+        for s in shapes.shapes for p in s.properties
+        if p.qualified_shape and p.qualified_disjoint
+        and p.qualified_shape in shapes.by_id
+        and (p.qualified_min is not None or p.qualified_max is not None)
+        for sib in {
+            p2.qualified_shape for p2 in s.properties
+            if p2.qualified_shape and p2 is not p
+        }
+        if sib in shapes.by_id
+    })
     not_rows = [
         (s.iri, n) for s in shapes.shapes for n in s.not_shapes
         if n in shapes.by_id
@@ -1078,6 +1096,20 @@ def validate(
                 "doc_id", F.col("val").alias("focus_node"),
                 F.col("q_sub").alias("shape"),
             ))
+        q_sib = None
+        if q_rows and sib_rows:
+            sibspec = F.broadcast(spark.createDataFrame(
+                sib_rows, "b_src string, b_sub string"
+            ))
+            # each disjoint candidate value is ALSO probed against every
+            # sibling shape — same recursive validate answers both
+            q_sib = q_cand.join(
+                sibspec, F.col("q_src") == F.col("b_src")
+            ).select("doc_id", "focus_node", "q_src", "val", "b_sub")
+            probes.append(q_sib.select(
+                "doc_id", F.col("val").alias("focus_node"),
+                F.col("b_sub").alias("shape"),
+            ))
         n_base = None
         if not_rows:
             nspec = F.broadcast(spark.createDataFrame(
@@ -1114,6 +1146,7 @@ def validate(
             {r[2] for r in q_rows}
             | {n for _, n in not_rows}
             | {r[2] for r in logic_rows}
+            | {sib for _, sib in sib_rows}
         )
         sub_graph = _restrict_graph(shapes, sub_ids)
         # nested sh:node inside probed sub-shapes: expand the probe set
@@ -1159,11 +1192,37 @@ def validate(
                 & (F.col("q_sub") == F.col("s_shape")),
                 "left",
             )
+            conforming = F.col("s_node").isNull()
+            if q_sib is not None:
+                # values conforming to >=1 sibling shape (left_anti
+                # against sub_viol keeps the probes WITHOUT a violation
+                # row) are excluded from the disjoint count
+                excl = q_sib.join(
+                    sub_viol,
+                    (F.col("doc_id") == F.col("s_doc"))
+                    & (F.col("val") == F.col("s_node"))
+                    & (F.col("b_sub") == F.col("s_shape")),
+                    "left_anti",
+                ).select(
+                    F.col("doc_id").alias("e_doc"),
+                    F.col("q_src").alias("e_src"),
+                    F.col("focus_node").alias("e_focus"),
+                    F.col("val").alias("e_val"),
+                ).distinct()
+                marked = marked.join(
+                    excl,
+                    (F.col("doc_id") == F.col("e_doc"))
+                    & (F.col("q_src") == F.col("e_src"))
+                    & (F.col("focus_node") == F.col("e_focus"))
+                    & (F.col("val") == F.col("e_val")),
+                    "left",
+                )
+                conforming = conforming & F.col("e_val").isNull()
             conf_cnt = marked.groupBy(
                 "doc_id", "focus_node", "shape", "q_path", "q_sub",
                 "q_min", "q_max", "q_msg", "q_src",
             ).agg(F.sum(
-                F.when(F.col("s_node").isNull(), 1).otherwise(0)
+                F.when(conforming, 1).otherwise(0)
             ).alias("n_conf"))
             over_q = conf_cnt.filter(
                 F.col("q_max").isNotNull()

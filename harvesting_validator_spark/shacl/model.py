@@ -24,12 +24,14 @@ property-path expressions sh:inversePath, sequence paths (rdf:lists
 of >=2 IRIs), sh:alternativePath (rdf:list of >=2 IRIs), and
 sh:zeroOrOnePath — compiled to synthetic value-node rows that every
 constraint component then consumes unchanged (compile.py
-_path_value_frames). Out of contract (raise at parse time,
-degrade-don't-guess): the recursive paths zeroOrMorePath /
-oneOrMorePath (transitive closure needs an iterative fixpoint — the
-union-find machinery could host it, but no profile has asked),
-nested path expressions, sh:node under a non-IRI path, SPARQL-based
-constraints, and sh:qualifiedValueShapesDisjoint.
+_path_value_frames), plus (r5) sh:qualifiedValueShapesDisjoint
+(sibling-conforming values excluded from the qualified count — the
+sibling probes ride the same recursive conformance pass). Out of
+contract (raise at parse time, degrade-don't-guess): the recursive
+paths zeroOrMorePath / oneOrMorePath (transitive closure needs an
+iterative fixpoint — the union-find machinery could host it, but no
+profile has asked), nested path expressions, sh:node under a non-IRI
+path, and SPARQL-based constraints.
 """
 
 from __future__ import annotations
@@ -91,10 +93,16 @@ class PropertyShape:
     less_than: str | None = None
     less_than_or_equals: str | None = None
     # qualified cardinality: count values CONFORMING to the referenced
-    # shape (id into ShapesGraph.by_id) against the min/max bounds
+    # shape (id into ShapesGraph.by_id) against the min/max bounds.
+    # qualified_disjoint (r5, sh:qualifiedValueShapesDisjoint): when
+    # true, a value node conforming to any SIBLING qualified shape
+    # (the qualified shapes of the parent node shape's OTHER property
+    # shapes) is excluded from this shape's conforming count (spec
+    # §4.5.3)
     qualified_shape: str | None = None
     qualified_min: int | None = None
     qualified_max: int | None = None
+    qualified_disjoint: bool = False
     # property-path expressions (r5): "iri" = plain predicate path;
     # "inverse" = sh:inversePath (value nodes = SUBJECTS of triples whose
     # object is the focus); "sequence" = an rdf:list of >=2 IRIs (value

@@ -228,6 +228,11 @@ def _parse_property_shape(by_subj, ps_id: str) -> PropertyShape | None:
         ),
         qualified_min=_int(_value(by_subj, ps_id, SH + "qualifiedMinCount")),
         qualified_max=_int(_value(by_subj, ps_id, SH + "qualifiedMaxCount")),
+        qualified_disjoint=(
+            (qd := _value(by_subj, ps_id,
+                          SH + "qualifiedValueShapesDisjoint")) is not None
+            and qd.obj_value == "true"
+        ),
         message=msg_t.obj_value if msg_t else None,
     )
 

@@ -81,6 +81,10 @@ def test_bench_style_sweep_after_pagerank(spark, sf_dir):
         release_bucketed_tables,
     )
 
+    # earlier tests in the shared session may have run bucketed-table
+    # queries (the oracle-tail gate runs graphops) without sweeping —
+    # sweep first so the baseline snapshot is clean
+    release_bucketed_tables(spark)
     base = _storage_ids(spark)
     base_tables = {t.name for t in spark.catalog.listTables()}
     assert q_pagerank_bipartite(spark, sf_dir).count() > 0

@@ -453,3 +453,95 @@ def test_probe_bubbles_nested_node_shape_via_qualified(spark):
         (EX + "o2", EX + "OwnerShape2",
          SH + "QualifiedMinCountConstraintComponent", EX + "pet")
     }, got
+
+
+DISJOINT_PROFILE = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+
+ex:HandShape a sh:NodeShape ;
+  sh:targetClass ex:Hand ;
+  sh:property [ sh:path ex:digit ;
+                sh:qualifiedValueShape ex:ThumbShape ;
+                sh:qualifiedMinCount 1 ;
+                sh:qualifiedValueShapesDisjoint true ] ;
+  sh:property [ sh:path ex:digit ;
+                sh:qualifiedValueShape ex:FingerShape ;
+                sh:qualifiedMinCount 4 ;
+                sh:qualifiedValueShapesDisjoint true ] .
+
+ex:ThumbShape a sh:NodeShape ;
+  sh:property [ sh:path ex:isThumb ; sh:hasValue "true" ; sh:minCount 1 ] .
+
+ex:FingerShape a sh:NodeShape ;
+  sh:property [ sh:path ex:jointCount ; sh:minCount 1 ] .
+"""
+
+OVERLAP_PROFILE = DISJOINT_PROFILE.replace(
+    "sh:qualifiedValueShapesDisjoint true ", ""
+)
+
+
+def _viols_cc(spark, docs, shapes):
+    rows = [
+        (doc_id, t.subj, t.pred, t.obj_value, t.obj_kind,
+         t.obj_datatype, t.obj_lang)
+        for doc_id, ts in docs.items()
+        for t in ts
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj_value string, "
+        "obj_kind string, obj_datatype string, obj_lang string",
+    )
+    viol = validate(df, shapes, spark, cache_intermediate=False)
+    return {
+        (r.focus_node, r.constraint_component) for r in viol.collect()
+    }
+
+
+def _hand(hand, thumb_has_joints: bool):
+    """A hand with one thumb and four fingers; when thumb_has_joints the
+    thumb ALSO conforms to FingerShape (the overlap disjoint excludes)."""
+    t = [
+        _t(hand, RDF_TYPE, EX + "Hand", kind="iri"),
+        _t(hand, EX + "digit", hand + "_t", kind="iri"),
+        _t(hand + "_t", EX + "isThumb", "true"),
+    ]
+    if thumb_has_joints:
+        t.append(_t(hand + "_t", EX + "jointCount", "2"))
+    for i in range(4):
+        t += [
+            _t(hand, EX + "digit", f"{hand}_f{i}", kind="iri"),
+            _t(f"{hand}_f{i}", EX + "jointCount", "3"),
+        ]
+    return t
+
+
+def test_parse_qualified_disjoint_flag():
+    shapes = parse_shapes_turtle(DISJOINT_PROFILE)
+    hand = next(s for s in shapes.shapes if s.iri == EX + "HandShape")
+    assert all(p.qualified_disjoint for p in hand.properties)
+    overlap = parse_shapes_turtle(OVERLAP_PROFILE)
+    hand2 = next(s for s in overlap.shapes if s.iri == EX + "HandShape")
+    assert not any(p.qualified_disjoint for p in hand2.properties)
+
+
+def test_qualified_disjoint_excludes_sibling_conforming_values(spark):
+    """Spec §4.5.3: with disjoint true, a digit conforming to BOTH
+    ThumbShape and FingerShape counts for NEITHER — the ambiguous thumb
+    breaks qualifiedMinCount 1 on the thumb side (fingers still reach 4
+    on their own). A pure thumb satisfies both constraints. Without the
+    disjoint flag the same ambiguous hand conforms (the overlap value
+    counts for both siblings)."""
+    disjoint = parse_shapes_turtle(DISJOINT_PROFILE)
+    overlap = parse_shapes_turtle(OVERLAP_PROFILE)
+    docs = {
+        "d": _hand(EX + "amb", thumb_has_joints=True)
+        + _hand(EX + "pure", thumb_has_joints=False)
+    }
+    got = _viols_cc(spark, docs, disjoint)
+    assert got == {
+        (EX + "amb", SH + "QualifiedMinCountConstraintComponent"),
+    }, got
+    assert _viols_cc(spark, docs, overlap) == set()
