@@ -358,6 +358,10 @@ def _path_value_frames(
       under the same distinct. Focus nodes are never literals here
       (compute_focus filters literal targets), so subject-kind typing
       of the zero step is exact.
+    * recursive paths p* / p+ (r5): per-predicate directed transitive
+      closure by path doubling (O(log diameter) fixpoint rounds, see
+      the inline note), then one focus⋈closure join; p* additionally
+      unions the zero step.
 
     Rows are DISTINCT per (focus, path, value term): SHACL counts value
     NODES, and a diamond (two routes to the same value) must count once.
@@ -384,7 +388,15 @@ def _path_value_frames(
         for s in shapes.shapes for p in s.properties
         if p.path_kind == "zero_or_one"
     })
-    if not inv_rows and not seq_specs and not alt_rows and not zoo_rows:
+    rec_specs = sorted({
+        (s.iri, p.path, p.path_preds[0], p.path_kind)
+        for s in shapes.shapes for p in s.properties
+        if p.path_kind in ("zero_or_more", "one_or_more")
+    })
+    if (
+        not inv_rows and not seq_specs and not alt_rows and not zoo_rows
+        and not rec_specs
+    ):
         return None
 
     def subj_kind(col):
@@ -471,6 +483,105 @@ def _path_value_frames(
                 _forward_hop_frame(zoo_rows, spec_schema)
             ).distinct()
         )
+    if rec_specs:
+        # recursive paths (p* / p+): per-predicate DIRECTED transitive
+        # closure by path doubling — R_{k+1} = R_k ∪ (R_k ∘ R_k), so
+        # reachable length doubles per round and the fixpoint arrives in
+        # O(log diameter) rounds (the union-find O(log d) argument,
+        # kg/canonicalize.py). The closure runs ONLY on the slice
+        # pred == p (within-doc edges; docs are parse-bounded), each
+        # round localCheckpoints to truncate lineage and the count IS
+        # the fixpoint probe; superseded checkpoints are released
+        # immediately (peak storage O(1) closure tables). Cycles are
+        # finite sets under distinct — a focus on a p-cycle reaches
+        # itself, which oneOrMore counts per spec.
+        from harvesting_validator_spark.runtime import (
+            persistent_rdd_ids,
+            unpersist_rdds,
+        )
+
+        def _closure(pred: str) -> DataFrame:
+            base = triples.filter(F.col("pred") == pred).select(
+                "doc_id",
+                F.col("subj").alias("src"),
+                F.col("obj_value").alias("dst"),
+                F.col("obj_kind").alias("dst_kind"),
+                F.col("obj_datatype").alias("dst_dt"),
+                F.col("obj_lang").alias("dst_lang"),
+            ).distinct()
+            pre = persistent_rdd_ids(spark)
+            reach = base.localCheckpoint()
+            held = persistent_rdd_ids(spark) - pre
+            n = reach.count()
+            for _ in range(16):  # paths up to length 2^16 per doc
+                ext = (
+                    reach.alias("x")
+                    .join(
+                        reach.alias("y"),
+                        (F.col("x.doc_id") == F.col("y.doc_id"))
+                        & (F.col("x.dst") == F.col("y.src")),
+                    )
+                    .select(
+                        F.col("x.doc_id").alias("doc_id"),
+                        F.col("x.src").alias("src"),
+                        F.col("y.dst").alias("dst"),
+                        F.col("y.dst_kind").alias("dst_kind"),
+                        F.col("y.dst_dt").alias("dst_dt"),
+                        F.col("y.dst_lang").alias("dst_lang"),
+                    )
+                )
+                nxt = reach.unionByName(ext).distinct().localCheckpoint()
+                m = nxt.count()
+                new_ids = persistent_rdd_ids(spark) - pre - held
+                # nxt is materialized: the prior round's blocks are
+                # unreachable from any live plan — release them now
+                unpersist_rdds(spark, held)
+                held = new_ids
+                reach = nxt
+                if m == n:
+                    return reach
+                n = m
+            raise RuntimeError(
+                f"transitive closure of <{pred}> did not converge in 16 "
+                "doubling rounds (within-doc path length > 65536) — "
+                "refusing to under-validate"
+            )
+
+        closures = {
+            pred: _closure(pred) for pred in sorted(
+                {r[2] for r in rec_specs}
+            )
+        }
+        for shape_iri, path_id, pred, kind in rec_specs:
+            f_sel = focus.filter(F.col("shape") == shape_iri)
+            hop = (
+                f_sel.alias("f")
+                .join(
+                    closures[pred].alias("r"),
+                    (F.col("f.doc_id") == F.col("r.doc_id"))
+                    & (F.col("f.focus_node") == F.col("r.src")),
+                )
+                .select(
+                    F.col("f.doc_id").alias("doc_id"),
+                    "f.focus_node", "f.shape",
+                    F.lit(path_id).alias("pred"),
+                    F.col("r.dst").alias("obj_value"),
+                    F.col("r.dst_kind").alias("obj_kind"),
+                    F.col("r.dst_dt").alias("obj_datatype"),
+                    F.col("r.dst_lang").alias("obj_lang"),
+                )
+            )
+            if kind == "zero_or_more":
+                zero = f_sel.select(
+                    "doc_id", "focus_node", "shape",
+                    F.lit(path_id).alias("pred"),
+                    F.col("focus_node").alias("obj_value"),
+                    subj_kind(F.col("focus_node")).alias("obj_kind"),
+                    F.lit(None).cast("string").alias("obj_datatype"),
+                    F.lit(None).cast("string").alias("obj_lang"),
+                )
+                hop = hop.unionByName(zero)
+            frames.append(hop.distinct())
     for shape_iri, path_id, preds in seq_specs:
         cur = focus.filter(F.col("shape") == shape_iri).select(
             "doc_id", "focus_node", "shape",

@@ -24,14 +24,13 @@ property-path expressions sh:inversePath, sequence paths (rdf:lists
 of >=2 IRIs), sh:alternativePath (rdf:list of >=2 IRIs), and
 sh:zeroOrOnePath — compiled to synthetic value-node rows that every
 constraint component then consumes unchanged (compile.py
-_path_value_frames), plus (r5) sh:qualifiedValueShapesDisjoint
-(sibling-conforming values excluded from the qualified count — the
-sibling probes ride the same recursive conformance pass). Out of
-contract (raise at parse time, degrade-don't-guess): the recursive
-paths zeroOrMorePath / oneOrMorePath (transitive closure needs an
-iterative fixpoint — the union-find machinery could host it, but no
-profile has asked), nested path expressions, sh:node under a non-IRI
-path, and SPARQL-based constraints.
+_path_value_frames; the recursive forms zeroOrMorePath / oneOrMorePath
+run a per-predicate transitive-closure fixpoint by path doubling),
+plus (r5) sh:qualifiedValueShapesDisjoint (sibling-conforming values
+excluded from the qualified count — the sibling probes ride the same
+recursive conformance pass). Out of contract (raise at parse time,
+degrade-don't-guess): nested path expressions, sh:node under a
+non-IRI path, and SPARQL-based constraints.
 """
 
 from __future__ import annotations
@@ -109,11 +108,12 @@ class PropertyShape:
     # nodes = objects reachable by chaining the hops); "alternative" =
     # sh:alternativePath over an rdf:list of >=2 IRIs (union of the
     # members' objects, set semantics); "zero_or_one" = sh:zeroOrOnePath
-    # (the focus node itself union the one-hop objects). path_preds holds
+    # (the focus node itself union the one-hop objects); "zero_or_more"
+    # / "one_or_more" = the recursive forms (directed transitive closure
+    # of the predicate, p* including the focus itself). path_preds holds
     # the underlying predicate IRIs in traversal/member order (empty for
-    # "iri", where `path` is the predicate itself). Unsupported forms
-    # (zeroOrMore/oneOrMore, nested expressions) raise at parse time —
-    # degrade-don't-guess.
+    # "iri", where `path` is the predicate itself). Nested path
+    # expressions raise at parse time — degrade-don't-guess.
     path_kind: str = "iri"
     path_preds: tuple[str, ...] = ()
     message: str | None = None

@@ -63,10 +63,10 @@ def _int(t: Triple | None) -> int | None:
         return None
 
 
-_UNSUPPORTED_PATH_PREDS = (
-    SH + "zeroOrMorePath",
-    SH + "oneOrMorePath",
-)
+_RECURSIVE_PATH_KINDS = {
+    SH + "zeroOrMorePath": ("zero_or_more", "*"),
+    SH + "oneOrMorePath": ("one_or_more", "+"),
+}
 
 
 def _iri_list(by_subj, head: str, ctx: str) -> tuple[str, ...]:
@@ -96,15 +96,17 @@ def _parse_path(by_subj, path_t) -> tuple[str, str, tuple[str, ...]]:
 
     Supported beyond the simple IRI the reference uses (SURVEY §2.6):
     ``[sh:inversePath <p>]``, sequence paths ``( <p1> <p2> ... )`` with
-    >=2 IRI members, ``[sh:alternativePath ( <p1> <p2> ... )]``, and
-    ``[sh:zeroOrOnePath <p>]``. The recursive forms (zeroOrMore/
-    oneOrMore) and nested expressions raise — the degrade-don't-guess
-    contract (silently skipping a constraint would under-validate).
-    Display ids use SPARQL path syntax over raw IRIs ("^"+iri,
-    "/".join(iris), "|".join(iris), iri+"?"); an IRI cannot start with
-    "^" or contain an unescaped second IRI joined by "/" or "|" or a
-    trailing "?", so the ids never collide with real predicates in the
-    data."""
+    >=2 IRI members, ``[sh:alternativePath ( <p1> <p2> ... )]``,
+    ``[sh:zeroOrOnePath <p>]``, and the recursive forms
+    ``[sh:zeroOrMorePath <p>]`` / ``[sh:oneOrMorePath <p>]`` (evaluated
+    by an iterative transitive-closure fixpoint, compile.py). Nested
+    path expressions raise — the degrade-don't-guess contract (silently
+    skipping a constraint would under-validate). Display ids use SPARQL
+    path syntax over raw IRIs ("^"+iri, "/".join(iris), "|".join(iris),
+    iri+"?", iri+"*", iri+"+"); an IRI cannot start with "^" or contain
+    a second full IRI joined by "/" or "|", and predicate IRIs ending in
+    a bare "?"/"*"/"+" do not occur in practice, so the ids do not
+    collide with real predicates in the data."""
     if path_t.obj_kind != "bnode":
         return path_t.obj_value, "iri", ()
     node = path_t.obj_value
@@ -136,12 +138,15 @@ def _parse_path(by_subj, path_t) -> tuple[str, str, tuple[str, ...]]:
                 "contract (shacl/model.py)"
             )
         return zoo.obj_value + "?", "zero_or_one", (zoo.obj_value,)
-    for pred in _UNSUPPORTED_PATH_PREDS:
-        if _value(by_subj, node, pred) is not None:
-            raise NotImplementedError(
-                f"sh:path expression <{pred}> is out of contract "
-                "(shacl/model.py)"
-            )
+    for pred, (kind, suffix) in _RECURSIVE_PATH_KINDS.items():
+        rec = _value(by_subj, node, pred)
+        if rec is not None:
+            if rec.obj_kind == "bnode":
+                raise NotImplementedError(
+                    f"nested path expression under <{pred}> is out of "
+                    "contract (shacl/model.py)"
+                )
+            return rec.obj_value + suffix, kind, (rec.obj_value,)
     if _value(by_subj, node, RDF_FIRST) is not None:
         preds = _iri_list(by_subj, node, "a sequence path")
         if len(preds) < 2:

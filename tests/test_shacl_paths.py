@@ -80,9 +80,6 @@ def test_parse_path_expressions():
 
 
 @pytest.mark.parametrize("snippet", [
-    # recursive paths (transitive closure — documented out of contract)
-    "sh:path [ sh:zeroOrMorePath ex:a ]",
-    "sh:path [ sh:oneOrMorePath ex:a ]",
     # nested expression inside a sequence
     "sh:path ( ex:a [ sh:inversePath ex:b ] )",
     # nested expression under inverse
@@ -93,8 +90,10 @@ def test_parse_path_expressions():
     "sh:path [ sh:alternativePath ( ex:a ) ]",
     "sh:path [ sh:alternativePath ex:a ]",
     "sh:path [ sh:alternativePath ( ex:a [ sh:inversePath ex:b ] ) ]",
-    # nested expression under zero-or-one
+    # nested expressions under the unary forms
     "sh:path [ sh:zeroOrOnePath [ sh:inversePath ex:a ] ]",
+    "sh:path [ sh:zeroOrMorePath [ sh:inversePath ex:a ] ]",
+    "sh:path [ sh:oneOrMorePath ( ex:a ex:b ) ]",
 ])
 def test_unsupported_path_forms_raise(snippet):
     turtle = f"""
@@ -303,4 +302,88 @@ ex:S a sh:NodeShape ; sh:targetClass ex:T ;
     closed = {v for v in got if v[1] == SH + "ClosedConstraintComponent"}
     assert closed == {
         (EX + "n", SH + "ClosedConstraintComponent", EX + "boss", EX + "x")
+    }, got
+
+
+REC_PROFILE = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+ex:CategoryShape a sh:NodeShape ;
+  sh:targetClass ex:Category ;
+  sh:property [ sh:path [ sh:zeroOrMorePath ex:broader ] ;
+                sh:maxCount 3 ; sh:nodeKind sh:IRI ] ;
+  sh:property [ sh:path [ sh:oneOrMorePath ex:broader ] ;
+                sh:minCount 1 ] .
+"""
+STAR = EX + "broader*"
+PLUS = EX + "broader+"
+
+
+def test_parse_recursive_paths():
+    shapes = parse_shapes_turtle(REC_PROFILE)
+    by_path = {p.path: p for s in shapes.shapes for p in s.properties}
+    assert by_path[STAR].path_kind == "zero_or_more"
+    assert by_path[PLUS].path_kind == "one_or_more"
+    assert by_path[STAR].path_preds == (EX + "broader",)
+
+
+def test_recursive_path_chain_cardinality(spark):
+    """c0 -> c1 -> c2 -> c3: broader* of c0 = {c0,c1,c2,c3} (4 > max 3);
+    broader+ of c0 = {c1,c2,c3} (min 1 ok). A root with no broader edge
+    has broader* = {itself} (ok) but broader+ = {} -> MinCount."""
+    shapes = parse_shapes_turtle(REC_PROFILE)
+    docs = {
+        "d": [
+            _t(EX + "c0", RDF_TYPE, EX + "Category", kind="iri"),
+            _t(EX + "c0", EX + "broader", EX + "c1", kind="iri"),
+            _t(EX + "c1", EX + "broader", EX + "c2", kind="iri"),
+            _t(EX + "c2", EX + "broader", EX + "c3", kind="iri"),
+            _t(EX + "root", RDF_TYPE, EX + "Category", kind="iri"),
+        ]
+    }
+    got = _violations(spark, docs, shapes)
+    assert got == {
+        (EX + "c0", SH + "MaxCountConstraintComponent", STAR, None),
+        (EX + "root", SH + "MinCountConstraintComponent", PLUS, None),
+    }, got
+
+
+def test_recursive_path_cycle_and_diamond_set_semantics(spark):
+    """A 2-cycle x <-> y: broader+ of x = {x, y} (x reaches ITSELF via
+    the cycle) — 2 values, both constraints fine. A diamond a->{b,c}->d
+    counts d ONCE: broader* of a = {a,b,c,d} = 4 -> MaxCount, and no
+    other violation (dedup keeps the count at 4, not 5)."""
+    shapes = parse_shapes_turtle(REC_PROFILE)
+    docs = {
+        "d": [
+            _t(EX + "x", RDF_TYPE, EX + "Category", kind="iri"),
+            _t(EX + "x", EX + "broader", EX + "y", kind="iri"),
+            _t(EX + "y", EX + "broader", EX + "x", kind="iri"),
+            _t(EX + "a", RDF_TYPE, EX + "Category", kind="iri"),
+            _t(EX + "a", EX + "broader", EX + "b", kind="iri"),
+            _t(EX + "a", EX + "broader", EX + "c", kind="iri"),
+            _t(EX + "b", EX + "broader", EX + "dd", kind="iri"),
+            _t(EX + "c", EX + "broader", EX + "dd", kind="iri"),
+        ]
+    }
+    got = _violations(spark, docs, shapes)
+    assert got == {
+        (EX + "a", SH + "MaxCountConstraintComponent", STAR, None),
+    }, got
+
+
+def test_recursive_path_literal_leaf_and_value_constraints(spark):
+    """A literal leaf enters the closure at the final hop: broader* of
+    L = {L, "free"} -> the literal violates sh:nodeKind sh:IRI on the
+    star path (and satisfies broader+ minCount)."""
+    shapes = parse_shapes_turtle(REC_PROFILE)
+    docs = {
+        "d": [
+            _t(EX + "L", RDF_TYPE, EX + "Category", kind="iri"),
+            _t(EX + "L", EX + "broader", "free"),
+        ]
+    }
+    got = _violations(spark, docs, shapes)
+    assert got == {
+        (EX + "L", SH + "NodeKindConstraintComponent", STAR, "free"),
     }, got
