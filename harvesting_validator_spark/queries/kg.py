@@ -654,11 +654,53 @@ FROM idx
 """
 
 
+def q_kg_recursive_verdicts(spark, sf_dir):
+    """Same pipeline with REC_PATH_PROFILE — certifies the remaining
+    path expressions (recursive closure p*/p+ incl. cycle handling,
+    alternativePath union, zeroOrOnePath focus-inclusion;
+    shacl/compile.py _path_value_frames) end-to-end at the driver,
+    closed-form by doc mode (i%6): see
+    generate_recursive_path_sources."""
+    from harvesting_validator_spark.sources.synthetic import (
+        REC_PATH_PROFILE,
+        generate_recursive_path_sources,
+    )
+
+    key = (id(spark), sf_dir, "recpath")
+    if key not in _RUN_CACHE:
+        n = _corpus_n(spark, sf_dir)
+        sources = generate_recursive_path_sources(spark, n)
+        with _sized_shuffle(spark, n):
+            _RUN_CACHE[key] = run_validation(spark, sources, REC_PATH_PROFILE)
+    return hex_doc_id(_RUN_CACHE[key].verdicts)
+
+
+O_RECURSIVE_VERDICTS = """
+WITH idx AS (
+  SELECT doc_id AS i,
+         doc_id % 6 AS mode,
+         sha256(
+           printf('repo%d', doc_id % 16) || chr(31) ||
+           ('data/recpaths/cat' || doc_id || '.ttl') || chr(31) ||
+           substr(sha256(printf('commit%d', doc_id)), 1, 40)
+         ) AS doc_id
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN mode IN (0, 5) THEN 0 ELSE 1 END AS BIGINT)
+         AS n_violations,
+       TRUE AS parse_ok,
+       mode IN (0, 5) AS conforms
+FROM idx
+"""
+
+
 QUERIES = {
     "kg_verdicts": q_kg_verdicts,
     "kg_extended_verdicts": q_kg_extended_verdicts,
     "kg_qualified_verdicts": q_kg_qualified_verdicts,
     "kg_path_verdicts": q_kg_path_verdicts,
+    "kg_recursive_verdicts": q_kg_recursive_verdicts,
     "kg_linked_clusters": q_kg_linked_clusters,
     "kg_incremental_clusters": q_kg_incremental_clusters,
     "kg_chain_clusters": q_kg_chain_clusters,
@@ -677,6 +719,7 @@ ORACLES = {
     "kg_extended_verdicts": O_EXTENDED_VERDICTS,
     "kg_qualified_verdicts": O_QUALIFIED_VERDICTS,
     "kg_path_verdicts": O_PATH_VERDICTS,
+    "kg_recursive_verdicts": O_RECURSIVE_VERDICTS,
     "kg_linked_clusters": O_LINKED_CLUSTERS,
     "kg_incremental_clusters": O_LINKED_CLUSTERS,
     "kg_chain_clusters": O_CHAIN_CLUSTERS,

@@ -563,6 +563,94 @@ def generate_path_sources(
     )
 
 
+# r5 wave 2: the remaining path expressions — recursive closure
+# (zeroOrMorePath / oneOrMorePath), alternativePath, zeroOrOnePath —
+# driver-checked end-to-end on a category-hierarchy corpus.
+REC_PATH_PROFILE = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+
+ex:CategoryShape a sh:NodeShape ;
+  sh:targetClass ex:Category ;
+  sh:property [ sh:path [ sh:zeroOrMorePath ex:broader ] ;
+                sh:maxCount 3 ] ;
+  sh:property [ sh:path [ sh:oneOrMorePath ex:broader ] ;
+                sh:minCount 1 ] ;
+  sh:property [ sh:path [ sh:alternativePath ( ex:label ex:alias ) ] ;
+                sh:minCount 1 ] ;
+  sh:property [ sh:path [ sh:zeroOrOnePath ex:deprecatedBy ] ;
+                sh:maxCount 1 ] .
+"""
+
+
+def generate_recursive_path_sources(
+    spark: SparkSession, n_docs: int, n_partitions: int | None = None
+) -> DataFrame:
+    """n synthetic category docs exercising REC_PATH_PROFILE in closed
+    form by i%6 (pure Catalyst, same contract as generate_sources).
+    Only ex:K{i} is typed ex:Category, so each doc has ONE focus node:
+
+    mode 0: K->B1->B2 chain, labeled — broader* = {K,B1,B2} (3 <= max 3),
+            broader+ nonempty, zero-or-one = {K}: conforms;
+    mode 1: K->B1->B2->B3 — broader* = 4 -> maxCount on "broader*";
+    mode 2: no broader edge — broader+ = {} -> minCount on "broader+"
+            (broader* = {K} stays fine: the zero step);
+    mode 3: chain ok but NO label/alias -> minCount on the alternative;
+    mode 4: labeled via ex:alias only (alternative satisfied) but
+            ex:deprecatedBy present -> zero-or-one values {K, D} = 2 ->
+            maxCount on "deprecatedBy?";
+    mode 5: 2-cycle K->B1->K, labeled — broader* = {K,B1} (closure of a
+            cycle is a finite SET), broader+ = {B1,K} nonempty: conforms.
+    n_violations: [0,1,1,1,1,0][mode]; conforms: mode IN (0, 5).
+    """
+    df = (
+        spark.range(0, n_docs, 1, n_partitions)
+        if n_partitions
+        else spark.range(n_docs)
+    ).withColumnRenamed("id", "i")
+    i = F.col("i")
+    mode = i % 6
+    typed = F.concat(F.lit("ex:K"), i, F.lit(" a ex:Category"))
+    label = F.concat(F.lit("ex:K"), i, F.lit(' ex:label "cat" .'))
+    chain2 = F.concat(
+        typed, F.lit(" ; ex:broader ex:B"), i, F.lit("a .\nex:B"), i,
+        F.lit("a ex:broader ex:B"), i, F.lit("b .\n"), label,
+    )
+    body = (
+        F.when(mode == 0, chain2)
+        .when(mode == 1, F.concat(
+            typed, F.lit(" ; ex:broader ex:B"), i, F.lit("a .\nex:B"), i,
+            F.lit("a ex:broader ex:B"), i, F.lit("b .\nex:B"), i,
+            F.lit("b ex:broader ex:B"), i, F.lit("c .\n"), label,
+        ))
+        .when(mode == 2, F.concat(typed, F.lit(" .\n"), label))
+        .when(mode == 3, F.concat(
+            typed, F.lit(" ; ex:broader ex:B"), i, F.lit("a .\nex:B"), i,
+            F.lit("a ex:broader ex:B"), i, F.lit("b ."),
+        ))
+        .when(mode == 4, F.concat(
+            typed, F.lit(" ; ex:broader ex:B"), i, F.lit("a ; "),
+            F.lit("ex:deprecatedBy ex:D"), i, F.lit(" .\nex:B"), i,
+            F.lit("a ex:broader ex:B"), i, F.lit("b .\nex:K"), i,
+            F.lit(' ex:alias "alt" .'),
+        ))
+        .otherwise(F.concat(
+            typed, F.lit(" ; ex:broader ex:B"), i, F.lit("a .\nex:B"), i,
+            F.lit("a ex:broader ex:K"), i, F.lit(" .\n"), label,
+        ))
+    )
+    content = F.concat(
+        F.lit("@prefix ex: <http://example.com/ns#> .\n"), body, F.lit("\n")
+    )
+    return df.select(
+        F.format_string("repo%d", i % 16).alias("repo"),
+        F.concat(F.lit("data/recpaths/cat"), i, F.lit(".ttl")).alias("path"),
+        F.sha2(F.format_string("commit%d", i), 256).substr(1, 40).alias("commit"),
+        F.lit("turtle").alias("lang"),
+        content.alias("content"),
+    )
+
+
 def generate_product_sources(
     spark: SparkSession, n_docs: int, n_partitions: int | None = None
 ) -> DataFrame:
