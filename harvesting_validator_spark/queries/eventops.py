@@ -343,12 +343,51 @@ FROM mat m JOIN sizes s USING (cohort_week)
 """
 
 
+def q_json_props_rollup(spark, sf_dir):
+    """Semi-structured extraction (r5): pull a typed field out of the
+    events' JSON `props` column with Spark's native JSON path evaluator
+    (`get_json_object` — JVM-side, codegen-friendly; the log-pipeline
+    staple Spark covers without a UDF) and roll it up per event type.
+    All-integer aggregates, so the oracle match is exact. The oracle
+    derives the field INDEPENDENTLY via regexp_extract — a different
+    mechanism agreeing on the same values is stronger evidence than a
+    shared one. Scale: one map-side extraction + one |event_type|-row
+    groupBy (map-side combined); count(DISTINCT user_id) adds the only
+    real exchange, keyed (event_type, user_id)."""
+    ev = tbl(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+O_JSON_PROPS = r"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(max(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT))
+            AS BIGINT) AS max_k,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "sessionize_events": q_sessionize_events,
     "asof_last_action": q_asof_last_action,
     "topk_docs_per_lang": q_topk_docs_per_lang,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
+    "json_props_rollup": q_json_props_rollup,
 }
 
 ORACLES = {
@@ -357,4 +396,5 @@ ORACLES = {
     "topk_docs_per_lang": O_TOPK_LANG,
     "funnel_conversion": O_FUNNEL,
     "cohort_retention": O_COHORT,
+    "json_props_rollup": O_JSON_PROPS,
 }
