@@ -381,6 +381,52 @@ GROUP BY event_type
 """
 
 
+def q_daily_rolling_events(spark, sf_dir):
+    """Trailing-7-day rolling volume per event type (r5) — the RANGE
+    window frame over event-time, the one window shape the suite lacked
+    (rank/lag/unbounded-running sums exist; a bounded RANGE frame is
+    the ops-dashboard staple). RANGE, not ROWS: a missing day must
+    shrink the trailing window rather than silently reaching further
+    back, so the frame is keyed on a day INDEX (datediff from epoch —
+    Spark's rangeBetween needs a numeric ordering key). All-integer
+    aggregates, exact oracle match. Scale: one (event_type, day)
+    groupBy (map-side combined to |types|x|days| rows), then the window
+    sorts only that tiny rollup."""
+    ev = tbl(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    day_idx = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(day_idx)
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.sum("n").over(w).alias("n_7d"),
+    )
+
+
+O_ROLLING = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       strftime(d, '%Y-%m-%d') AS day,
+       n,
+       CAST(sum(n) OVER (
+         PARTITION BY event_type ORDER BY d
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_7d
+FROM daily
+"""
+
+
 QUERIES = {
     "sessionize_events": q_sessionize_events,
     "asof_last_action": q_asof_last_action,
@@ -388,6 +434,7 @@ QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "json_props_rollup": q_json_props_rollup,
+    "daily_rolling_events": q_daily_rolling_events,
 }
 
 ORACLES = {
@@ -397,4 +444,5 @@ ORACLES = {
     "funnel_conversion": O_FUNNEL,
     "cohort_retention": O_COHORT,
     "json_props_rollup": O_JSON_PROPS,
+    "daily_rolling_events": O_ROLLING,
 }

@@ -302,6 +302,29 @@ WHERE doc_id % 97 != 0
 """
 
 
+def q_doc_length_histogram(spark, sf_dir):
+    """Per-language document-length histogram (r5): fixed 200-char
+    buckets via INTEGER division (`DIV` — exact on both engines, no
+    float binning drift), the corpus-diagnostics staple a curation run
+    reads before picking chunk/filter thresholds. Map-side-combined
+    groupBy to |langs|x|buckets| rows; zero joins, zero fp."""
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.expr("n_chars DIV 200").alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+O_LENGTH_HIST = """
+SELECT lang,
+       CAST(n_chars // 200 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -309,6 +332,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "contamination_flags": q_contamination_flags,
     "curated_corpus": q_curated_corpus,
+    "doc_length_histogram": q_doc_length_histogram,
 }
 
 ORACLES = {
@@ -318,4 +342,5 @@ ORACLES = {
     "vocab_topk": O_VOCAB,
     "contamination_flags": O_CONTAM,
     "curated_corpus": O_CURATED,
+    "doc_length_histogram": O_LENGTH_HIST,
 }
