@@ -23,6 +23,7 @@ from harvesting_validator_spark.queries import (
     relational,
     similarity,
     sketches,
+    sparqlq,
     textops,
     textprep,
 )
@@ -34,17 +35,22 @@ ALL_ORACLES = {}
 # The flagship reference-parity families (kg, mm) stay PINNED first; the
 # remaining slots ROTATE so every family earns a fresh driver row within
 # two rounds (VERDICT r4 next-step #1). Round 5 window: corpusops (never
-# driver-checked), textops + relational (riding on r3 evidence), sketches
-# (rows-only). Tail this round: similarity/dedup/graphops/eventops/
-# textprep — all hash-green in CORRECTNESS_r04.json and additionally
-# gated locally by tests/test_oracle_tail.py (driver-fetch mimic), so
-# "outside the driver window" never means "unchecked".
+# driver-checked), textops + relational (riding on r3 evidence), then
+# the first two sparqlq entries (brand-new this round — newest oracles
+# get the strongest external checking). Tail this round: the remaining
+# sparqlq pair, the rows-only sketches (their correctness lives in
+# accuracy-bound tests, so a driver row adds nothing), and similarity/
+# dedup/graphops/eventops/textprep — all hash-green in
+# CORRECTNESS_r04.json and additionally gated locally by
+# tests/test_oracle_tail.py (driver-fetch mimic), so "outside the
+# driver window" never means "unchecked".
 for _m in (
     kg,
     mm,
     corpusops,
     textops,
     relational,
+    sparqlq,
     sketches,
     similarity,
     dedup,

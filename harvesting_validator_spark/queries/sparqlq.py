@@ -1,0 +1,152 @@
+"""Driver-checked queries exercising the SPARQL subset engine.
+
+Reference analog: the reference issues all of its reads as SPARQL text
+(`src/main/resources/sparql/*.sparql`; SURVEY.md §2.9). `sparql.py`
+compiles that surface to DataFrame plans; these registry entries run
+REAL SPARQL strings through the full stack — tokenizer -> parser ->
+Catalyst plan — over the same cached validation-run triples the kg_*
+queries share (one parse per (session, sf_dir)), with closed-form DuckDB
+oracles derived from the synthetic corpus index (sources/synthetic.py:
+mode = i%10; per-doc triples 2/3/4 for base/mode-8/mode-9 docs).
+
+The four queries cover the engine's feature matrix end to end:
+GRAPH-var scoping + `a` + predicate-object lists + OPTIONAL + FILTER
+regex (roster); GROUP BY + COUNT(*) (graph sizes); DISTINCT + ORDER BY
+over an all-var pattern (predicates); ASK + isIRI (company ask). A
+hash match certifies parser, compiler, and term semantics in one go.
+"""
+
+from __future__ import annotations
+
+from harvesting_validator_spark.queries.kg import _ORACLE_BASE, _run
+from harvesting_validator_spark.sparql import sparql_select
+
+EX = "http://example.com/ns#"
+
+
+def _triples(spark, sf_dir):
+    """The cached validation run's triples frame (binary doc_id,
+    repartitioned by doc_id — GRAPH-scoped BGP joins ride that one
+    exchange, plans/pipeline.py)."""
+    return _run(spark, sf_dir).triples
+
+
+# --- full roster: BGP + OPTIONAL + FILTER regex + GRAPH var -----------------
+_Q_ROSTER = r"""
+PREFIX ex: <http://example.com/ns#>
+SELECT ?g ?person ?ssn ?company WHERE {
+  GRAPH ?g {
+    ?person a ex:Person ;
+            ex:ssn ?ssn .
+    OPTIONAL { ?person ex:worksFor ?company }
+    FILTER regex(?ssn, "^\\d{3}-")
+  }
+}
+"""
+
+
+def q_sparql_person_roster(spark, sf_dir):
+    return sparql_select(_triples(spark, sf_dir), _Q_ROSTER)
+
+
+# every ssn the corpus mints starts with 3 digits (the mode-7 corruption
+# appends an X), so the regex keeps all rows; mode-8 docs contribute a
+# second (ssn2) row; only mode-9 docs have a worksFor object
+O_ROSTER = (
+    _ORACLE_BASE
+    + """
+, base AS (
+  SELECT i, doc_id, mode,
+         printf('%03d-%02d-%04d', i % 1000, (i*7) % 100, (i*13) % 10000) AS ssn_ok,
+         printf('%03d-%02d-%04d', (i+1) % 1000, (i*11) % 100, (i*17) % 10000) AS ssn2
+  FROM idx
+)
+SELECT doc_id AS g,
+       'http://example.com/ns#P' || i AS person,
+       CASE WHEN mode = 7 THEN ssn_ok || 'X' ELSE ssn_ok END AS ssn,
+       CASE WHEN mode = 9 THEN 'http://example.com/ns#NoSuchCompany'
+            ELSE CAST(NULL AS VARCHAR) END AS company
+FROM base
+UNION ALL
+SELECT doc_id, 'http://example.com/ns#P' || i, ssn2, CAST(NULL AS VARCHAR)
+FROM base WHERE mode = 8
+"""
+)
+
+
+# --- per-graph triple counts: GRAPH var + GROUP BY + COUNT(*) ---------------
+_Q_GRAPH_SIZES = """
+SELECT ?g (COUNT(*) AS ?n_triples) WHERE {
+  GRAPH ?g { ?s ?p ?o }
+} GROUP BY ?g
+"""
+
+
+def q_sparql_graph_sizes(spark, sf_dir):
+    return sparql_select(_triples(spark, sf_dir), _Q_GRAPH_SIZES)
+
+
+O_GRAPH_SIZES = (
+    _ORACLE_BASE
+    + """
+SELECT doc_id AS g,
+       CAST(CASE mode WHEN 8 THEN 3 WHEN 9 THEN 4 ELSE 2 END AS BIGINT)
+         AS n_triples
+FROM idx
+"""
+)
+
+
+# --- distinct predicates: all-var BGP + DISTINCT + ORDER BY -----------------
+_Q_DISTINCT_PREDS = """
+SELECT DISTINCT ?p WHERE { GRAPH ?g { ?s ?p ?o } } ORDER BY ?p
+"""
+
+
+def q_sparql_distinct_preds(spark, sf_dir):
+    return sparql_select(_triples(spark, sf_dir), _Q_DISTINCT_PREDS)
+
+
+# hobby/worksFor appear iff some doc has mode 9, i.e. n_docs >= 10
+O_DISTINCT_PREDS = """
+SELECT p FROM (VALUES
+  ('http://example.com/ns#hobby'),
+  ('http://example.com/ns#ssn'),
+  ('http://example.com/ns#worksFor'),
+  ('http://www.w3.org/1999/02/22-rdf-syntax-ns#type')) t(p)
+WHERE (SELECT count(*) FROM documents) >= 10
+   OR p IN ('http://example.com/ns#ssn',
+            'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')
+ORDER BY p
+"""
+
+
+# --- ASK + isIRI (is-task.sparql analog: existence probe) -------------------
+_Q_COMPANY_ASK = """
+PREFIX ex: <http://example.com/ns#>
+ASK { GRAPH ?g { ?s ex:worksFor ?c . FILTER isIRI(?c) } }
+"""
+
+
+def q_sparql_company_ask(spark, sf_dir):
+    return sparql_select(_triples(spark, sf_dir), _Q_COMPANY_ASK)
+
+
+O_COMPANY_ASK = """
+SELECT CAST((SELECT count(*) FROM documents) >= 10 AS BOOLEAN) AS ask
+"""
+
+
+QUERIES = {
+    "sparql_person_roster": q_sparql_person_roster,
+    "sparql_graph_sizes": q_sparql_graph_sizes,
+    "sparql_distinct_preds": q_sparql_distinct_preds,
+    "sparql_company_ask": q_sparql_company_ask,
+}
+
+ORACLES = {
+    "sparql_person_roster": O_ROSTER,
+    "sparql_graph_sizes": O_GRAPH_SIZES,
+    "sparql_distinct_preds": O_DISTINCT_PREDS,
+    "sparql_company_ask": O_COMPANY_ASK,
+}

@@ -1,0 +1,1064 @@
+"""SPARQL SELECT/ASK subset compiled to DataFrame plans.
+
+Reference analog: the reference's ENTIRE query surface is SPARQL — 15
+Freemarker templates under `src/main/resources/sparql/` executed against
+the triple store (SURVEY.md §1.3/§2.9; `SparqlQueryLoad.java`). Round 1-4
+mapped each template to a hand-built DataFrame plan (COVERAGE.md §2);
+this module closes the remaining migration gap: a user's OWN queries —
+not just the bundled templates — run unchanged, parsed and compiled to
+the same Catalyst plans the hand-built builders produce.
+
+Supported subset (everything the reference templates' READ side uses,
+plus the core of SPARQL 1.1 SELECT):
+
+* prologue ``PREFIX`` declarations; ``a`` for rdf:type
+* ``SELECT [DISTINCT] ?v ... | * | (COUNT([DISTINCT] ?v|*) AS ?alias)``
+  with ``GROUP BY`` when vars and aggregates mix
+* ``ASK``
+* basic graph patterns with ``;`` / ``,`` predicate-object lists
+* ``GRAPH ?var { ... }`` / ``GRAPH <urn:doc:HEX> { ... }`` — the engine's
+  named graphs are documents: a graph var binds to the lowercase sha256
+  hex doc id (identical to the ids every other edge reports), and
+  patterns inside one GRAPH group additionally join on doc_id — which
+  co-partitions with the pipeline's single doc_id exchange
+  (`plans/pipeline.py`), so multi-pattern graph-scoped BGPs add NO new
+  corpus-wide shuffle beyond the per-key hash joins themselves
+* ``FILTER`` with ``|| && ! = != < <= > >=``, ``regex(?v, "re"[, "i"])``,
+  ``STRSTARTS/STRENDS/CONTAINS/STRLEN/STR/LANG/DATATYPE/BOUND``,
+  ``isIRI/isBlank/isLiteral``; comparisons against a numeric literal
+  compare numerically (DECIMAL cast), everything else lexically
+* ``OPTIONAL { ... }`` (left outer join on the shared vars)
+* ``{ ... } UNION { ... }``
+* ``ORDER BY [ASC()/DESC()]``, ``LIMIT``, ``OFFSET``
+
+Out of contract — raise ``SparqlUnsupported`` at parse time
+(degrade-don't-guess, same contract as the RDF parsers): property paths
+in query position, nested sub-SELECTs (the one reference use,
+`load-imported-triples-stream.sparql`, is DISTINCT+ORDER inside
+LIMIT/OFFSET outside — expressible with plain modifiers), VALUES, BIND,
+MINUS, EXISTS, CONSTRUCT/DESCRIBE, and SPARQL Update (the write side is
+the engine's sinks, COVERAGE.md §2.9).
+
+Semantics notes (documented simplifications, asserted by tests):
+
+* term equality is lexical: joins match on (value, kind) plus null-safe
+  (datatype, lang) when both sides bind object positions; a plain string
+  literal in the query matches stored datatype NULL **or** xsd:string
+  (RDF 1.1 collapses them), a ``^^``-typed literal matches that exact
+  datatype. No D-entailment (``"1"^^xsd:int`` never joins
+  ``"01"^^xsd:integer``) — same behavior as the engine's NT round-trip.
+* ORDER BY applies to the projected solution (order vars must be
+  projected) and sorts NULLs first, Spark's default.
+
+Scale: each triple pattern compiles to a constant-position filter over
+the (already cached, doc_id-partitioned) triples frame — predicate
+constants prune before any join, exactly what a 100-TB BGP needs; joins
+are hash equi-joins on the shared-variable keys (never BNLJ — the
+no-Cartesian plan guard covers the registered queries); aggregates are
+map-side-combined groupBys.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+DOC_GRAPH_PREFIX = "urn:doc:"  # GRAPH <urn:doc:HEX> names one document
+
+
+class SparqlError(ValueError):
+    """Malformed query text."""
+
+
+class SparqlUnsupported(SparqlError):
+    """Syntactically valid SPARQL outside the supported subset."""
+
+
+# --------------------------------------------------------------------------
+# AST
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class Iri:
+    value: str
+
+
+@dataclass(frozen=True)
+class Lit:
+    value: str
+    datatype: str | None = None
+    lang: str | None = None
+
+
+@dataclass(frozen=True)
+class TriplePattern:
+    s: object
+    p: object
+    o: object
+
+
+@dataclass(frozen=True)
+class Filter:
+    expr: object
+
+
+@dataclass(frozen=True)
+class Optional_:
+    pattern: tuple
+
+
+@dataclass(frozen=True)
+class Graph:
+    term: object  # Var | Iri
+    pattern: tuple
+
+
+@dataclass(frozen=True)
+class Union_:
+    left: tuple
+    right: tuple
+
+
+# filter-expression nodes
+@dataclass(frozen=True)
+class BoolOp:
+    op: str  # "&&" | "||"
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class Cmp:
+    op: str  # = != < <= > >=
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class Not:
+    expr: object
+
+
+@dataclass(frozen=True)
+class Call:
+    name: str  # lowercase builtin name
+    args: tuple
+
+
+@dataclass(frozen=True)
+class Agg:
+    fn: str  # "count"
+    distinct: bool
+    arg: object  # Var | None (= COUNT(*))
+    alias: str
+
+
+@dataclass
+class Query:
+    form: str  # "select" | "ask"
+    projection: list | None  # None = SELECT *; items are Var | Agg
+    distinct: bool = False
+    pattern: tuple = ()
+    group_by: list = field(default_factory=list)  # [Var]
+    order_by: list = field(default_factory=list)  # [(Var, asc: bool)]
+    limit: int | None = None
+    offset: int | None = None
+
+
+# --------------------------------------------------------------------------
+# Tokenizer
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<WS>\s+|\#[^\n]*)
+    | (?P<IRIREF><[^<>"{}|^`\\\x00-\x20]*>)
+    | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+    | (?P<STRING>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
+    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_][A-Za-z0-9_.\-]*)
+    | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+    | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().,;=<>!*:])
+    """,
+    re.X,
+)
+
+_KEYWORDS = {
+    "prefix", "select", "ask", "distinct", "where", "filter", "optional",
+    "union", "graph", "order", "by", "asc", "desc", "limit", "offset",
+    "as", "count", "group", "true", "false",
+    # recognized so we can refuse them explicitly instead of misparsing
+    "bind", "values", "minus", "exists", "construct", "describe", "insert",
+    "delete", "service", "having",
+}
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise SparqlError(f"cannot tokenize at: {text[pos:pos + 30]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        val = m.group()
+        if kind == "NAME" and (val.lower() in _KEYWORDS or val == "a"):
+            out.append(("KW", "a" if val == "a" else val.lower()))
+        else:
+            out.append((kind, val))
+    out.append(("EOF", ""))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Parser (recursive descent)
+# --------------------------------------------------------------------------
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    # -- token plumbing ----------------------------------------------------
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept_kw(self, *kws: str) -> str | None:
+        k, v = self.peek()
+        if k == "KW" and v in kws:
+            self.i += 1
+            return v
+        return None
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.accept_kw(kw):
+            raise SparqlError(f"expected {kw.upper()!r}, got {self.peek()[1]!r}")
+
+    def accept_op(self, op: str) -> bool:
+        k, v = self.peek()
+        if k == "OP" and v == op:
+            self.i += 1
+            return True
+        return False
+
+    def expect_op(self, op: str) -> None:
+        if not self.accept_op(op):
+            raise SparqlError(f"expected {op!r}, got {self.peek()[1]!r}")
+
+    # -- grammar -----------------------------------------------------------
+    def parse(self) -> Query:
+        while self.accept_kw("prefix"):
+            k, v = self.next()
+            # "ex:" tokenizes as NAME "ex" + OP... simplest robust form:
+            # accept either PNAME-with-empty-local (not matched by our
+            # regex) or NAME ":"; also bare ":" default prefix
+            if k == "NAME":
+                name = v
+                # consume the ':' that follows (tokenized inside OP set? no
+                # — ':' alone is not in OP; PNAME requires a local part).
+                # Re-tokenize manually: look at raw op token
+                kk, vv = self.next()
+                if not (kk == "OP" and vv == ":") and vv != ":":
+                    raise SparqlError(f"bad PREFIX declaration near {vv!r}")
+            else:
+                raise SparqlError(f"bad PREFIX declaration near {v!r}")
+            kk, vv = self.next()
+            if kk != "IRIREF":
+                raise SparqlError(f"PREFIX needs an IRI, got {vv!r}")
+            self.prefixes[name] = vv[1:-1]
+
+        if self.accept_kw("select"):
+            q = self._select()
+        elif self.accept_kw("ask"):
+            q = self._ask()
+        else:
+            k, v = self.peek()
+            if k == "KW" and v in ("construct", "describe", "insert", "delete"):
+                raise SparqlUnsupported(
+                    f"{v.upper()} is out of the supported subset "
+                    "(SELECT/ASK only; updates are the engine's sinks)"
+                )
+            raise SparqlError(f"expected SELECT or ASK, got {v!r}")
+        if self.peek()[0] != "EOF":
+            raise SparqlError(f"trailing tokens at {self.peek()[1]!r}")
+        return q
+
+    def _select(self) -> Query:
+        q = Query(form="select", projection=None)
+        q.distinct = bool(self.accept_kw("distinct"))
+        if self.accept_op("*"):
+            q.projection = None
+        else:
+            proj: list = []
+            while True:
+                k, v = self.peek()
+                if k == "VAR":
+                    self.next()
+                    proj.append(Var(v[1:]))
+                elif k == "OP" and v == "(":
+                    proj.append(self._agg_projection())
+                else:
+                    break
+            if not proj:
+                raise SparqlError("empty SELECT projection")
+            q.projection = proj
+        self.accept_kw("where")
+        q.pattern = self._group_graph_pattern()
+        self._modifiers(q)
+        return q
+
+    def _ask(self) -> Query:
+        q = Query(form="ask", projection=[])
+        q.pattern = self._group_graph_pattern()
+        return q
+
+    def _agg_projection(self) -> Agg:
+        self.expect_op("(")
+        if not self.accept_kw("count"):
+            raise SparqlUnsupported(
+                "only COUNT aggregates are in the supported subset"
+            )
+        self.expect_op("(")
+        distinct = bool(self.accept_kw("distinct"))
+        if self.accept_op("*"):
+            arg = None
+        else:
+            k, v = self.next()
+            if k != "VAR":
+                raise SparqlError(f"COUNT needs ?var or *, got {v!r}")
+            arg = Var(v[1:])
+        self.expect_op(")")
+        self.expect_kw("as")
+        k, v = self.next()
+        if k != "VAR":
+            raise SparqlError(f"AS needs ?alias, got {v!r}")
+        self.expect_op(")")
+        return Agg(fn="count", distinct=distinct, arg=arg, alias=v[1:])
+
+    def _modifiers(self, q: Query) -> None:
+        if self.accept_kw("group"):
+            self.expect_kw("by")
+            while self.peek()[0] == "VAR":
+                q.group_by.append(Var(self.next()[1][1:]))
+            if not q.group_by:
+                raise SparqlError("empty GROUP BY")
+        if self.accept_kw("having"):
+            raise SparqlUnsupported("HAVING is out of the supported subset")
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            while True:
+                k, v = self.peek()
+                if k == "VAR":
+                    self.next()
+                    q.order_by.append((Var(v[1:]), True))
+                elif k == "KW" and v in ("asc", "desc"):
+                    self.next()
+                    self.expect_op("(")
+                    kk, vv = self.next()
+                    if kk != "VAR":
+                        raise SparqlError(f"ORDER BY {v.upper()} needs ?var")
+                    self.expect_op(")")
+                    q.order_by.append((Var(vv[1:]), v == "asc"))
+                else:
+                    break
+            if not q.order_by:
+                raise SparqlError("empty ORDER BY")
+        # LIMIT/OFFSET in either order, each at most once
+        seen = set()
+        while True:
+            if "limit" not in seen and self.accept_kw("limit"):
+                q.limit = self._int()
+                seen.add("limit")
+            elif "offset" not in seen and self.accept_kw("offset"):
+                q.offset = self._int()
+                seen.add("offset")
+            else:
+                break
+
+    def _int(self) -> int:
+        k, v = self.next()
+        if k != "NUMBER" or not re.fullmatch(r"\d+", v):
+            raise SparqlError(f"expected a non-negative integer, got {v!r}")
+        return int(v)
+
+    def _group_graph_pattern(self) -> tuple:
+        self.expect_op("{")
+        elements: list = []
+        while True:
+            k, v = self.peek()
+            if k == "OP" and v == "}":
+                self.next()
+                break
+            if k == "KW" and v == "filter":
+                self.next()
+                # FILTER ( expr )  |  FILTER builtin(args)
+                if self.peek() == ("OP", "("):
+                    elements.append(Filter(self._expr_primary_paren()))
+                else:
+                    elements.append(Filter(self._call()))
+            elif k == "KW" and v == "optional":
+                self.next()
+                elements.append(Optional_(self._group_graph_pattern()))
+            elif k == "KW" and v == "graph":
+                self.next()
+                term = self._term()
+                if not isinstance(term, (Var, Iri)):
+                    raise SparqlError("GRAPH needs a variable or IRI")
+                elements.append(Graph(term, self._group_graph_pattern()))
+            elif k == "OP" and v == "{":
+                left = self._group_graph_pattern()
+                self.expect_kw("union")
+                right = self._group_graph_pattern()
+                u = Union_(left, right)
+                while self.accept_kw("union"):
+                    u = Union_((u,), self._group_graph_pattern())
+                elements.append(u)
+            elif k == "KW" and v in ("bind", "values", "minus", "service"):
+                raise SparqlUnsupported(
+                    f"{v.upper()} is out of the supported subset"
+                )
+            elif k == "KW" and v == "select":
+                raise SparqlUnsupported(
+                    "sub-SELECT is out of the supported subset (use "
+                    "DISTINCT/ORDER/LIMIT modifiers on the outer query)"
+                )
+            else:
+                elements.extend(self._triples_block())
+            self.accept_op(".")
+        return tuple(elements)
+
+    def _triples_block(self) -> list[TriplePattern]:
+        subj = self._term()
+        out: list[TriplePattern] = []
+        while True:
+            pred = self._verb()
+            while True:
+                out.append(TriplePattern(subj, pred, self._term()))
+                if not self.accept_op(","):
+                    break
+            if not self.accept_op(";"):
+                break
+            # allow trailing ';' before '.', '}' etc.
+            k, v = self.peek()
+            if not (k in ("VAR", "IRIREF", "PNAME") or (k == "KW" and v == "a")):
+                break
+        return out
+
+    def _verb(self):
+        if self.accept_kw("a"):
+            return Iri(RDF_TYPE)
+        t = self._term()
+        if isinstance(t, Lit):
+            raise SparqlError("a literal cannot be a predicate")
+        return t
+
+    def _term(self):
+        k, v = self.next()
+        if k == "VAR":
+            return Var(v[1:])
+        if k == "IRIREF":
+            return Iri(v[1:-1])
+        if k == "PNAME":
+            pfx, local = v.split(":", 1)
+            if pfx not in self.prefixes:
+                raise SparqlError(f"undeclared prefix {pfx!r}")
+            return Iri(self.prefixes[pfx] + local)
+        if k == "STRING":
+            value = _unescape(v[1:-1])
+            kk, vv = self.peek()
+            if kk == "LANGTAG":
+                self.next()
+                return Lit(value, lang=vv[1:].lower())
+            if kk == "OP" and vv == "^^":
+                self.next()
+                dt = self._term()
+                if not isinstance(dt, Iri):
+                    raise SparqlError("^^ needs an IRI datatype")
+                return Lit(value, datatype=dt.value)
+            return Lit(value)
+        if k == "NUMBER":
+            dt = XSD + ("integer" if re.fullmatch(r"[+-]?\d+", v) else "decimal")
+            return Lit(v, datatype=dt)
+        if k == "KW" and v in ("true", "false"):
+            return Lit(v, datatype=XSD + "boolean")
+        raise SparqlError(f"expected a term, got {v!r}")
+
+    # -- filter expressions --------------------------------------------------
+    def _expr_primary_paren(self):
+        self.expect_op("(")
+        e = self._expr()
+        self.expect_op(")")
+        return e
+
+    def _expr(self):
+        e = self._expr_and()
+        while self.accept_op("||"):
+            e = BoolOp("||", e, self._expr_and())
+        return e
+
+    def _expr_and(self):
+        e = self._expr_cmp()
+        while self.accept_op("&&"):
+            e = BoolOp("&&", e, self._expr_cmp())
+        return e
+
+    def _expr_cmp(self):
+        e = self._expr_unary()
+        k, v = self.peek()
+        if k == "OP" and v in ("=", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return Cmp(v, e, self._expr_unary())
+        return e
+
+    def _expr_unary(self):
+        if self.accept_op("!"):
+            return Not(self._expr_unary())
+        k, v = self.peek()
+        if k == "OP" and v == "(":
+            return self._expr_primary_paren()
+        if k == "NAME" or (k == "KW" and v == "count"):
+            return self._call()
+        return self._term()
+
+    _BUILTINS = {
+        "regex", "strstarts", "strends", "contains", "strlen", "str",
+        "lang", "datatype", "bound", "isiri", "isuri", "isblank",
+        "isliteral",
+    }
+
+    def _call(self):
+        k, v = self.next()
+        name = v.lower()
+        if name not in self._BUILTINS:
+            raise SparqlUnsupported(f"builtin {v!r} is not in the subset")
+        self.expect_op("(")
+        args: list = []
+        if not self.accept_op(")"):
+            while True:
+                args.append(self._expr())
+                if self.accept_op(")"):
+                    break
+                self.expect_op(",")
+        return Call(name, tuple(args))
+
+
+_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", '"': '"', "'": "'", "\\": "\\"}
+
+
+def _unescape(s: str) -> str:
+    return re.sub(
+        r"\\(.)", lambda m: _ESCAPES.get(m.group(1), m.group(1)), s
+    )
+
+
+def parse_sparql(text: str) -> Query:
+    """Parse a SPARQL SELECT/ASK string into the subset AST."""
+    return _Parser(text).parse()
+
+
+# --------------------------------------------------------------------------
+# Compiler: AST -> DataFrame
+# --------------------------------------------------------------------------
+
+_XSD_STRING = XSD + "string"
+_NUMERIC_DTS = {
+    XSD + n
+    for n in ("integer", "decimal", "double", "float", "int", "long",
+              "short", "byte", "nonNegativeInteger", "positiveInteger")
+}
+
+
+@dataclass
+class _Binding:
+    """One bound variable: the value column plus its term metadata.
+
+    kind/datatype/lang are column NAMES in the solution frame when the
+    var came from an object position, else synthesized expressions."""
+
+    val: str  # column name
+    kind: str | None = None  # column name; None => derive from value
+    datatype: str | None = None  # column name; None => NULL
+    lang: str | None = None  # column name; None => NULL
+    is_graph: bool = False  # binds the doc graph (binary doc_id column)
+
+    def kind_col(self) -> Column:
+        if self.kind is not None:
+            return F.col(self.kind)
+        if self.is_graph:
+            return F.lit("iri")
+        return F.when(
+            F.col(self.val).startswith("_:"), F.lit("bnode")
+        ).otherwise(F.lit("iri"))
+
+    def datatype_col(self) -> Column:
+        return F.col(self.datatype) if self.datatype else F.lit(None).cast("string")
+
+    def lang_col(self) -> Column:
+        return F.col(self.lang) if self.lang else F.lit(None).cast("string")
+
+    def display_col(self) -> Column:
+        """Value as projected to the user (graph ids re-hexed)."""
+        if self.is_graph:
+            return F.lower(F.hex(F.col(self.val)))
+        return F.col(self.val)
+
+
+class _Compiler:
+    def __init__(self, triples: DataFrame):
+        self.triples = triples
+        self.n = 0
+
+    def fresh(self, stem: str) -> str:
+        self.n += 1
+        return f"__{stem}_{self.n}"
+
+    # -- pattern compilation -------------------------------------------------
+    def compile_pattern(
+        self, elements: tuple, graph: object
+    ) -> tuple[DataFrame | None, dict[str, _Binding]]:
+        df: DataFrame | None = None
+        binds: dict[str, _Binding] = {}
+        for el in elements:
+            if isinstance(el, TriplePattern):
+                df, binds = self._join_tp(df, binds, el, graph)
+            elif isinstance(el, Filter):
+                if df is None:
+                    raise SparqlError("FILTER before any triple pattern")
+                df = df.filter(_expr_col(el.expr, binds))
+            elif isinstance(el, Optional_):
+                if df is None:
+                    raise SparqlError("OPTIONAL before any triple pattern")
+                df, binds = self._left_join(df, binds, el.pattern, graph)
+            elif isinstance(el, Graph):
+                inner, ibinds = self.compile_pattern(el.pattern, el.term)
+                df, binds = self._merge(df, binds, inner, ibinds, how="inner")
+            elif isinstance(el, Union_):
+                left, lb = self.compile_pattern(el.left, graph)
+                right, rb = self.compile_pattern(el.right, graph)
+                u, ub = self._union(left, lb, right, rb)
+                df, binds = self._merge(df, binds, u, ub, how="inner")
+            else:  # pragma: no cover - parser only emits the above
+                raise SparqlError(f"unexpected pattern element {el!r}")
+        return df, binds
+
+    def _scan_tp(
+        self, tp: TriplePattern, graph: object
+    ) -> tuple[DataFrame, dict[str, _Binding]]:
+        """One triple pattern -> filtered scan with fresh column names."""
+        t = self.triples
+        cond = F.lit(True)
+        # constant positions -> pushed filters
+        if isinstance(tp.s, Iri):
+            cond = cond & (F.col("subj") == tp.s.value)
+        elif isinstance(tp.s, Lit):
+            cond = F.lit(False)  # literal subjects have no solutions
+        if isinstance(tp.p, Iri):
+            cond = cond & (F.col("pred") == tp.p.value)
+        if isinstance(tp.o, Iri):
+            cond = cond & (F.col("obj_kind") == "iri") & (
+                F.col("obj_value") == tp.o.value
+            )
+        elif isinstance(tp.o, Lit):
+            cond = cond & (F.col("obj_kind") == "literal") & (
+                F.col("obj_value") == tp.o.value
+            )
+            if tp.o.lang is not None:
+                cond = cond & (F.lower(F.col("obj_lang")) == tp.o.lang)
+            elif tp.o.datatype is None or tp.o.datatype == _XSD_STRING:
+                # RDF 1.1: plain == xsd:string
+                cond = cond & (
+                    F.col("obj_datatype").isNull()
+                    | (F.col("obj_datatype") == _XSD_STRING)
+                ) & F.col("obj_lang").isNull()
+            else:
+                cond = cond & (F.col("obj_datatype") == tp.o.datatype)
+        if isinstance(graph, Iri):
+            if not graph.value.startswith(DOC_GRAPH_PREFIX):
+                raise SparqlUnsupported(
+                    f"graph IRIs are {DOC_GRAPH_PREFIX}<hex-doc-id>; got "
+                    f"{graph.value!r}"
+                )
+            cond = cond & (
+                F.col("doc_id")
+                == F.unhex(F.lit(graph.value[len(DOC_GRAPH_PREFIX):]))
+            )
+        t = t.filter(cond)
+
+        # variable positions -> fresh columns
+        binds: dict[str, _Binding] = {}
+        sel: list[Column] = []
+        if isinstance(tp.s, Var):
+            c = self.fresh("s")
+            sel.append(F.col("subj").alias(c))
+            binds[tp.s.name] = _Binding(val=c)
+        if isinstance(tp.p, Var):
+            if tp.p.name in binds:
+                raise SparqlUnsupported("repeated var within one pattern")
+            c = self.fresh("p")
+            sel.append(F.col("pred").alias(c))
+            binds[tp.p.name] = _Binding(val=c, kind=None)
+        if isinstance(tp.o, Var):
+            if tp.o.name in binds:
+                # e.g. ?x ?x ?y or ?x a ?x — rare; do it the slow exact way
+                raise SparqlUnsupported("repeated var within one pattern")
+            cv, ck, cd, cl = (
+                self.fresh("o"), self.fresh("ok"), self.fresh("od"),
+                self.fresh("ol"),
+            )
+            sel += [
+                F.col("obj_value").alias(cv), F.col("obj_kind").alias(ck),
+                F.col("obj_datatype").alias(cd), F.col("obj_lang").alias(cl),
+            ]
+            binds[tp.o.name] = _Binding(val=cv, kind=ck, datatype=cd, lang=cl)
+        if isinstance(graph, Var):
+            c = self.fresh("g")
+            sel.append(F.col("doc_id").alias(c))
+            binds[graph.name] = _Binding(val=c, is_graph=True)
+        if not sel:
+            sel.append(F.lit(1).alias(self.fresh("one")))
+        return t.select(*sel), binds
+
+    @staticmethod
+    def _join_cond(
+        binds: dict[str, _Binding], other: dict[str, _Binding]
+    ) -> tuple[Column | None, list[str]]:
+        shared = [v for v in other if v in binds]
+        if not shared:
+            return None, shared
+        cond = F.lit(True)
+        for v in shared:
+            a, b = binds[v], other[v]
+            if a.is_graph != b.is_graph:
+                raise SparqlError(
+                    f"?{v} binds both a graph and a term position"
+                )
+            cond = cond & (F.col(a.val) == F.col(b.val))
+            if not a.is_graph:
+                cond = cond & (a.kind_col() == b.kind_col())
+                # only object-object joins can disagree on dt/lang
+                if a.datatype or b.datatype:
+                    cond = cond & a.datatype_col().eqNullSafe(b.datatype_col())
+                if a.lang or b.lang:
+                    cond = cond & a.lang_col().eqNullSafe(b.lang_col())
+        return cond, shared
+
+    def _merge(
+        self,
+        df: DataFrame | None,
+        binds: dict[str, _Binding],
+        other_df: DataFrame | None,
+        other_binds: dict[str, _Binding],
+        how: str,
+    ) -> tuple[DataFrame | None, dict[str, _Binding]]:
+        if other_df is None:
+            return df, binds
+        if df is None:
+            return other_df, dict(other_binds)
+        cond, shared = self._join_cond(binds, other_binds)
+        if cond is None:
+            raise SparqlUnsupported(
+                "disconnected pattern groups (cartesian product) are out "
+                "of the subset — share at least one variable"
+            )
+        out = df.join(other_df, on=cond, how=how)
+        merged = dict(binds)
+        for v, b in other_binds.items():
+            if v not in merged:
+                merged[v] = b
+        # drop the duplicate shared columns from the right side
+        drop = [other_binds[v].val for v in shared]
+        for v in shared:
+            b = other_binds[v]
+            drop += [c for c in (b.kind, b.datatype, b.lang) if c]
+        return out.drop(*drop), merged
+
+    def _join_tp(self, df, binds, tp: TriplePattern, graph):
+        sdf, sbinds = self._scan_tp(tp, graph)
+        return self._merge(df, binds, sdf, sbinds, how="inner")
+
+    def _left_join(self, df, binds, pattern: tuple, graph):
+        inner, ibinds = self.compile_pattern(pattern, graph)
+        if inner is None:
+            return df, binds
+        cond, shared = self._join_cond(binds, ibinds)
+        if cond is None:
+            raise SparqlUnsupported(
+                "OPTIONAL must share a variable with the outer pattern"
+            )
+        out = df.join(inner, on=cond, how="left")
+        merged = dict(binds)
+        for v, b in ibinds.items():
+            if v not in merged:
+                merged[v] = b
+        drop = []
+        for v in shared:
+            b = ibinds[v]
+            drop += [c for c in (b.val, b.kind, b.datatype, b.lang) if c]
+        return out.drop(*drop), merged
+
+    def _union(self, left, lbinds, right, rbinds):
+        if left is None or right is None:
+            raise SparqlError("empty UNION branch")
+        # normalize both branches to the union of the variable sets; a
+        # var missing from one branch is NULL there (SPARQL union
+        # semantics). Canonical column names: v/k/d/l_<var>.
+        all_vars = sorted(set(lbinds) | set(rbinds))
+        out_binds: dict[str, _Binding] = {}
+
+        def normalize(df: DataFrame, binds: dict[str, _Binding]) -> DataFrame:
+            sel = []
+            for v in all_vars:
+                b = binds.get(v)
+                if b is None:
+                    sel += [
+                        F.lit(None).cast(
+                            "binary"
+                            if (v in out_binds and out_binds[v].is_graph)
+                            else "string"
+                        ).alias(f"__u_v_{v}"),
+                        F.lit(None).cast("string").alias(f"__u_k_{v}"),
+                        F.lit(None).cast("string").alias(f"__u_d_{v}"),
+                        F.lit(None).cast("string").alias(f"__u_l_{v}"),
+                    ]
+                else:
+                    sel += [
+                        F.col(b.val).alias(f"__u_v_{v}"),
+                        b.kind_col().alias(f"__u_k_{v}"),
+                        b.datatype_col().alias(f"__u_d_{v}"),
+                        b.lang_col().alias(f"__u_l_{v}"),
+                    ]
+                if v not in out_binds:
+                    out_binds[v] = _Binding(
+                        val=f"__u_v_{v}", kind=f"__u_k_{v}",
+                        datatype=f"__u_d_{v}", lang=f"__u_l_{v}",
+                        is_graph=(b.is_graph if b else False),
+                    )
+            return df.select(*sel)
+
+        # bind graph-ness first from whichever branch has each var
+        for v in all_vars:
+            b = lbinds.get(v) or rbinds.get(v)
+            lb, rb = lbinds.get(v), rbinds.get(v)
+            if lb and rb and lb.is_graph != rb.is_graph:
+                raise SparqlError(
+                    f"?{v} binds a graph in one UNION branch only"
+                )
+            out_binds[v] = _Binding(
+                val=f"__u_v_{v}", kind=f"__u_k_{v}", datatype=f"__u_d_{v}",
+                lang=f"__u_l_{v}", is_graph=b.is_graph,
+            )
+        return normalize(left, lbinds).unionByName(
+            normalize(right, rbinds)
+        ), out_binds
+
+
+def _expr_col(expr: object, binds: dict[str, _Binding]) -> Column:
+    """Compile a FILTER expression to a Spark Column."""
+    if isinstance(expr, BoolOp):
+        l, r = _expr_col(expr.left, binds), _expr_col(expr.right, binds)
+        return (l & r) if expr.op == "&&" else (l | r)
+    if isinstance(expr, Not):
+        return ~_expr_col(expr.expr, binds)
+    if isinstance(expr, Cmp):
+        numeric = any(
+            isinstance(t, Lit) and t.datatype in _NUMERIC_DTS
+            for t in (expr.left, expr.right)
+        )
+        l = _value_col(expr.left, binds, numeric)
+        r = _value_col(expr.right, binds, numeric)
+        return {
+            "=": l == r, "!=": l != r, "<": l < r, "<=": l <= r,
+            ">": l > r, ">=": l >= r,
+        }[expr.op]
+    if isinstance(expr, Call):
+        return _call_col(expr, binds)
+    if isinstance(expr, Var):
+        b = _lookup(expr, binds)
+        # effective boolean value of a bare var: xsd:boolean "true"
+        return b.display_col() == "true"
+    raise SparqlError(f"cannot evaluate {expr!r} as a boolean")
+
+
+def _lookup(v: Var, binds: dict[str, _Binding]) -> _Binding:
+    if v.name not in binds:
+        raise SparqlError(f"unbound variable ?{v.name} in expression")
+    return binds[v.name]
+
+
+def _value_col(term: object, binds: dict[str, _Binding], numeric: bool) -> Column:
+    if isinstance(term, Var):
+        c = _lookup(term, binds).display_col()
+    elif isinstance(term, Lit):
+        c = F.lit(term.value)
+    elif isinstance(term, Iri):
+        c = F.lit(term.value)
+    elif isinstance(term, Call):
+        c = _call_col(term, binds)
+    else:
+        raise SparqlError(f"cannot evaluate {term!r} as a value")
+    if numeric:
+        c = c.cast("decimal(38,12)")
+    return c
+
+
+def _call_col(call: Call, binds: dict[str, _Binding]) -> Column:
+    name, args = call.name, call.args
+
+    def val(i: int) -> Column:
+        return _value_col(args[i], binds, numeric=False)
+
+    def bind0() -> _Binding:
+        if not args or not isinstance(args[0], Var):
+            raise SparqlError(f"{name.upper()} needs a variable argument")
+        return _lookup(args[0], binds)
+
+    if name == "regex":
+        if len(args) not in (2, 3):
+            raise SparqlError("regex(text, pattern [, flags])")
+        pat = args[1]
+        if not isinstance(pat, Lit):
+            raise SparqlUnsupported("regex pattern must be a literal")
+        flags = ""
+        if len(args) == 3:
+            if not (isinstance(args[2], Lit) and args[2].value in ("", "i")):
+                raise SparqlUnsupported("only the 'i' regex flag is supported")
+            flags = args[2].value
+        p = ("(?i)" if flags == "i" else "") + pat.value
+        return val(0).rlike(p)
+    if name == "strstarts":
+        return val(0).startswith(val(1))
+    if name == "strends":
+        return val(0).endswith(val(1))
+    if name == "contains":
+        return val(0).contains(val(1))
+    if name == "strlen":
+        return F.length(val(0))
+    if name == "str":
+        return val(0)
+    if name == "lang":
+        return F.coalesce(bind0().lang_col(), F.lit(""))
+    if name == "datatype":
+        b = bind0()
+        return F.when(
+            b.kind_col() == "literal",
+            F.coalesce(
+                b.datatype_col(),
+                F.when(b.lang_col().isNotNull(), F.lit(None)).otherwise(
+                    F.lit(_XSD_STRING)
+                ),
+            ),
+        )
+    if name == "bound":
+        return bind0().display_col().isNotNull()
+    if name in ("isiri", "isuri"):
+        return bind0().kind_col() == "iri"
+    if name == "isblank":
+        return bind0().kind_col() == "bnode"
+    if name == "isliteral":
+        return bind0().kind_col() == "literal"
+    raise SparqlUnsupported(f"builtin {name!r}")  # pragma: no cover
+
+
+def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
+    """Run a SPARQL SELECT/ASK (supported subset) over a triples frame.
+
+    ``triples`` must have the engine's parse schema
+    (`sources/rdf_parse.py` TRIPLES_SCHEMA): doc_id(binary), subj, pred,
+    obj_value, obj_kind, obj_datatype, obj_lang. Returns a DataFrame with
+    one column per projected variable (graph vars as lowercase hex doc
+    ids), or a single boolean ``ask`` column for ASK.
+    """
+    q = parse_sparql(query_text)
+    comp = _Compiler(triples)
+    df, binds = comp.compile_pattern(q.pattern, graph=None)
+    if df is None:
+        raise SparqlError("empty WHERE pattern")
+
+    if q.form == "ask":
+        return (
+            df.select(F.lit(1).alias("one"))
+            .limit(1)
+            .agg((F.count(F.lit(1)) > 0).alias("ask"))
+        )
+
+    aggs = [p for p in q.projection or [] if isinstance(p, Agg)]
+    plain = [p for p in q.projection or [] if isinstance(p, Var)]
+    if aggs:
+        keys = q.group_by or plain
+        if set(v.name for v in plain) - set(v.name for v in keys):
+            raise SparqlError(
+                "projected vars must appear in GROUP BY alongside aggregates"
+            )
+        agg_cols = []
+        for a in aggs:
+            if a.arg is None:
+                c = F.count(F.lit(1))
+                if a.distinct:
+                    raise SparqlUnsupported("COUNT(DISTINCT *) is not supported")
+            else:
+                src = _lookup(a.arg, binds).display_col()
+                c = F.count_distinct(src) if a.distinct else F.count(src)
+            agg_cols.append(c.alias(a.alias))
+        key_cols = [
+            _lookup(v, binds).display_col().alias(v.name) for v in keys
+        ]
+        out = (
+            df.groupBy(*key_cols).agg(*agg_cols) if key_cols else df.agg(*agg_cols)
+        )
+        ordered_names = [v.name for v in (q.group_by or plain)] + [
+            a.alias for a in aggs
+        ]
+        # project in declaration order when GROUP BY keys aren't projected
+        if not plain and q.group_by:
+            ordered_names = [a.alias for a in aggs]
+        out = out.select(*ordered_names)
+    else:
+        if q.projection is None:  # SELECT *
+            names = sorted(binds)
+        else:
+            names = [v.name for v in plain]
+            missing = [n for n in names if n not in binds]
+            if missing:
+                raise SparqlError(f"projected vars never bound: {missing}")
+        out = df.select(
+            *[binds[n].display_col().alias(n) for n in names if n in binds]
+        )
+
+    if q.distinct:
+        out = out.distinct()
+    if q.order_by:
+        sort_cols = []
+        for v, asc in q.order_by:
+            if v.name not in out.columns:
+                raise SparqlUnsupported(
+                    "ORDER BY vars must be projected in this subset"
+                )
+            sort_cols.append(F.col(v.name).asc() if asc else F.col(v.name).desc())
+        out = out.sort(*sort_cols)
+    if q.offset:
+        out = out.offset(q.offset)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out

@@ -1,0 +1,223 @@
+"""SPARQL subset engine: parser, term semantics, algebra, and guards.
+
+Differential correctness of the four registered sparql_* queries is
+covered by tools/check_oracle.py (window) and test_oracle_tail.py
+(tail); these tests pin the ENGINE semantics on handcrafted frames —
+the cases a hash over the synthetic corpus can't isolate: term-equality
+joins across datatypes/lang tags, OPTIONAL null-extension, UNION var
+alignment, GRAPH constant scoping, effective-boolean FILTER evaluation,
+and the degrade-don't-guess guards for out-of-subset constructs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from harvesting_validator_spark.sparql import (
+    SparqlError,
+    SparqlUnsupported,
+    parse_sparql,
+    sparql_select,
+)
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_SCHEMA = (
+    "doc_id binary, subj string, pred string, obj_value string, "
+    "obj_kind string, obj_datatype string, obj_lang string"
+)
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        # doc 1: alice, typed Person, plain ssn, works for acme
+        (b"\x01", "http://ex/Alice", RDF_TYPE, "http://ex/Person", "iri", None, None),
+        (b"\x01", "http://ex/Alice", "http://ex/ssn", "123-45-6789", "literal", None, None),
+        (b"\x01", "http://ex/Alice", "http://ex/worksFor", "http://ex/Acme", "iri", None, None),
+        (b"\x01", "http://ex/Alice", "http://ex/label", "alice", "literal", None, "en"),
+        # doc 2: bob, xsd:string ssn (RDF 1.1: same term as plain), int age
+        (b"\x02", "http://ex/Bob", RDF_TYPE, "http://ex/Person", "iri", None, None),
+        (b"\x02", "http://ex/Bob", "http://ex/ssn", "123-45-6789", "literal", XSD + "string", None),
+        (b"\x02", "http://ex/Bob", "http://ex/age", "42", "literal", XSD + "integer", None),
+        (b"\x02", "http://ex/Bob", "http://ex/knows", "_:b0", "bnode", None, None),
+        # doc 3: acme the company; a literal that collides with an IRI's text
+        (b"\x03", "http://ex/Acme", RDF_TYPE, "http://ex/Company", "iri", None, None),
+        (b"\x03", "http://ex/Acme", "http://ex/label", "http://ex/Person", "literal", None, None),
+    ]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+# --- BGP + joins ------------------------------------------------------------
+
+
+def test_bgp_join_and_constant_object(triples):
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://ex/>
+               SELECT ?who WHERE { ?who a ex:Person ; ex:ssn "123-45-6789" }
+               ORDER BY ?who""",
+        )
+    )
+    # plain literal in the query matches BOTH the plain and the
+    # xsd:string-typed stored forms (RDF 1.1 collapse)
+    assert got == [("http://ex/Alice",), ("http://ex/Bob",)]
+
+
+def test_kind_distinguishes_literal_from_iri(triples):
+    # ex:label "http://ex/Person" is a LITERAL: joining ?t against type
+    # objects (IRIs) must not match it
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://ex/>
+               SELECT ?s WHERE { ?s ex:label ?t . ?x a ?t }""",
+        )
+    )
+    assert got == []
+
+
+def test_lang_tagged_literal_constant(triples):
+    q = 'PREFIX ex: <http://ex/> SELECT ?s WHERE { ?s ex:label "alice"@en }'
+    assert rows(sparql_select(triples, q)) == [("http://ex/Alice",)]
+    q2 = 'PREFIX ex: <http://ex/> SELECT ?s WHERE { ?s ex:label "alice" }'
+    assert rows(sparql_select(triples, q2)) == []  # plain != lang-tagged
+
+
+def test_graph_constant_scopes_to_one_doc(triples):
+    q = (
+        "SELECT ?s WHERE { GRAPH <urn:doc:02> { ?s ?p ?o } } ORDER BY ?s"
+    )
+    got = rows(sparql_select(triples, q))
+    assert set(got) == {("http://ex/Bob",)}
+
+
+def test_graph_var_joins_within_doc(triples):
+    # worksFor and type must come from the SAME graph: Alice only
+    q = """PREFIX ex: <http://ex/>
+           SELECT ?g ?p WHERE { GRAPH ?g { ?p a ex:Person ; ex:worksFor ?c } }"""
+    assert rows(sparql_select(triples, q)) == [("01", "http://ex/Alice")]
+
+
+# --- OPTIONAL / UNION -------------------------------------------------------
+
+
+def test_optional_extends_with_nulls(triples):
+    q = """PREFIX ex: <http://ex/>
+           SELECT ?p ?co WHERE {
+             ?p a ex:Person .
+             OPTIONAL { ?p ex:worksFor ?co }
+           } ORDER BY ?p"""
+    assert rows(sparql_select(triples, q)) == [
+        ("http://ex/Alice", "http://ex/Acme"),
+        ("http://ex/Bob", None),
+    ]
+
+
+def test_union_aligns_vars(triples):
+    q = """PREFIX ex: <http://ex/>
+           SELECT ?x ?co WHERE {
+             { ?x a ex:Company } UNION { ?x ex:worksFor ?co }
+           } ORDER BY ?x"""
+    assert rows(sparql_select(triples, q)) == [
+        ("http://ex/Acme", None),
+        ("http://ex/Alice", "http://ex/Acme"),
+    ]
+
+
+# --- FILTER builtins ---------------------------------------------------------
+
+
+def test_filter_numeric_comparison(triples):
+    q = """PREFIX ex: <http://ex/>
+           SELECT ?p WHERE { ?p ex:age ?a . FILTER(?a >= 9) }"""
+    # numeric, not lexical: "42" >= 9 (lexically "42" < "9")
+    assert rows(sparql_select(triples, q)) == [("http://ex/Bob",)]
+
+
+def test_filter_term_tests_and_lang(triples):
+    q = """PREFIX ex: <http://ex/>
+           SELECT ?o WHERE { ?s ex:knows ?o . FILTER isBlank(?o) }"""
+    assert rows(sparql_select(triples, q)) == [("_:b0",)]
+    q2 = """PREFIX ex: <http://ex/>
+            SELECT ?v WHERE { ?s ex:label ?v . FILTER(lang(?v) = "en") }"""
+    assert rows(sparql_select(triples, q2)) == [("alice",)]
+
+
+def test_filter_str_functions_and_bound(triples):
+    q = """PREFIX ex: <http://ex/>
+           SELECT ?p WHERE {
+             ?p a ex:Person .
+             OPTIONAL { ?p ex:worksFor ?co }
+             FILTER(!bound(?co) || strends(str(?co), "Acme"))
+           } ORDER BY ?p"""
+    assert [r[0] for r in rows(sparql_select(triples, q))] == [
+        "http://ex/Alice", "http://ex/Bob",
+    ]
+
+
+def test_ask_true_and_false(triples):
+    t = 'PREFIX ex: <http://ex/> ASK { ?s a ex:Company }'
+    f = 'PREFIX ex: <http://ex/> ASK { ?s a ex:Robot }'
+    assert rows(sparql_select(triples, t)) == [(True,)]
+    assert rows(sparql_select(triples, f)) == [(False,)]
+
+
+def test_count_group_by_and_modifiers(triples):
+    q = """SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }
+           GROUP BY ?g ORDER BY DESC(?g) LIMIT 2 OFFSET 1"""
+    assert rows(sparql_select(triples, q)) == [("02", 4), ("01", 4)]
+
+
+def test_select_star_binds_all_vars(triples):
+    q = 'PREFIX ex: <http://ex/> SELECT * WHERE { ?s ex:age ?v }'
+    df = sparql_select(triples, q)
+    assert sorted(df.columns) == ["s", "v"]
+    assert rows(df) == [("http://ex/Bob", "42")]
+
+
+# --- guards -------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "SELECT ?s WHERE { ?s ?p ?o . BIND(1 AS ?x) }",
+        "SELECT ?s WHERE { VALUES ?s { <http://x> } ?s ?p ?o }",
+        "SELECT ?s WHERE { { SELECT ?s WHERE { ?s ?p ?o } } }",
+        "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }",
+        "SELECT (SUM(?o) AS ?t) WHERE { ?s ?p ?o }",
+        "SELECT ?s WHERE { ?s ?p ?o MINUS { ?s a ?t } }",
+    ],
+)
+def test_out_of_subset_raises(text):
+    with pytest.raises(SparqlUnsupported):
+        parse_sparql(text)
+
+
+def test_disconnected_pattern_raises(triples):
+    with pytest.raises(SparqlUnsupported, match="cartesian|share"):
+        sparql_select(
+            triples, "SELECT ?a ?b WHERE { ?a a ?t . ?b ?p 42 }"
+        ).collect()
+
+
+def test_malformed_raises():
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT ?s WHERE { ?s ?p }")
+    with pytest.raises(SparqlError):
+        parse_sparql("PREFIX ex <http://x> SELECT ?s WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlError):
+        parse_sparql('SELECT ?s WHERE { "lit" ?p ?o } ORDER BY')
+
+
+def test_literal_subject_has_no_solutions(triples):
+    # spec: literal subjects are simply unmatchable, not an error
+    q = 'PREFIX ex: <http://ex/> SELECT ?p WHERE { "x" ?p ?o }'
+    assert rows(sparql_select(triples, q)) == []
