@@ -39,6 +39,9 @@ HEADLINE = [
     # the KG linking path (blocking -> pair scoring -> union-find ->
     # canonical graph), so round-over-round linking perf is visible
     "kg_canonical_graph",
+    # r5: real SPARQL text through the tokenizer->parser->Catalyst stack
+    # (BGP self-joins + OPTIONAL over the shared validation-run triples)
+    "sparql_person_roster",
     # training-data prep (r3): 1->N chunk explosion, stratified-window
     # packing, broadcast-shaped n-gram decontamination
     "chunk_documents",

@@ -1,0 +1,90 @@
+"""spark-submit entrypoint running SPARQL text over harvested sources.
+
+The reference's operational read path is "execute this SPARQL string
+against the store" (`SparqlQueryLoad.java`, the 15 bundled templates);
+this job is that surface on the engine: parse the sources, compile the
+query with `sparql.py`, and materialize the solution sequence.
+
+    spark-submit --master <cluster> \\
+        --py-files dist/harvesting_validator_spark.zip \\
+        jobs/sparql_job.py \\
+        --sources <parquet-of-(repo,path,commit,lang,content)|synthetic:N> \\
+        --query <file.sparql | literal SPARQL text> \\
+        [--output /data/answers] [--show 20]
+
+With --output the solution DataFrame is written as parquet (distributed
+write — the scale path); otherwise the first --show rows print as JSON
+lines plus a one-line summary either way. Parse errors in the corpus
+never fail the job: malformed docs contribute no triples (the engine's
+degrade-don't-crash parse contract), and their count is reported in the
+summary line so silent data loss is visible.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sources", required=True,
+                    help="parquet path of (repo,path,commit,lang,content) "
+                         "or 'synthetic:N'")
+    ap.add_argument("--query", required=True,
+                    help="path to a .sparql file, or the query text itself")
+    ap.add_argument("--output", default=None,
+                    help="parquet output path for the solutions "
+                         "(omit to just print --show rows)")
+    ap.add_argument("--show", type=int, default=20,
+                    help="rows to print as JSON lines without --output")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from harvesting_validator_spark.sources.rdf_parse import (
+        parse_sources_to_triples,
+    )
+    from harvesting_validator_spark.sources.synthetic import generate_sources
+    from harvesting_validator_spark.sparql import sparql_select
+
+    spark = SparkSession.builder.getOrCreate()
+
+    if os.path.exists(args.query):
+        with open(args.query) as fh:
+            query_text = fh.read()
+    else:
+        query_text = args.query
+
+    if args.sources.startswith("synthetic:"):
+        sources = generate_sources(spark, int(args.sources.split(":", 1)[1]))
+    else:
+        sources = spark.read.parquet(args.sources)
+
+    triples, errors = parse_sources_to_triples(
+        sources, with_errors=True, repartition_by_doc=True
+    )
+    result = sparql_select(triples, query_text)
+
+    if args.output:
+        result.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    else:
+        rows = result.limit(args.show).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        n = result.count()
+
+    print(json.dumps({
+        "mode": "sparql",
+        "solutions": n,
+        "parse_errors": errors.count(),
+        "output": args.output,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

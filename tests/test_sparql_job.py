@@ -1,0 +1,53 @@
+"""End-to-end test of the sparql_job spark-submit entrypoint (in-process:
+SparkSession.builder.getOrCreate attaches to the test session)."""
+
+from __future__ import annotations
+
+import json
+
+from jobs.sparql_job import main as sparql_main
+
+
+def _run(capsys, *argv) -> tuple[dict, list[dict]]:
+    assert sparql_main(list(argv)) == 0
+    out = capsys.readouterr().out.splitlines()
+    rows = [json.loads(l) for l in out if l.startswith("{")]
+    summary = next(r for r in reversed(rows) if r.get("mode") == "sparql")
+    return summary, [r for r in rows if r.get("mode") != "sparql"]
+
+
+def test_sparql_job_inline_query(spark, capsys):
+    summary, rows = _run(
+        capsys,
+        "--sources", "synthetic:40",
+        "--query",
+        "PREFIX ex: <http://example.com/ns#> "
+        "SELECT ?p ?ssn WHERE { GRAPH ?g { ?p a ex:Person ; ex:ssn ?ssn } } "
+        "ORDER BY ?p LIMIT 5",
+        "--show", "5",
+    )
+    # 40 docs: 4 mode-8 docs contribute a second ssn row, LIMIT caps at 5
+    assert summary["solutions"] == 5
+    assert summary["parse_errors"] == 0
+    assert len(rows) == 5
+    assert set(rows[0]) == {"p", "ssn"}
+
+
+def test_sparql_job_file_query_and_parquet_output(spark, tmp_path, capsys):
+    qf = tmp_path / "graph_sizes.sparql"
+    qf.write_text(
+        "SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } "
+        "GROUP BY ?g"
+    )
+    out = str(tmp_path / "answers")
+    summary, _ = _run(
+        capsys,
+        "--sources", "synthetic:30",
+        "--query", str(qf),
+        "--output", out,
+    )
+    assert summary["solutions"] == 30
+    df = spark.read.parquet(out)
+    assert df.columns == ["g", "n"]
+    # closed form: per-doc triples 2/3/4 for base/mode-8/mode-9 docs
+    assert df.agg({"n": "sum"}).collect()[0][0] == 30 * 2 + 3 + 3 * 2
