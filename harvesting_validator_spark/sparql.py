@@ -1005,6 +1005,13 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
 
     aggs = [p for p in q.projection or [] if isinstance(p, Agg)]
     plain = [p for p in q.projection or [] if isinstance(p, Var)]
+    # scale discipline: group/distinct on the RAW value columns (graph
+    # vars stay 16-byte binary doc ids through the exchange, half the
+    # width of the hex string — plans/pipeline.py hex_doc_id rationale)
+    # and re-hex only in the post-aggregation projection. Grouping on the
+    # raw doc_id also lets the aggregate reuse the pipeline's existing
+    # doc_id exchange (subset co-partitioning), where hex(doc_id) as the
+    # grouping expression would force a fresh corpus-wide shuffle.
     if aggs:
         keys = q.group_by or plain
         if set(v.name for v in plain) - set(v.name for v in keys):
@@ -1018,22 +1025,24 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
                 if a.distinct:
                     raise SparqlUnsupported("COUNT(DISTINCT *) is not supported")
             else:
-                src = _lookup(a.arg, binds).display_col()
+                # count on the raw column: hexing is injective, so the
+                # (distinct) counts are identical and the narrow form wins
+                src = F.col(_lookup(a.arg, binds).val)
                 c = F.count_distinct(src) if a.distinct else F.count(src)
             agg_cols.append(c.alias(a.alias))
-        key_cols = [
-            _lookup(v, binds).display_col().alias(v.name) for v in keys
-        ]
+        key_binds = [(v.name, _lookup(v, binds)) for v in keys]
+        key_cols = [F.col(b.val).alias(n) for n, b in key_binds]
         out = (
             df.groupBy(*key_cols).agg(*agg_cols) if key_cols else df.agg(*agg_cols)
         )
-        ordered_names = [v.name for v in (q.group_by or plain)] + [
-            a.alias for a in aggs
-        ]
+        ordered = [
+            (F.lower(F.hex(n)) if b.is_graph else F.col(n)).alias(n)
+            for n, b in key_binds
+        ] + [F.col(a.alias) for a in aggs]
         # project in declaration order when GROUP BY keys aren't projected
         if not plain and q.group_by:
-            ordered_names = [a.alias for a in aggs]
-        out = out.select(*ordered_names)
+            ordered = [F.col(a.alias) for a in aggs]
+        out = out.select(*ordered)
     else:
         if q.projection is None:  # SELECT *
             names = sorted(binds)
@@ -1042,11 +1051,18 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
             missing = [n for n in names if n not in binds]
             if missing:
                 raise SparqlError(f"projected vars never bound: {missing}")
-        out = df.select(
-            *[binds[n].display_col().alias(n) for n in names if n in binds]
+        sel_binds = [(n, binds[n]) for n in names if n in binds]
+        out = df.select(*[F.col(b.val).alias(n) for n, b in sel_binds])
+        if q.distinct:
+            out = out.distinct()
+        out = out.select(
+            *[
+                (F.lower(F.hex(n)) if b.is_graph else F.col(n)).alias(n)
+                for n, b in sel_binds
+            ]
         )
 
-    if q.distinct:
+    if q.distinct and aggs:
         out = out.distinct()
     if q.order_by:
         sort_cols = []

@@ -379,3 +379,73 @@ def test_path_validation_reuses_single_doc_id_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_sparql_bgp_reuses_single_doc_id_exchange(spark):
+    """The SPARQL engine's scale property: graph-scoped BGP self-joins and
+    graph-keyed aggregates are keyed on doc_id-prefixed supersets of the
+    parse repartition, so (broadcasts off, AQE off — the at-100TB shape)
+    the roster's 3-pattern join + OPTIONAL and the per-graph COUNT(*)
+    both shuffle the corpus exactly once: no hash exchange on any key
+    other than (doc_id,), and no exchange keyed on the hex display form.
+    Also: zero Python eval nodes — the whole stack is Catalyst."""
+    import re
+
+    from harvesting_validator_spark.sources.rdf_parse import (
+        parse_sources_to_triples,
+    )
+    from harvesting_validator_spark.sources.synthetic import generate_sources
+    from harvesting_validator_spark.sparql import sparql_select
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    t = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # the pipeline shape: parsed triples persisted once (run_validation
+        # does the same) — the cache advertises HashPartitioning(doc_id)
+        t = parse_sources_to_triples(
+            generate_sources(spark, 100), repartition_by_doc=True
+        ).persist()
+        t.count()  # full-width materialization (CLAUDE.md invariant)
+        roster = sparql_select(t, """
+            PREFIX ex: <http://example.com/ns#>
+            SELECT ?g ?person ?ssn ?company WHERE {
+              GRAPH ?g {
+                ?person a ex:Person ; ex:ssn ?ssn .
+                OPTIONAL { ?person ex:worksFor ?company }
+              }
+            }""")
+        sizes = sparql_select(
+            t,
+            "SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } "
+            "GROUP BY ?g",
+        )
+        for df in (roster, sizes):
+            plan = _plan(df)
+            keys = {
+                re.sub(r"#\d+L?", "", m).strip()
+                for m in re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)
+            }
+            assert keys <= {"doc_id"}, f"unexpected exchange keys: {keys}"
+            # every Exchange occurrence must be the ONE cached parse
+            # repartition (same plan_id, printed once per cache scan):
+            # BGP self-joins and the graph groupBy add NO new shuffle —
+            # they ride the advertised doc_id layout via subset
+            # co-partitioning. The hex display conversion folds ABOVE
+            # the aggregate (binary ids through the exchange).
+            ids = set(re.findall(r"Exchange hashpartitioning.*plan_id=(\d+)", plan))
+            assert len(ids) <= 1, f"multiple distinct exchanges: {plan}"
+            # constant triple-pattern positions reach the cache scan as
+            # pushed filters, not post-scan Filter nodes
+            assert "InMemoryTableScan" in plan
+            assert "BatchEvalPython" not in plan
+            assert "ArrowEvalPython" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+        assert "partial_count" in _plan(sizes)  # map-side combine
+    finally:
+        if t is not None:
+            t.unpersist()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
