@@ -137,11 +137,46 @@ SELECT CAST((SELECT count(*) FROM documents) >= 10 AS BOOLEAN) AS ask
 """
 
 
+# --- SPARQL over the CONSTRUCTED KG (the full user story) -------------------
+# The canonical graph is the engine's OUTPUT (entity linking + union-find
+# + (s,p,o) dedup, kg/graph.py); querying it with SPARQL text closes the
+# loop a reference user runs daily: harvest -> validate -> construct ->
+# query. No GRAPH clause — the canonical graph is the default graph
+# (provenance intentionally dropped by the dedup, north_rule semantics).
+_Q_KG_ENTITIES = """
+PREFIX ex: <http://example.com/ns#>
+SELECT ?e ?name WHERE {
+  ?e a ex:Person ;
+     ex:name ?name ;
+     ex:ssn ?ssn .
+  FILTER strstarts(?ssn, "0")
+}
+"""
+
+
+def q_sparql_kg_entities(spark, sf_dir):
+    from harvesting_validator_spark.queries.kg import _kg_run
+
+    return sparql_select(_kg_run(spark, sf_dir).graph, _Q_KG_ENTITIES)
+
+
+# closed form: K = n//10 canonical entities E%06d(r), ssn(r) starts with
+# '0' iff r % 1000 < 100 (the %03d zero-padding)
+O_KG_ENTITIES = """
+WITH k AS (SELECT count(*) // 10 AS k FROM documents),
+grp AS (SELECT DISTINCT doc_id % (SELECT k FROM k) AS r FROM documents)
+SELECT printf('http://example.com/ns#E%06d', r) AS e,
+       'Person ' || r || ' Name' AS name
+FROM grp WHERE r % 1000 < 100
+"""
+
+
 QUERIES = {
     "sparql_person_roster": q_sparql_person_roster,
     "sparql_graph_sizes": q_sparql_graph_sizes,
     "sparql_distinct_preds": q_sparql_distinct_preds,
     "sparql_company_ask": q_sparql_company_ask,
+    "sparql_kg_entities": q_sparql_kg_entities,
 }
 
 ORACLES = {
@@ -149,4 +184,5 @@ ORACLES = {
     "sparql_graph_sizes": O_GRAPH_SIZES,
     "sparql_distinct_preds": O_DISTINCT_PREDS,
     "sparql_company_ask": O_COMPANY_ASK,
+    "sparql_kg_entities": O_KG_ENTITIES,
 }
