@@ -186,9 +186,9 @@ _TOKEN_RE = re.compile(
     | (?P<IRIREF><[^<>"{}|^`\\\x00-\x20]*>)
     | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
     | (?P<STRING>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
-    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_][A-Za-z0-9_.\-]*)
+    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?)
     | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
-    | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<NUMBER>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().,;=<>!*:])
     """,
@@ -331,6 +331,7 @@ class _Parser:
 
     def _ask(self) -> Query:
         q = Query(form="ask", projection=[])
+        self.accept_kw("where")  # WhereClause ::= 'WHERE'? GroupGraphPattern
         q.pattern = self._group_graph_pattern()
         return q
 
@@ -564,12 +565,25 @@ class _Parser:
         return Call(name, tuple(args))
 
 
-_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", '"': '"', "'": "'", "\\": "\\"}
+_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
+            '"': '"', "'": "'", "\\": "\\"}
 
 
 def _unescape(s: str) -> str:
+    def repl(m: re.Match) -> str:
+        u, big, ch = m.group("u"), m.group("U"), m.group("c")
+        if u is not None:
+            return chr(int(u, 16))
+        if big is not None:
+            return chr(int(big, 16))
+        if ch in _ESCAPES:
+            return _ESCAPES[ch]
+        raise SparqlError(f"invalid string escape \\{ch}")
+
     return re.sub(
-        r"\\(.)", lambda m: _ESCAPES.get(m.group(1), m.group(1)), s
+        r"\\(?:u(?P<u>[0-9A-Fa-f]{4})|U(?P<U>[0-9A-Fa-f]{8})|(?P<c>.))",
+        repl,
+        s,
     )
 
 
@@ -733,6 +747,15 @@ class _Compiler:
             ]
             binds[tp.o.name] = _Binding(val=cv, kind=ck, datatype=cd, lang=cl)
         if isinstance(graph, Var):
+            if graph.name in binds:
+                # GRAPH ?g { ?g ?p ?o }: the graph name equals a term in
+                # the same pattern — would need a doc_id<->IRI equality we
+                # don't define (degrade-don't-guess, same contract as the
+                # repeated-var cases above)
+                raise SparqlUnsupported(
+                    f"?{graph.name} binds both the graph and a triple "
+                    "position in one pattern"
+                )
             c = self.fresh("g")
             sel.append(F.col("doc_id").alias(c))
             binds[graph.name] = _Binding(val=c, is_graph=True)
@@ -823,39 +846,11 @@ class _Compiler:
             raise SparqlError("empty UNION branch")
         # normalize both branches to the union of the variable sets; a
         # var missing from one branch is NULL there (SPARQL union
-        # semantics). Canonical column names: v/k/d/l_<var>.
+        # semantics). Column names are freshened per UNION instance so
+        # two union groups in one query never collide at a later join.
         all_vars = sorted(set(lbinds) | set(rbinds))
+        u = self.fresh("u")
         out_binds: dict[str, _Binding] = {}
-
-        def normalize(df: DataFrame, binds: dict[str, _Binding]) -> DataFrame:
-            sel = []
-            for v in all_vars:
-                b = binds.get(v)
-                if b is None:
-                    sel += [
-                        F.lit(None).cast(
-                            "binary"
-                            if (v in out_binds and out_binds[v].is_graph)
-                            else "string"
-                        ).alias(f"__u_v_{v}"),
-                        F.lit(None).cast("string").alias(f"__u_k_{v}"),
-                        F.lit(None).cast("string").alias(f"__u_d_{v}"),
-                        F.lit(None).cast("string").alias(f"__u_l_{v}"),
-                    ]
-                else:
-                    sel += [
-                        F.col(b.val).alias(f"__u_v_{v}"),
-                        b.kind_col().alias(f"__u_k_{v}"),
-                        b.datatype_col().alias(f"__u_d_{v}"),
-                        b.lang_col().alias(f"__u_l_{v}"),
-                    ]
-                if v not in out_binds:
-                    out_binds[v] = _Binding(
-                        val=f"__u_v_{v}", kind=f"__u_k_{v}",
-                        datatype=f"__u_d_{v}", lang=f"__u_l_{v}",
-                        is_graph=(b.is_graph if b else False),
-                    )
-            return df.select(*sel)
 
         # bind graph-ness first from whichever branch has each var
         for v in all_vars:
@@ -866,9 +861,33 @@ class _Compiler:
                     f"?{v} binds a graph in one UNION branch only"
                 )
             out_binds[v] = _Binding(
-                val=f"__u_v_{v}", kind=f"__u_k_{v}", datatype=f"__u_d_{v}",
-                lang=f"__u_l_{v}", is_graph=b.is_graph,
+                val=f"{u}_v_{v}", kind=f"{u}_k_{v}", datatype=f"{u}_d_{v}",
+                lang=f"{u}_l_{v}", is_graph=b.is_graph,
             )
+
+        def normalize(df: DataFrame, binds: dict[str, _Binding]) -> DataFrame:
+            sel = []
+            for v in all_vars:
+                ob = out_binds[v]
+                b = binds.get(v)
+                if b is None:
+                    sel += [
+                        F.lit(None).cast(
+                            "binary" if ob.is_graph else "string"
+                        ).alias(ob.val),
+                        F.lit(None).cast("string").alias(ob.kind),
+                        F.lit(None).cast("string").alias(ob.datatype),
+                        F.lit(None).cast("string").alias(ob.lang),
+                    ]
+                else:
+                    sel += [
+                        F.col(b.val).alias(ob.val),
+                        b.kind_col().alias(ob.kind),
+                        b.datatype_col().alias(ob.datatype),
+                        b.lang_col().alias(ob.lang),
+                    ]
+            return df.select(*sel)
+
         return normalize(left, lbinds).unionByName(
             normalize(right, rbinds)
         ), out_binds
@@ -960,14 +979,16 @@ def _call_col(call: Call, binds: dict[str, _Binding]) -> Column:
     if name == "lang":
         return F.coalesce(bind0().lang_col(), F.lit(""))
     if name == "datatype":
+        # RDF 1.1: plain -> xsd:string, lang-tagged -> rdf:langString
         b = bind0()
         return F.when(
             b.kind_col() == "literal",
             F.coalesce(
                 b.datatype_col(),
-                F.when(b.lang_col().isNotNull(), F.lit(None)).otherwise(
-                    F.lit(_XSD_STRING)
-                ),
+                F.when(
+                    b.lang_col().isNotNull(),
+                    F.lit(RDF_TYPE.rsplit("#", 1)[0] + "#langString"),
+                ).otherwise(F.lit(_XSD_STRING)),
             ),
         )
     if name == "bound":
@@ -1012,6 +1033,16 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
     # raw doc_id also lets the aggregate reuse the pipeline's existing
     # doc_id exchange (subset co-partitioning), where hex(doc_id) as the
     # grouping expression would force a fresh corpus-wide shuffle.
+    if q.group_by and not aggs:
+        # grouping with no aggregates: one row per group. Expressible as
+        # DISTINCT over the keys only when the projection IS the key set;
+        # a strict subset would need the group structure — out of subset.
+        if [v.name for v in plain] != [v.name for v in q.group_by]:
+            raise SparqlUnsupported(
+                "GROUP BY without aggregates requires the projection to "
+                "equal the group keys"
+            )
+        q.distinct = True
     if aggs:
         keys = q.group_by or plain
         if set(v.name for v in plain) - set(v.name for v in keys):
@@ -1030,19 +1061,25 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
                 src = F.col(_lookup(a.arg, binds).val)
                 c = F.count_distinct(src) if a.distinct else F.count(src)
             agg_cols.append(c.alias(a.alias))
-        key_binds = [(v.name, _lookup(v, binds)) for v in keys]
-        key_cols = [F.col(b.val).alias(n) for n, b in key_binds]
+        key_binds = {v.name: _lookup(v, binds) for v in keys}
+        key_cols = [F.col(b.val).alias(n) for n, b in key_binds.items()]
         out = (
             df.groupBy(*key_cols).agg(*agg_cols) if key_cols else df.agg(*agg_cols)
         )
-        ordered = [
-            (F.lower(F.hex(n)) if b.is_graph else F.col(n)).alias(n)
-            for n, b in key_binds
-        ] + [F.col(a.alias) for a in aggs]
-        # project in declaration order when GROUP BY keys aren't projected
-        if not plain and q.group_by:
-            ordered = [F.col(a.alias) for a in aggs]
-        out = out.select(*ordered)
+        # project EXACTLY the declared projection, in declaration order;
+        # group keys that aren't projected stay internal
+        out = out.select(
+            *[
+                F.col(p.alias)
+                if isinstance(p, Agg)
+                else (
+                    F.lower(F.hex(p.name))
+                    if key_binds[p.name].is_graph
+                    else F.col(p.name)
+                ).alias(p.name)
+                for p in q.projection
+            ]
+        )
     else:
         if q.projection is None:  # SELECT *
             names = sorted(binds)

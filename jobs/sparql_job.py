@@ -63,26 +63,33 @@ def main(argv: list[str] | None = None) -> int:
     else:
         sources = spark.read.parquet(args.sources)
 
-    triples, errors = parse_sources_to_triples(
-        sources, with_errors=True, repartition_by_doc=True
+    # persist the parsed triples: the solution count, the row print, and
+    # the error count otherwise each re-run the (expensive) corpus parse
+    triples, errors, parsed = parse_sources_to_triples(
+        sources, with_errors=True, return_raw=True, repartition_by_doc=True
     )
-    result = sparql_select(triples, query_text)
+    parsed = parsed.persist()
+    try:
+        parsed.count()  # full-width materialization (CLAUDE.md invariant)
+        result = sparql_select(triples, query_text)
 
-    if args.output:
-        result.write.mode("overwrite").parquet(args.output)
-        n = spark.read.parquet(args.output).count()
-    else:
-        rows = result.limit(args.show).collect()
-        for r in rows:
-            print(json.dumps(r.asDict(), default=str))
-        n = result.count()
+        if args.output:
+            result.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+        else:
+            rows = result.limit(args.show).collect()
+            for r in rows:
+                print(json.dumps(r.asDict(), default=str))
+            n = result.count()
 
-    print(json.dumps({
-        "mode": "sparql",
-        "solutions": n,
-        "parse_errors": errors.count(),
-        "output": args.output,
-    }))
+        print(json.dumps({
+            "mode": "sparql",
+            "solutions": n,
+            "parse_errors": errors.count(),
+            "output": args.output,
+        }))
+    finally:
+        parsed.unpersist()
     return 0
 
 

@@ -221,3 +221,79 @@ def test_literal_subject_has_no_solutions(triples):
     # spec: literal subjects are simply unmatchable, not an error
     q = 'PREFIX ex: <http://ex/> SELECT ?p WHERE { "x" ?p ?o }'
     assert rows(sparql_select(triples, q)) == []
+
+
+# --- review-hardening regressions (r5 code-review findings) -------------------
+
+
+def test_trailing_dot_terminates_pname(triples):
+    # 'ex:Person.' (no space) must parse as the IRI + the '.' terminator,
+    # not absorb the dot into the local name (PN_LOCAL can't end in '.')
+    q = 'PREFIX ex: <http://ex/> SELECT ?s WHERE { ?s a ex:Person. } ORDER BY ?s'
+    assert [r[0] for r in rows(sparql_select(triples, q))] == [
+        "http://ex/Alice", "http://ex/Bob",
+    ]
+    # same for integers: '42.' is INTEGER 42 + DOT per the SPARQL grammar
+    q2 = 'PREFIX ex: <http://ex/> SELECT ?p WHERE { ?p ex:age 42. }'
+    assert rows(sparql_select(triples, q2)) == [("http://ex/Bob",)]
+
+
+def test_ask_where_form(triples):
+    q = "PREFIX ex: <http://ex/> ASK WHERE { ?s a ex:Person }"
+    assert rows(sparql_select(triples, q)) == [(True,)]
+
+
+def test_two_union_groups_join_without_ambiguity(triples):
+    q = """PREFIX ex: <http://ex/>
+           SELECT ?x WHERE {
+             { ?x a ex:Person } UNION { ?x a ex:Company }
+             { ?x ex:worksFor ?c } UNION { ?x ex:age ?a }
+           } ORDER BY ?x"""
+    assert [r[0] for r in rows(sparql_select(triples, q))] == [
+        "http://ex/Alice", "http://ex/Bob",
+    ]
+
+
+def test_group_key_not_projected_stays_internal(triples):
+    q = """SELECT ?s (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }
+           GROUP BY ?s ?g ORDER BY ?s"""
+    df = sparql_select(triples, q)
+    assert df.columns == ["s", "n"]  # ?g groups but is not emitted
+    assert rows(df) == [
+        ("http://ex/Acme", 2), ("http://ex/Alice", 4), ("http://ex/Bob", 4),
+    ]
+    # projection declaration order is honored (aggregate first)
+    q2 = "SELECT (COUNT(*) AS ?n) ?s WHERE { ?s ?p ?o } GROUP BY ?s"
+    assert sparql_select(triples, q2).columns == ["n", "s"]
+
+
+def test_group_by_without_aggregates(triples):
+    q = "PREFIX ex: <http://ex/> SELECT ?t WHERE { ?s a ?t } GROUP BY ?t ORDER BY ?t"
+    assert [r[0] for r in rows(sparql_select(triples, q))] == [
+        "http://ex/Company", "http://ex/Person",
+    ]
+    with pytest.raises(SparqlUnsupported):
+        sparql_select(
+            triples, "SELECT ?s WHERE { ?s ?p ?o } GROUP BY ?s ?p"
+        )
+
+
+def test_graph_var_colliding_with_term_var_raises(triples):
+    with pytest.raises(SparqlUnsupported, match="graph"):
+        sparql_select(triples, "SELECT ?g WHERE { GRAPH ?g { ?g ?p ?o } }")
+
+
+def test_unicode_escapes_decode(triples):
+    from harvesting_validator_spark.sparql import _unescape
+
+    assert _unescape(r"café") == "café"
+    assert _unescape(r"\U0001F600") == "😀"
+    with pytest.raises(SparqlError):
+        _unescape(r"\d")  # unknown escapes are a syntax error, not 'd'
+
+
+def test_datatype_of_lang_tagged_is_langstring(triples):
+    q = ('PREFIX ex: <http://ex/> SELECT ?v WHERE { ?s ex:label ?v . '
+         'FILTER(datatype(?v) = '
+         '<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>) }')
+    assert rows(sparql_select(triples, q)) == [("alice",)]
