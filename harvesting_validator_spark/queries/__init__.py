@@ -38,7 +38,7 @@ ALL_ORACLES = {}
 # driver-checked), textops + relational (riding on r3 evidence), then
 # the first two sparqlq entries (brand-new this round — newest oracles
 # get the strongest external checking). Tail this round: the remaining
-# three sparqlq entries, the rows-only sketches (their correctness lives in
+# four sparqlq entries, the rows-only sketches (their correctness lives in
 # accuracy-bound tests, so a driver row adds nothing), and similarity/
 # dedup/graphops/eventops/textprep — all hash-green in
 # CORRECTNESS_r04.json and additionally gated locally by

@@ -171,12 +171,48 @@ FROM grp WHERE r % 1000 < 100
 """
 
 
+# --- CONSTRUCT: rule-based triple derivation --------------------------------
+# every mode-9 doc asserts (Pi worksFor NoSuchCompany); the rule derives
+# the inverse edge and an Employee typing — the KG-construction shape
+# (derive-then-materialize) as one SPARQL string
+_Q_CONSTRUCT_EMPLOYERS = """
+PREFIX ex: <http://example.com/ns#>
+CONSTRUCT { ?c ex:employs ?p . ?p a ex:Employee }
+WHERE { GRAPH ?g { ?p ex:worksFor ?c } }
+"""
+
+
+def q_sparql_construct_employers(spark, sf_dir):
+    return sparql_select(_triples(spark, sf_dir), _Q_CONSTRUCT_EMPLOYERS)
+
+
+O_CONSTRUCT_EMPLOYERS = (
+    _ORACLE_BASE
+    + """
+SELECT 'http://example.com/ns#NoSuchCompany' AS subj,
+       'http://example.com/ns#employs' AS pred,
+       'http://example.com/ns#P' || i AS obj_value,
+       'iri' AS obj_kind,
+       CAST(NULL AS VARCHAR) AS obj_datatype,
+       CAST(NULL AS VARCHAR) AS obj_lang
+FROM idx WHERE mode = 9
+UNION ALL
+SELECT 'http://example.com/ns#P' || i,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+       'http://example.com/ns#Employee', 'iri',
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM idx WHERE mode = 9
+"""
+)
+
+
 QUERIES = {
     "sparql_person_roster": q_sparql_person_roster,
     "sparql_graph_sizes": q_sparql_graph_sizes,
     "sparql_distinct_preds": q_sparql_distinct_preds,
     "sparql_company_ask": q_sparql_company_ask,
     "sparql_kg_entities": q_sparql_kg_entities,
+    "sparql_construct_employers": q_sparql_construct_employers,
 }
 
 ORACLES = {
@@ -185,4 +221,5 @@ ORACLES = {
     "sparql_distinct_preds": O_DISTINCT_PREDS,
     "sparql_company_ask": O_COMPANY_ASK,
     "sparql_kg_entities": O_KG_ENTITIES,
+    "sparql_construct_employers": O_CONSTRUCT_EMPLOYERS,
 }

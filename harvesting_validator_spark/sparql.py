@@ -29,14 +29,25 @@ plus the core of SPARQL 1.1 SELECT):
   compare numerically (DECIMAL cast), everything else lexically
 * ``OPTIONAL { ... }`` (left outer join on the shared vars)
 * ``{ ... } UNION { ... }``
+* non-closure property paths in query position — sequence ``p1/p2``,
+  inverse ``^p``, alternative ``p1|p2``, parenthesized compositions —
+  desugared per SPARQL 18.2.2.4 into triple patterns with fresh
+  variables / swapped positions / UNION (closure paths ``* + ?`` would
+  need a query-side fixpoint and stay out; the SHACL engine evaluates
+  those shape-side, `shacl/compile.py`)
+* ``CONSTRUCT { template } WHERE { ... }`` — rule-based triple
+  derivation: each solution instantiates the template, invalid
+  instantiations are skipped per spec, and the deduplicated result uses
+  the engine's triple schema (minus doc_id), so derived triples compose
+  with `kg/graph.py` and can be queried again by `sparql_select`
 * ``ORDER BY [ASC()/DESC()]``, ``LIMIT``, ``OFFSET``
 
 Out of contract — raise ``SparqlUnsupported`` at parse time
-(degrade-don't-guess, same contract as the RDF parsers): property paths
-in query position, nested sub-SELECTs (the one reference use,
+(degrade-don't-guess, same contract as the RDF parsers): closure paths,
+nested sub-SELECTs (the one reference use,
 `load-imported-triples-stream.sparql`, is DISTINCT+ORDER inside
 LIMIT/OFFSET outside — expressible with plain modifiers), VALUES, BIND,
-MINUS, EXISTS, CONSTRUCT/DESCRIBE, and SPARQL Update (the write side is
+MINUS, EXISTS, DESCRIBE, and SPARQL Update (the write side is
 the engine's sinks, COVERAGE.md §2.9).
 
 Semantics notes (documented simplifications, asserted by tests):
@@ -166,10 +177,11 @@ class Agg:
 
 @dataclass
 class Query:
-    form: str  # "select" | "ask"
+    form: str  # "select" | "ask" | "construct"
     projection: list | None  # None = SELECT *; items are Var | Agg
     distinct: bool = False
     pattern: tuple = ()
+    template: list = field(default_factory=list)  # CONSTRUCT triples
     group_by: list = field(default_factory=list)  # [Var]
     order_by: list = field(default_factory=list)  # [(Var, asc: bool)]
     limit: int | None = None
@@ -190,7 +202,7 @@ _TOKEN_RE = re.compile(
     | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<NUMBER>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().,;=<>!*:])
+    | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().,;=<>!*:/|^])
     """,
     re.X,
 )
@@ -293,14 +305,17 @@ class _Parser:
             q = self._select()
         elif self.accept_kw("ask"):
             q = self._ask()
+        elif self.accept_kw("construct"):
+            q = self._construct()
         else:
             k, v = self.peek()
-            if k == "KW" and v in ("construct", "describe", "insert", "delete"):
+            if k == "KW" and v in ("describe", "insert", "delete"):
                 raise SparqlUnsupported(
                     f"{v.upper()} is out of the supported subset "
-                    "(SELECT/ASK only; updates are the engine's sinks)"
+                    "(SELECT/ASK/CONSTRUCT only; updates are the "
+                    "engine's sinks)"
                 )
-            raise SparqlError(f"expected SELECT or ASK, got {v!r}")
+            raise SparqlError(f"expected SELECT, ASK or CONSTRUCT, got {v!r}")
         if self.peek()[0] != "EOF":
             raise SparqlError(f"trailing tokens at {self.peek()[1]!r}")
         return q
@@ -333,6 +348,35 @@ class _Parser:
         q = Query(form="ask", projection=[])
         self.accept_kw("where")  # WhereClause ::= 'WHERE'? GroupGraphPattern
         q.pattern = self._group_graph_pattern()
+        return q
+
+    def _construct(self) -> Query:
+        """CONSTRUCT { template } WHERE { pattern } [LIMIT/OFFSET] —
+        rule-based triple derivation: each solution instantiates every
+        template triple; the result is a graph (set semantics)."""
+        q = Query(form="construct", projection=[])
+        self.expect_op("{")
+        while not self.accept_op("}"):
+            for el in self._triples_block():
+                if not isinstance(el, TriplePattern) or any(
+                    isinstance(t, Var) and t.name.startswith("__path_")
+                    for t in (el.s, el.p, el.o)
+                ):
+                    raise SparqlError(
+                        "property paths are not allowed in a CONSTRUCT "
+                        "template"
+                    )
+                q.template.append(el)
+            self.accept_op(".")
+        if not q.template:
+            raise SparqlError("empty CONSTRUCT template")
+        self.accept_kw("where")
+        q.pattern = self._group_graph_pattern()
+        self._modifiers(q)
+        if q.order_by or q.group_by:
+            raise SparqlUnsupported(
+                "ORDER BY / GROUP BY do not apply to a CONSTRUCT graph"
+            )
         return q
 
     def _agg_projection(self) -> Agg:
@@ -450,22 +494,108 @@ class _Parser:
             self.accept_op(".")
         return tuple(elements)
 
-    def _triples_block(self) -> list[TriplePattern]:
+    def _triples_block(self) -> list:
         subj = self._term()
-        out: list[TriplePattern] = []
+        out: list = []
         while True:
-            pred = self._verb()
+            path = self._path()
             while True:
-                out.append(TriplePattern(subj, pred, self._term()))
+                out.extend(self._expand_path(subj, path, self._term()))
                 if not self.accept_op(","):
                     break
             if not self.accept_op(";"):
                 break
             # allow trailing ';' before '.', '}' etc.
             k, v = self.peek()
-            if not (k in ("VAR", "IRIREF", "PNAME") or (k == "KW" and v == "a")):
+            if not (
+                k in ("VAR", "IRIREF", "PNAME")
+                or (k == "KW" and v == "a")
+                or (k == "OP" and v in ("^", "("))
+            ):
                 break
         return out
+
+    # -- property paths in query position ------------------------------------
+    # SPARQL 18.2.2.4: non-closure paths translate to triple patterns with
+    # fresh variables (sequence), swapped positions (inverse), and UNION
+    # (alternative) — pure desugaring, no new algebra. Closure paths
+    # (+ * ?) would need a fixpoint in query position and stay out of the
+    # subset (the SHACL engine evaluates them shape-side, shacl/compile.py).
+    def _path(self):
+        """Path := Seq ('|' Seq)*; Seq := Elt ('/' Elt)*;
+        Elt := '^'? (iri | 'a' | '(' Path ')'). A bare variable is a
+        valid verb but cannot combine with path operators (the SPARQL
+        grammar splits Verb into VarOrIri | Path)."""
+        alts = [self._path_seq()]
+        while self.accept_op("|"):
+            alts.append(self._path_seq())
+        if len(alts) > 1:
+            if any(isinstance(a, Var) for a in alts):
+                raise SparqlError("a variable cannot be a path step")
+            return ("alt", alts)
+        return alts[0]
+
+    def _path_seq(self):
+        elts = [self._path_elt()]
+        while self.accept_op("/"):
+            elts.append(self._path_elt())
+        if len(elts) > 1:
+            if any(isinstance(e, Var) for e in elts):
+                raise SparqlError("a variable cannot be a path step")
+            return ("seq", elts)
+        return elts[0]
+
+    def _path_elt(self):
+        inverse = self.accept_op("^")
+        if self.accept_op("("):
+            inner = self._path()
+            self.expect_op(")")
+        elif self.accept_kw("a"):
+            inner = Iri(RDF_TYPE)
+        else:
+            t = self._term()
+            if isinstance(t, Var):
+                if inverse:
+                    raise SparqlError("a variable cannot be a path step")
+                inner = t
+            elif isinstance(t, Iri):
+                inner = t
+            else:
+                raise SparqlError(f"a path step must be an IRI, got {t!r}")
+        k, v = self.peek()
+        if k == "OP" and v == "*":
+            raise SparqlUnsupported(
+                "closure paths (* + ?) in query position are out of the "
+                "subset"
+            )
+        return ("inv", inner) if inverse else inner
+
+    def _fresh_path_var(self) -> Var:
+        self._path_n = getattr(self, "_path_n", 0) + 1
+        return Var(f"__path_{self._path_n}")
+
+    def _expand_path(self, s, path, o) -> list:
+        """Desugar one (s, path, o) into pattern elements."""
+        if isinstance(path, (Iri, Var)):
+            return [TriplePattern(s, path, o)]
+        kind, payload = path
+        if kind == "inv":
+            return self._expand_path(o, payload, s)
+        if kind == "seq":
+            out: list = []
+            cur = s
+            for i, step in enumerate(payload):
+                nxt = o if i == len(payload) - 1 else self._fresh_path_var()
+                out.extend(self._expand_path(cur, step, nxt))
+                cur = nxt
+            return out
+        if kind == "alt":
+            branches = [tuple(self._expand_path(s, p, o)) for p in payload]
+            u = Union_(branches[0], branches[1])
+            for b in branches[2:]:
+                u = Union_((u,), b)
+            return [u]
+        raise SparqlError(f"unknown path form {kind!r}")  # pragma: no cover
 
     def _verb(self):
         if self.accept_kw("a"):
@@ -1002,6 +1132,78 @@ def _call_col(call: Call, binds: dict[str, _Binding]) -> Column:
     raise SparqlUnsupported(f"builtin {name!r}")  # pragma: no cover
 
 
+_TEMPLATE_NULL = lambda: F.lit(None).cast("string")  # noqa: E731
+
+
+def _construct_frame(
+    df: DataFrame, binds: dict[str, _Binding], template: list
+) -> DataFrame:
+    """Instantiate every template triple per solution row.
+
+    Spec semantics (SPARQL 16.2): an instantiation producing an invalid
+    RDF triple (unbound var, literal subject, non-IRI predicate) is
+    SKIPPED, not an error — hence the per-template row filters."""
+    frames = []
+    for tp in template:
+        cond = F.lit(True)
+
+        def var_bind(term):
+            b = _lookup(term, binds)
+            if b.is_graph:
+                raise SparqlUnsupported(
+                    "graph variables cannot appear in a CONSTRUCT template"
+                )
+            return b
+
+        if isinstance(tp.s, Var):
+            b = var_bind(tp.s)
+            sval = b.display_col()
+            cond = cond & sval.isNotNull() & (b.kind_col() != "literal")
+        elif isinstance(tp.s, Iri):
+            sval = F.lit(tp.s.value)
+        else:
+            raise SparqlError("a literal cannot be a template subject")
+
+        if isinstance(tp.p, Var):
+            b = var_bind(tp.p)
+            pval = b.display_col()
+            cond = cond & pval.isNotNull() & (b.kind_col() == "iri")
+        elif isinstance(tp.p, Iri):
+            pval = F.lit(tp.p.value)
+        else:
+            raise SparqlError("a literal cannot be a template predicate")
+
+        if isinstance(tp.o, Var):
+            b = var_bind(tp.o)
+            oval, okind = b.display_col(), b.kind_col()
+            odt, olang = b.datatype_col(), b.lang_col()
+            cond = cond & oval.isNotNull()
+        elif isinstance(tp.o, Iri):
+            oval, okind = F.lit(tp.o.value), F.lit("iri")
+            odt, olang = _TEMPLATE_NULL(), _TEMPLATE_NULL()
+        else:  # Lit
+            oval, okind = F.lit(tp.o.value), F.lit("literal")
+            odt = F.lit(tp.o.datatype) if tp.o.datatype else _TEMPLATE_NULL()
+            olang = F.lit(tp.o.lang) if tp.o.lang else _TEMPLATE_NULL()
+
+        frames.append(
+            df.filter(cond).select(
+                sval.alias("subj"),
+                pval.alias("pred"),
+                oval.alias("obj_value"),
+                okind.alias("obj_kind"),
+                odt.alias("obj_datatype"),
+                olang.alias("obj_lang"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.dropDuplicates(
+        ["subj", "pred", "obj_value", "obj_kind", "obj_datatype", "obj_lang"]
+    )
+
+
 def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
     """Run a SPARQL SELECT/ASK (supported subset) over a triples frame.
 
@@ -1023,6 +1225,18 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
             .limit(1)
             .agg((F.count(F.lit(1)) > 0).alias("ask"))
         )
+
+    if q.form == "construct":
+        # slice the SOLUTION sequence first (spec order), then
+        # instantiate the template per solution, union, and dedup: a
+        # CONSTRUCT result is a graph (set semantics). Output schema ==
+        # the engine's triple frame minus doc_id, so derived triples
+        # compose with kg/graph.py and re-enter sparql_select directly.
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return _construct_frame(df, binds, q.template)
 
     aggs = [p for p in q.projection or [] if isinstance(p, Agg)]
     plain = [p for p in q.projection or [] if isinstance(p, Var)]
@@ -1082,7 +1296,9 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
         )
     else:
         if q.projection is None:  # SELECT *
-            names = sorted(binds)
+            # internal fresh vars minted by path desugaring are not
+            # user-visible (SPARQL 18.2.2.4)
+            names = sorted(n for n in binds if not n.startswith("__path_"))
         else:
             names = [v.name for v in plain]
             missing = [n for n in names if n not in binds]

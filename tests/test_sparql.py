@@ -191,9 +191,10 @@ def test_select_star_binds_all_vars(triples):
         "SELECT ?s WHERE { ?s ?p ?o . BIND(1 AS ?x) }",
         "SELECT ?s WHERE { VALUES ?s { <http://x> } ?s ?p ?o }",
         "SELECT ?s WHERE { { SELECT ?s WHERE { ?s ?p ?o } } }",
-        "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }",
+        "DESCRIBE <http://x>",
         "SELECT (SUM(?o) AS ?t) WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { ?s ?p ?o MINUS { ?s a ?t } }",
+        "SELECT ?s WHERE { ?s <http://x>* ?o }",  # closure path
     ],
 )
 def test_out_of_subset_raises(text):
@@ -297,3 +298,95 @@ def test_datatype_of_lang_tagged_is_langstring(triples):
          'FILTER(datatype(?v) = '
          '<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>) }')
     assert rows(sparql_select(triples, q)) == [("alice",)]
+
+
+# --- property paths (non-closure, desugared) ----------------------------------
+
+
+def test_sequence_path(triples):
+    # Alice --worksFor--> Acme --a--> Company
+    q = """PREFIX ex: <http://ex/>
+           SELECT ?who ?t WHERE { ?who ex:worksFor/a ?t }"""
+    assert rows(sparql_select(triples, q)) == [
+        ("http://ex/Alice", "http://ex/Company"),
+    ]
+
+
+def test_inverse_path(triples):
+    q = """PREFIX ex: <http://ex/>
+           SELECT ?co WHERE { ?co ^ex:worksFor ?p . ?p a ex:Person }"""
+    assert rows(sparql_select(triples, q)) == [("http://ex/Acme",)]
+
+
+def test_alternative_path(triples):
+    q = """PREFIX ex: <http://ex/>
+           SELECT ?s ?v WHERE { ?s ex:ssn|ex:age ?v } ORDER BY ?s ?v"""
+    assert rows(sparql_select(triples, q)) == [
+        ("http://ex/Alice", "123-45-6789"),
+        ("http://ex/Bob", "123-45-6789"),
+        ("http://ex/Bob", "42"),
+    ]
+
+
+def test_composed_path_and_star_hides_path_vars(triples):
+    # inverse inside a sequence, parenthesized; SELECT * must not leak
+    # the desugaring's fresh intermediate variables
+    q = """PREFIX ex: <http://ex/>
+           SELECT * WHERE { ?e (ex:worksFor/^ex:worksFor) ?e2 }"""
+    df = sparql_select(triples, q)
+    assert sorted(df.columns) == ["e", "e2"]
+    assert rows(df) == [("http://ex/Alice", "http://ex/Alice")]
+
+
+def test_var_cannot_be_path_step():
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT ?s WHERE { ?s ?p/<http://x> ?o }")
+
+
+# --- CONSTRUCT -----------------------------------------------------------------
+
+
+def test_construct_derives_and_dedups(triples):
+    q = """PREFIX ex: <http://ex/>
+           CONSTRUCT { ?c ex:employs ?p . ?c a ex:Employer }
+           WHERE { ?p ex:worksFor ?c }"""
+    df = sparql_select(triples, q)
+    assert df.columns == [
+        "subj", "pred", "obj_value", "obj_kind", "obj_datatype", "obj_lang",
+    ]
+    got = {(r.subj, r.pred, r.obj_value, r.obj_kind) for r in df.collect()}
+    assert got == {
+        ("http://ex/Acme", "http://ex/employs", "http://ex/Alice", "iri"),
+        ("http://ex/Acme", RDF_TYPE, "http://ex/Employer", "iri"),
+    }
+
+
+def test_construct_skips_invalid_instantiations(triples):
+    # ?v is a literal for label rows -> literal subject instantiations
+    # are skipped, not errors; unbound OPTIONAL vars likewise
+    q = """PREFIX ex: <http://ex/>
+           CONSTRUCT { ?v ex:seen "y" . ?p ex:emp ?co }
+           WHERE { ?p a ex:Person .
+                   OPTIONAL { ?p ex:worksFor ?co }
+                   OPTIONAL { ?p ex:label ?v } }"""
+    got = {(r.subj, r.pred, r.obj_value) for r in sparql_select(triples, q).collect()}
+    assert got == {
+        ("http://ex/Alice", "http://ex/emp", "http://ex/Acme"),
+    }
+
+
+def test_construct_output_is_requeryable(triples):
+    derived = sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        CONSTRUCT { ?c ex:employs ?p } WHERE { ?p ex:worksFor ?c }""")
+    again = sparql_select(
+        derived.withColumn("doc_id", F_lit_binary()),
+        "PREFIX ex: <http://ex/> SELECT ?p WHERE { ?c ex:employs ?p }",
+    )
+    assert rows(again) == [("http://ex/Alice",)]
+
+
+def F_lit_binary():
+    from pyspark.sql import functions as F
+
+    return F.lit(b"\x00")
