@@ -40,13 +40,20 @@ plus the core of SPARQL 1.1 SELECT):
   instantiations are skipped per spec, and the deduplicated result uses
   the engine's triple schema (minus doc_id), so derived triples compose
   with `kg/graph.py` and can be queried again by `sparql_select`
+* ``BIND(expr AS ?v)`` — a bare-var expr copies the source term, any
+  other expression yields a plain literal in its lexical form
+* ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) .. }`` inline data,
+  joined on the shared vars (at least one required — a disconnected
+  VALUES block would be a cartesian; ``UNDEF`` cells are out of subset)
 * ``ORDER BY [ASC()/DESC()]``, ``LIMIT``, ``OFFSET``
+* Freemarker-style ``${name}`` templates via :func:`bind_template` —
+  the reference's `.sparql` files run with their parameters bound
 
 Out of contract — raise ``SparqlUnsupported`` at parse time
 (degrade-don't-guess, same contract as the RDF parsers): closure paths,
 nested sub-SELECTs (the one reference use,
 `load-imported-triples-stream.sparql`, is DISTINCT+ORDER inside
-LIMIT/OFFSET outside — expressible with plain modifiers), VALUES, BIND,
+LIMIT/OFFSET outside — expressible with plain modifiers), UNDEF,
 MINUS, EXISTS, DESCRIBE, and SPARQL Update (the write side is
 the engine's sinks, COVERAGE.md §2.9).
 
@@ -139,6 +146,18 @@ class Graph:
 class Union_:
     left: tuple
     right: tuple
+
+
+@dataclass(frozen=True)
+class Bind:
+    expr: object
+    var: str
+
+
+@dataclass(frozen=True)
+class Values:
+    vars: tuple  # var names
+    rows: tuple  # tuples of (Iri | Lit)
 
 
 # filter-expression nodes
@@ -480,7 +499,20 @@ class _Parser:
                 while self.accept_kw("union"):
                     u = Union_((u,), self._group_graph_pattern())
                 elements.append(u)
-            elif k == "KW" and v in ("bind", "values", "minus", "service"):
+            elif k == "KW" and v == "bind":
+                self.next()
+                self.expect_op("(")
+                expr = self._expr()
+                self.expect_kw("as")
+                kk, vv = self.next()
+                if kk != "VAR":
+                    raise SparqlError(f"BIND needs AS ?var, got {vv!r}")
+                self.expect_op(")")
+                elements.append(Bind(expr, vv[1:]))
+            elif k == "KW" and v == "values":
+                self.next()
+                elements.append(self._values())
+            elif k == "KW" and v in ("minus", "service"):
                 raise SparqlUnsupported(
                     f"{v.upper()} is out of the supported subset"
                 )
@@ -605,6 +637,52 @@ class _Parser:
             raise SparqlError("a literal cannot be a predicate")
         return t
 
+    def _values(self) -> Values:
+        """VALUES ?v { c... }  |  VALUES (?a ?b) { (c1 c2) ... }.
+        UNDEF marks an unconstrained cell."""
+        if self.accept_op("("):
+            names = []
+            while self.peek()[0] == "VAR":
+                names.append(self.next()[1][1:])
+            self.expect_op(")")
+            if not names:
+                raise SparqlError("empty VALUES variable list")
+            grouped = True
+        else:
+            k, v = self.next()
+            if k != "VAR":
+                raise SparqlError(f"VALUES needs ?var, got {v!r}")
+            names = [v[1:]]
+            grouped = False
+        self.expect_op("{")
+        rows = []
+        while not self.accept_op("}"):
+            if grouped:
+                self.expect_op("(")
+                row = []
+                while not self.accept_op(")"):
+                    row.append(self._values_cell())
+                if len(row) != len(names):
+                    raise SparqlError(
+                        f"VALUES row arity {len(row)} != {len(names)}"
+                    )
+            else:
+                row = [self._values_cell()]
+            rows.append(tuple(row))
+        if not rows:
+            raise SparqlError("empty VALUES block")
+        return Values(tuple(names), tuple(rows))
+
+    def _values_cell(self):
+        k, v = self.peek()
+        if k == "NAME" and v.upper() == "UNDEF":
+            # UNDEF needs match-anything join semantics; out of subset
+            raise SparqlUnsupported("UNDEF in VALUES is out of the subset")
+        t = self._term()
+        if isinstance(t, Var):
+            raise SparqlError("VALUES cells must be constants")
+        return t
+
     def _term(self):
         k, v = self.next()
         if k == "VAR":
@@ -722,6 +800,30 @@ def parse_sparql(text: str) -> Query:
     return _Parser(text).parse()
 
 
+_TEMPLATE_RE = re.compile(r"\$\{\s*([A-Za-z_][A-Za-z0-9_.]*)\s*(\?[^}]*)?\}")
+
+
+def bind_template(text: str, params: dict[str, object]) -> str:
+    """Freemarker-style ``${name}`` substitution — the reference's
+    template mechanism (`SparqlQueryLoad.java` renders
+    `resources/sparql/*.sparql` with `${task.graph}`-style parameters).
+    Dotted names are literal keys (``params["task.graph"]``); Freemarker
+    formatter suffixes (``${limitSize?string.computer}``) are accepted
+    and ignored — every value substitutes as ``str(value)``, raw, exactly
+    like Freemarker's default (so quote/bracket the placeholder in the
+    template, not the value). A missing parameter raises KeyError; the
+    subsequent parse rejects any malformed result, so a bad substitution
+    can't silently change query semantics."""
+
+    def repl(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in params:
+            raise KeyError(f"missing template parameter {name!r}")
+        return str(params[name])
+
+    return _TEMPLATE_RE.sub(repl, text)
+
+
 # --------------------------------------------------------------------------
 # Compiler: AST -> DataFrame
 # --------------------------------------------------------------------------
@@ -795,6 +897,17 @@ class _Compiler:
                 if df is None:
                     raise SparqlError("OPTIONAL before any triple pattern")
                 df, binds = self._left_join(df, binds, el.pattern, graph)
+            elif isinstance(el, Bind):
+                if df is None:
+                    raise SparqlError("BIND before any triple pattern")
+                if el.var in binds:
+                    raise SparqlError(
+                        f"BIND target ?{el.var} is already bound"
+                    )
+                df, binds = self._bind(df, binds, el)
+            elif isinstance(el, Values):
+                vdf, vbinds = self._values_frame(el)
+                df, binds = self._merge(df, binds, vdf, vbinds, how="inner")
             elif isinstance(el, Graph):
                 inner, ibinds = self.compile_pattern(el.pattern, el.term)
                 df, binds = self._merge(df, binds, inner, ibinds, how="inner")
@@ -873,7 +986,15 @@ class _Compiler:
             )
             sel += [
                 F.col("obj_value").alias(cv), F.col("obj_kind").alias(ck),
-                F.col("obj_datatype").alias(cd), F.col("obj_lang").alias(cl),
+                # normalize the RDF 1.1 plain == xsd:string collapse AT
+                # THE BINDING (datatype NULL is the canonical form), so
+                # object-object joins and VALUES cells unify across the
+                # two storage spellings; lang tags compare lowercased
+                F.when(
+                    F.col("obj_datatype") == _XSD_STRING,
+                    F.lit(None).cast("string"),
+                ).otherwise(F.col("obj_datatype")).alias(cd),
+                F.lower(F.col("obj_lang")).alias(cl),
             ]
             binds[tp.o.name] = _Binding(val=cv, kind=ck, datatype=cd, lang=cl)
         if isinstance(graph, Var):
@@ -950,6 +1071,59 @@ class _Compiler:
     def _join_tp(self, df, binds, tp: TriplePattern, graph):
         sdf, sbinds = self._scan_tp(tp, graph)
         return self._merge(df, binds, sdf, sbinds, how="inner")
+
+    def _bind(self, df, binds, el: Bind):
+        """BIND(expr AS ?v): a bare-var expr copies the source term's
+        metadata; any other expression yields a plain literal whose value
+        is the result's lexical (string) form — documented simplification
+        (Spark's cast produces the xsd lexical forms: 'true', '42')."""
+        merged = dict(binds)
+        if isinstance(el.expr, Var):
+            src = _lookup(el.expr, binds)
+            merged[el.var] = src
+            return df, merged
+        # computed literal: pin kind with an explicit constant column
+        # (kind=None would derive bnode/iri from the value text)
+        c, ck = self.fresh("b"), self.fresh("bk")
+        df = df.withColumn(
+            c, _value_col(el.expr, binds, numeric=False).cast("string")
+        ).withColumn(ck, F.lit("literal"))
+        merged[el.var] = _Binding(val=c, kind=ck)
+        return df, merged
+
+    def _values_frame(self, el: Values):
+        """Inline solution table: one (val, kind, datatype, lang) column
+        quad per var, joined into the pattern on the shared vars (the
+        subset requires at least one — a disconnected VALUES block would
+        be a cartesian). UNDEF cells would need match-anything join
+        semantics; out of the subset."""
+        spark = self.triples.sparkSession
+        binds: dict[str, _Binding] = {}
+        cols: list[str] = []
+        for v in el.vars:
+            b = _Binding(
+                val=self.fresh("vv"), kind=self.fresh("vk"),
+                datatype=self.fresh("vd"), lang=self.fresh("vl"),
+            )
+            binds[v] = b
+            cols += [b.val, b.kind, b.datatype, b.lang]
+        rows = []
+        for row in el.rows:
+            flat: list = []
+            for cell in row:
+                if isinstance(cell, Iri):
+                    flat += [cell.value, "iri", None, None]
+                else:  # Lit — same RDF 1.1 normalization as the scans
+                    dt = cell.datatype
+                    if dt == _XSD_STRING:
+                        dt = None
+                    flat += [
+                        cell.value, "literal", dt,
+                        cell.lang.lower() if cell.lang else None,
+                    ]
+            rows.append(tuple(flat))
+        schema = ", ".join(f"{c} string" for c in cols)
+        return spark.createDataFrame(rows, schema), binds
 
     def _left_join(self, df, binds, pattern: tuple, graph):
         inner, ibinds = self.compile_pattern(pattern, graph)

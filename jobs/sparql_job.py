@@ -40,6 +40,11 @@ def main(argv: list[str] | None = None) -> int:
                          "(omit to just print --show rows)")
     ap.add_argument("--show", type=int, default=20,
                     help="rows to print as JSON lines without --output")
+    ap.add_argument("--param", action="append", default=[],
+                    metavar="NAME=VALUE",
+                    help="bind a ${name} template parameter (repeatable; "
+                         "the reference's Freemarker-style .sparql "
+                         "templates run unchanged)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -48,7 +53,7 @@ def main(argv: list[str] | None = None) -> int:
         parse_sources_to_triples,
     )
     from harvesting_validator_spark.sources.synthetic import generate_sources
-    from harvesting_validator_spark.sparql import sparql_select
+    from harvesting_validator_spark.sparql import bind_template, sparql_select
 
     spark = SparkSession.builder.getOrCreate()
 
@@ -57,6 +62,14 @@ def main(argv: list[str] | None = None) -> int:
             query_text = fh.read()
     else:
         query_text = args.query
+    if args.param:
+        params = {}
+        for p in args.param:
+            name, sep, value = p.partition("=")
+            if not sep:
+                ap.error(f"--param needs NAME=VALUE, got {p!r}")
+            params[name] = value
+        query_text = bind_template(query_text, params)
 
     if args.sources.startswith("synthetic:"):
         sources = generate_sources(spark, int(args.sources.split(":", 1)[1]))

@@ -188,8 +188,7 @@ def test_select_star_binds_all_vars(triples):
 @pytest.mark.parametrize(
     "text",
     [
-        "SELECT ?s WHERE { ?s ?p ?o . BIND(1 AS ?x) }",
-        "SELECT ?s WHERE { VALUES ?s { <http://x> } ?s ?p ?o }",
+        "SELECT ?s WHERE { ?s ?p ?o . VALUES ?s { UNDEF } }",
         "SELECT ?s WHERE { { SELECT ?s WHERE { ?s ?p ?o } } }",
         "DESCRIBE <http://x>",
         "SELECT (SUM(?o) AS ?t) WHERE { ?s ?p ?o }",
@@ -390,3 +389,71 @@ def F_lit_binary():
     from pyspark.sql import functions as F
 
     return F.lit(b"\x00")
+
+
+# --- BIND / VALUES / templates -------------------------------------------------
+
+
+def test_bind_copies_term_and_computes_literals(triples):
+    q = """PREFIX ex: <http://ex/>
+           SELECT ?p ?who ?l WHERE {
+             ?p a ex:Person .
+             BIND(?p AS ?who)
+             BIND(strlen(str(?p)) AS ?l)
+             FILTER isIRI(?who)
+           } ORDER BY ?p"""
+    assert rows(sparql_select(triples, q)) == [
+        ("http://ex/Alice", "http://ex/Alice", "15"),
+        ("http://ex/Bob", "http://ex/Bob", "13"),
+    ]
+    with pytest.raises(SparqlError, match="already bound"):
+        sparql_select(triples, "SELECT ?s WHERE { ?s ?p ?o . BIND(1 AS ?s) }")
+
+
+def test_values_single_and_grouped(triples):
+    q = """PREFIX ex: <http://ex/>
+           SELECT ?s ?v WHERE {
+             ?s ex:ssn ?v .
+             VALUES ?s { <http://ex/Alice> <http://ex/Nobody> }
+           }"""
+    assert rows(sparql_select(triples, q)) == [
+        ("http://ex/Alice", "123-45-6789"),
+    ]
+    # grouped form constrains tuples, and a plain VALUES literal matches
+    # the stored xsd:string-typed twin (RDF 1.1 normalization at the join)
+    q2 = """PREFIX ex: <http://ex/>
+            SELECT ?s WHERE {
+              ?s ex:ssn ?v .
+              VALUES (?s ?v) { (<http://ex/Bob> "123-45-6789") }
+            }"""
+    assert rows(sparql_select(triples, q2)) == [("http://ex/Bob",)]
+
+
+def test_plain_and_xsd_string_objects_unify_in_joins(triples):
+    # Alice's ssn is plain, Bob's is ^^xsd:string — same RDF 1.1 term
+    q = """PREFIX ex: <http://ex/>
+           SELECT ?a ?b WHERE {
+             ?a ex:ssn ?v . ?b ex:ssn ?v . FILTER(?a < ?b)
+           }"""
+    assert rows(sparql_select(triples, q)) == [
+        ("http://ex/Alice", "http://ex/Bob"),
+    ]
+
+
+def test_bind_template_reference_shape():
+    from harvesting_validator_spark.sparql import bind_template
+
+    text = ("select ?path where { <${source}> "
+            "<http://redpencil.data.gift/vocabularies/tasks/hasFile> ?file. "
+            "?file <http://www.w3.org/ns/prov#wasDerivedFrom> "
+            "<${derivedFrom}>. } limit ${limitSize?string.computer}")
+    out = bind_template(text, {
+        "source": "http://x/container1",
+        "derivedFrom": "http://x/page",
+        "limitSize": 100,
+    })
+    assert "<http://x/container1>" in out and "limit 100" in out
+    q = parse_sparql(out)
+    assert q.limit == 100
+    with pytest.raises(KeyError, match="derivedFrom"):
+        bind_template(text, {"source": "s", "limitSize": 1})
