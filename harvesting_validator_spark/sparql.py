@@ -898,8 +898,6 @@ class _Compiler:
                     raise SparqlError("OPTIONAL before any triple pattern")
                 df, binds = self._left_join(df, binds, el.pattern, graph)
             elif isinstance(el, Bind):
-                if df is None:
-                    raise SparqlError("BIND before any triple pattern")
                 if el.var in binds:
                     raise SparqlError(
                         f"BIND target ?{el.var} is already bound"
@@ -1074,17 +1072,51 @@ class _Compiler:
 
     def _bind(self, df, binds, el: Bind):
         """BIND(expr AS ?v): a bare-var expr copies the source term's
-        metadata; any other expression yields a plain literal whose value
-        is the result's lexical (string) form — documented simplification
-        (Spark's cast produces the xsd lexical forms: 'true', '42')."""
+        metadata; a constant IRI/literal keeps its term kind (the
+        reference's `load-task.sparql` opens with `BIND(<iri> AS ?task)`
+        and joins ?task as a subject — kind must say 'iri'); any other
+        expression yields a plain literal whose value is the result's
+        lexical (string) form — documented simplification (Spark's cast
+        produces the xsd lexical forms: 'true', '42').
+
+        A leading BIND extends the unit table (SPARQL algebra: the GGP
+        starts from one empty solution)."""
         merged = dict(binds)
         if isinstance(el.expr, Var):
-            src = _lookup(el.expr, binds)
-            merged[el.var] = src
+            merged[el.var] = _lookup(el.expr, binds)
+            return df, merged
+        if df is None:
+            df = self.triples.sparkSession.range(1).select(
+                F.lit(1).alias(self.fresh("unit"))
+            )
+        c, ck = self.fresh("b"), self.fresh("bk")
+        if isinstance(el.expr, Iri):
+            df = df.withColumn(c, F.lit(el.expr.value)).withColumn(
+                ck, F.lit("iri")
+            )
+            merged[el.var] = _Binding(val=c, kind=ck)
+            return df, merged
+        if isinstance(el.expr, Lit):
+            cd, cl = self.fresh("bd"), self.fresh("bl")
+            dt = el.expr.datatype
+            df = (
+                df.withColumn(c, F.lit(el.expr.value))
+                .withColumn(ck, F.lit("literal"))
+                .withColumn(
+                    cd,
+                    F.lit(None if dt == _XSD_STRING else dt).cast("string"),
+                )
+                .withColumn(
+                    cl,
+                    F.lit(
+                        el.expr.lang.lower() if el.expr.lang else None
+                    ).cast("string"),
+                )
+            )
+            merged[el.var] = _Binding(val=c, kind=ck, datatype=cd, lang=cl)
             return df, merged
         # computed literal: pin kind with an explicit constant column
         # (kind=None would derive bnode/iri from the value text)
-        c, ck = self.fresh("b"), self.fresh("bk")
         df = df.withColumn(
             c, _value_col(el.expr, binds, numeric=False).cast("string")
         ).withColumn(ck, F.lit("literal"))
