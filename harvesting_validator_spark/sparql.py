@@ -221,7 +221,7 @@ _TOKEN_RE = re.compile(
     | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<NUMBER>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().,;=<>!*:/|^])
+    | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().,;=<>!*:/|^+?])
     """,
     re.X,
 )
@@ -376,16 +376,9 @@ class _Parser:
         q = Query(form="construct", projection=[])
         self.expect_op("{")
         while not self.accept_op("}"):
-            for el in self._triples_block():
-                if not isinstance(el, TriplePattern) or any(
-                    isinstance(t, Var) and t.name.startswith("__path_")
-                    for t in (el.s, el.p, el.o)
-                ):
-                    raise SparqlError(
-                        "property paths are not allowed in a CONSTRUCT "
-                        "template"
-                    )
-                q.template.append(el)
+            # template=True: Verb grammar only — a path operator (^ / |)
+            # errors here instead of silently desugaring into the template
+            q.template.extend(self._triples_block(template=True))
             self.accept_op(".")
         if not q.template:
             raise SparqlError("empty CONSTRUCT template")
@@ -526,11 +519,13 @@ class _Parser:
             self.accept_op(".")
         return tuple(elements)
 
-    def _triples_block(self) -> list:
+    def _triples_block(self, template: bool = False) -> list:
+        """template=True parses CONSTRUCT-template triples: the grammar
+        there allows only Verb (IRI / var / `a`), never path expressions."""
         subj = self._term()
         out: list = []
         while True:
-            path = self._path()
+            path = self._verb() if template else self._path()
             while True:
                 out.extend(self._expand_path(subj, path, self._term()))
                 if not self.accept_op(","):
@@ -595,11 +590,14 @@ class _Parser:
             else:
                 raise SparqlError(f"a path step must be an IRI, got {t!r}")
         k, v = self.peek()
-        if k == "OP" and v == "*":
+        if k == "OP" and v in ("*", "+", "?"):
             raise SparqlUnsupported(
                 "closure paths (* + ?) in query position are out of the "
                 "subset"
             )
+        if inverse and isinstance(inner, Var):
+            # ^(?v) — the parenthesized spelling of an invalid var step
+            raise SparqlError("a variable cannot be a path step")
         return ("inv", inner) if inverse else inner
 
     def _fresh_path_var(self) -> Var:
@@ -905,7 +903,7 @@ class _Compiler:
                 df, binds = self._bind(df, binds, el)
             elif isinstance(el, Values):
                 vdf, vbinds = self._values_frame(el)
-                df, binds = self._merge(df, binds, vdf, vbinds, how="inner")
+                df, binds = self._merge_values(df, binds, vdf, vbinds)
             elif isinstance(el, Graph):
                 inner, ibinds = self.compile_pattern(el.pattern, el.term)
                 df, binds = self._merge(df, binds, inner, ibinds, how="inner")
@@ -1116,10 +1114,16 @@ class _Compiler:
             merged[el.var] = _Binding(val=c, kind=ck, datatype=cd, lang=cl)
             return df, merged
         # computed literal: pin kind with an explicit constant column
-        # (kind=None would derive bnode/iri from the value text)
-        df = df.withColumn(
-            c, _value_col(el.expr, binds, numeric=False).cast("string")
-        ).withColumn(ck, F.lit("literal"))
+        # (kind=None would derive bnode/iri from the value text).
+        # Boolean expressions evaluate via the filter compiler — Spark's
+        # string cast yields the xsd lexical forms 'true'/'false'
+        if isinstance(el.expr, (Cmp, BoolOp, Not)):
+            val = _expr_col(el.expr, binds)
+        else:
+            val = _value_col(el.expr, binds, numeric=False)
+        df = df.withColumn(c, val.cast("string")).withColumn(
+            ck, F.lit("literal")
+        )
         merged[el.var] = _Binding(val=c, kind=ck)
         return df, merged
 
@@ -1156,6 +1160,57 @@ class _Compiler:
             rows.append(tuple(flat))
         schema = ", ".join(f"{c} string" for c in cols)
         return spark.createDataFrame(rows, schema), binds
+
+    def _merge_values(self, df, binds, vdf, vbinds):
+        """Join the inline VALUES table with SPARQL join COMPATIBILITY:
+        a solution whose shared var is UNBOUND (e.g. bound only inside an
+        OPTIONAL) is compatible with every row and adopts the row's
+        value — a plain equijoin would silently drop it. The VALUES side
+        is a constant handful of rows, so the OR-isNull condition's
+        nested-loop join is broadcast and per-row cheap."""
+        if df is None:
+            return vdf, dict(vbinds)
+        shared = [v for v in vbinds if v in binds]
+        if not shared:
+            raise SparqlUnsupported(
+                "VALUES must share at least one variable with the pattern"
+            )
+        cond = F.lit(True)
+        for v in shared:
+            a, b = binds[v], vbinds[v]
+            if a.is_graph:
+                raise SparqlUnsupported("VALUES on a graph variable")
+            term_eq = (
+                (F.col(a.val) == F.col(b.val))
+                & (a.kind_col() == b.kind_col())
+                & a.datatype_col().eqNullSafe(b.datatype_col())
+                & a.lang_col().eqNullSafe(b.lang_col())
+            )
+            cond = cond & (F.col(a.val).isNull() | term_eq)
+        out = df.join(F.broadcast(vdf), on=cond, how="inner")
+        merged = dict(binds)
+        for v, b in vbinds.items():
+            if v not in merged:
+                merged[v] = b
+        # shared vars re-bind to the compatibility merge (left if bound,
+        # else the VALUES row), term metadata following the same rule.
+        # Superseded columns are kept — another binding may alias them
+        # (BIND var-copy); the final projection discards them anyway.
+        for v in shared:
+            a, b = binds[v], vbinds[v]
+            unbound = F.col(a.val).isNull()
+            nv, nk, nd, nl = (
+                self.fresh("mv"), self.fresh("mk"),
+                self.fresh("md"), self.fresh("ml"),
+            )
+            out = (
+                out.withColumn(nv, F.when(unbound, F.col(b.val)).otherwise(F.col(a.val)))
+                .withColumn(nk, F.when(unbound, b.kind_col()).otherwise(a.kind_col()))
+                .withColumn(nd, F.when(unbound, b.datatype_col()).otherwise(a.datatype_col()))
+                .withColumn(nl, F.when(unbound, b.lang_col()).otherwise(a.lang_col()))
+            )
+            merged[v] = _Binding(val=nv, kind=nk, datatype=nd, lang=nl)
+        return out, merged
 
     def _left_join(self, df, binds, pattern: tuple, graph):
         inner, ibinds = self.compile_pattern(pattern, graph)
@@ -1348,8 +1403,15 @@ def _construct_frame(
 
     Spec semantics (SPARQL 16.2): an instantiation producing an invalid
     RDF triple (unbound var, literal subject, non-IRI predicate) is
-    SKIPPED, not an error — hence the per-template row filters."""
-    frames = []
+    SKIPPED, not an error — hence the per-template keep flags.
+
+    All template triples instantiate in ONE pass over the solution frame
+    (array-of-structs + explode), so the WHERE plan evaluates exactly
+    once: N templates never rescan the corpus N times, and a LIMIT-sliced
+    solution set instantiates every template from the SAME rows (separate
+    per-template scans could slice differently — an internally
+    inconsistent derived graph)."""
+    structs = []
     for tp in template:
         cond = F.lit(True)
 
@@ -1387,24 +1449,31 @@ def _construct_frame(
         elif isinstance(tp.o, Iri):
             oval, okind = F.lit(tp.o.value), F.lit("iri")
             odt, olang = _TEMPLATE_NULL(), _TEMPLATE_NULL()
-        else:  # Lit
+        else:  # Lit — same RDF 1.1 canonical spelling as every binding
             oval, okind = F.lit(tp.o.value), F.lit("literal")
-            odt = F.lit(tp.o.datatype) if tp.o.datatype else _TEMPLATE_NULL()
-            olang = F.lit(tp.o.lang) if tp.o.lang else _TEMPLATE_NULL()
+            dt = None if tp.o.datatype == _XSD_STRING else tp.o.datatype
+            odt = F.lit(dt).cast("string")
+            olang = (
+                F.lit(tp.o.lang.lower()) if tp.o.lang else _TEMPLATE_NULL()
+            )
 
-        frames.append(
-            df.filter(cond).select(
-                sval.alias("subj"),
-                pval.alias("pred"),
-                oval.alias("obj_value"),
-                okind.alias("obj_kind"),
-                odt.alias("obj_datatype"),
-                olang.alias("obj_lang"),
+        structs.append(
+            F.struct(
+                sval.cast("string").alias("subj"),
+                pval.cast("string").alias("pred"),
+                oval.cast("string").alias("obj_value"),
+                okind.cast("string").alias("obj_kind"),
+                odt.cast("string").alias("obj_datatype"),
+                olang.cast("string").alias("obj_lang"),
+                cond.alias("__keep"),
             )
         )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
+    out = (
+        df.select(F.explode(F.array(*structs)).alias("__t"))
+        .select("__t.*")
+        .filter(F.col("__keep"))
+        .drop("__keep")
+    )
     return out.dropDuplicates(
         ["subj", "pred", "obj_value", "obj_kind", "obj_datatype", "obj_lang"]
     )
@@ -1455,9 +1524,10 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
     # grouping expression would force a fresh corpus-wide shuffle.
     if q.group_by and not aggs:
         # grouping with no aggregates: one row per group. Expressible as
-        # DISTINCT over the keys only when the projection IS the key set;
-        # a strict subset would need the group structure — out of subset.
-        if [v.name for v in plain] != [v.name for v in q.group_by]:
+        # DISTINCT over the keys only when the projection IS the key set
+        # (any order); a strict subset would need the group structure —
+        # out of subset.
+        if {v.name for v in plain} != {v.name for v in q.group_by}:
             raise SparqlUnsupported(
                 "GROUP BY without aggregates requires the projection to "
                 "equal the group keys"

@@ -457,3 +457,84 @@ def test_bind_template_reference_shape():
     assert q.limit == 100
     with pytest.raises(KeyError, match="derivedFrom"):
         bind_template(text, {"source": "s", "limitSize": 1})
+
+
+# --- second review wave regressions --------------------------------------------
+
+
+def test_values_join_compatibility_with_optional(triples):
+    # Bob has no worksFor: ?co is unbound for him, which per SPARQL join
+    # compatibility is COMPATIBLE with every VALUES row (and adopts its
+    # value) — an equijoin would silently drop Bob
+    q = """PREFIX ex: <http://ex/>
+           SELECT ?p ?co WHERE {
+             ?p a ex:Person .
+             OPTIONAL { ?p ex:worksFor ?co }
+             VALUES ?co { <http://ex/Acme> }
+           } ORDER BY ?p"""
+    assert rows(sparql_select(triples, q)) == [
+        ("http://ex/Alice", "http://ex/Acme"),
+        ("http://ex/Bob", "http://ex/Acme"),
+    ]
+
+
+def test_construct_single_pass_with_limit(triples):
+    # both template triples must instantiate from the SAME solution slice
+    q = """PREFIX ex: <http://ex/>
+           CONSTRUCT { ?p ex:tag "x" . ?p a ex:Tagged }
+           WHERE { ?p a ex:Person } LIMIT 1"""
+    got = [tuple(r) for r in sparql_select(triples, q).collect()]
+    subjects = {r[0] for r in got}
+    assert len(got) == 2 and len(subjects) == 1  # one person, two triples
+
+
+def test_construct_template_rejects_paths(triples):
+    with pytest.raises(SparqlError):
+        parse_sparql(
+            "PREFIX ex: <http://ex/> "
+            "CONSTRUCT { ?p ^ex:worksFor ?c } WHERE { ?p ex:worksFor ?c }"
+        )
+    with pytest.raises(SparqlError):
+        parse_sparql(
+            "PREFIX ex: <http://ex/> "
+            "CONSTRUCT { ?p ex:a/ex:b ?c } WHERE { ?p ex:worksFor ?c }"
+        )
+
+
+def test_closure_paths_raise_unsupported_not_tokenize_error():
+    for op in ("*", "+", "?"):
+        with pytest.raises(SparqlUnsupported):
+            parse_sparql(f"SELECT ?x WHERE {{ ?x <http://x/p>{op} ?y }}")
+
+
+def test_parenthesized_var_path_step_rejected():
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT ?x WHERE { ?x ^(?v) ?y }")
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT ?x WHERE { ?x (?v)/<http://x/q> ?y }")
+
+
+def test_group_by_no_agg_any_key_order(triples):
+    q = """PREFIX ex: <http://ex/>
+           SELECT ?s ?t WHERE { ?s a ?t } GROUP BY ?t ?s ORDER BY ?s"""
+    assert len(rows(sparql_select(triples, q))) == 3
+
+
+def test_construct_constant_xsd_string_normalized(triples):
+    # a ^^xsd:string template constant must dedup against the var-derived
+    # plain spelling (both canonicalize to datatype NULL)
+    q = """PREFIX ex: <http://ex/>
+           PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+           CONSTRUCT { ?s ex:ssn2 "123-45-6789"^^xsd:string .
+                       ?s ex:ssn2 ?v }
+           WHERE { ?s ex:ssn ?v . FILTER(?s = <http://ex/Alice>) }"""
+    got = sparql_select(triples, q).collect()
+    assert len(got) == 1 and got[0]["obj_datatype"] is None
+
+
+def test_bind_boolean_expression(triples):
+    q = """PREFIX ex: <http://ex/>
+           SELECT ?p ?adult WHERE {
+             ?p ex:age ?a . BIND(?a >= 18 AS ?adult)
+           }"""
+    assert rows(sparql_select(triples, q)) == [("http://ex/Bob", "true")]
