@@ -12,8 +12,10 @@ Supported subset (everything the reference templates' READ side uses,
 plus the core of SPARQL 1.1 SELECT):
 
 * prologue ``PREFIX`` declarations; ``a`` for rdf:type
-* ``SELECT [DISTINCT] ?v ... | * | (COUNT([DISTINCT] ?v|*) AS ?alias)``
-  with ``GROUP BY`` when vars and aggregates mix
+* ``SELECT [DISTINCT] ?v ... | * | (AGG(...) AS ?alias)`` — aggregates
+  COUNT([DISTINCT] ?v|*), SUM/SUM DISTINCT, AVG, MIN, MAX (sum/avg
+  numeric in DECIMAL, min/max lexical over the value strings) — with
+  ``GROUP BY`` when vars and aggregates mix
 * ``ASK``
 * basic graph patterns with ``;`` / ``,`` predicate-object lists
 * ``GRAPH ?var { ... }`` / ``GRAPH <urn:doc:HEX> { ... }`` — the engine's
@@ -391,20 +393,30 @@ class _Parser:
             )
         return q
 
+    _AGG_FNS = {"count", "sum", "min", "max", "avg"}
+
     def _agg_projection(self) -> Agg:
         self.expect_op("(")
-        if not self.accept_kw("count"):
+        k, v = self.next()
+        fn = v.lower()
+        if not (
+            (k == "KW" and fn == "count")
+            or (k == "NAME" and fn in self._AGG_FNS)
+        ):
             raise SparqlUnsupported(
-                "only COUNT aggregates are in the supported subset"
+                f"aggregate {v!r} is not in the subset "
+                "(COUNT/SUM/MIN/MAX/AVG)"
             )
         self.expect_op("(")
         distinct = bool(self.accept_kw("distinct"))
         if self.accept_op("*"):
+            if fn != "count":
+                raise SparqlError(f"{fn.upper()}(*) is not valid SPARQL")
             arg = None
         else:
             k, v = self.next()
             if k != "VAR":
-                raise SparqlError(f"COUNT needs ?var or *, got {v!r}")
+                raise SparqlError(f"{fn.upper()} needs ?var, got {v!r}")
             arg = Var(v[1:])
         self.expect_op(")")
         self.expect_kw("as")
@@ -412,7 +424,7 @@ class _Parser:
         if k != "VAR":
             raise SparqlError(f"AS needs ?alias, got {v!r}")
         self.expect_op(")")
-        return Agg(fn="count", distinct=distinct, arg=arg, alias=v[1:])
+        return Agg(fn=fn, distinct=distinct, arg=arg, alias=v[1:])
 
     def _modifiers(self, q: Query) -> None:
         if self.accept_kw("group"):
@@ -1545,11 +1557,30 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
                 c = F.count(F.lit(1))
                 if a.distinct:
                     raise SparqlUnsupported("COUNT(DISTINCT *) is not supported")
-            else:
+            elif a.fn == "count":
                 # count on the raw column: hexing is injective, so the
                 # (distinct) counts are identical and the narrow form wins
                 src = F.col(_lookup(a.arg, binds).val)
                 c = F.count_distinct(src) if a.distinct else F.count(src)
+            elif a.fn in ("sum", "avg"):
+                # numeric aggregation in DECIMAL (engine-wide fp
+                # discipline); non-numeric values cast to NULL and are
+                # skipped — a documented simplification of the spec's
+                # type-error propagation
+                src = _lookup(a.arg, binds).display_col().cast(
+                    "decimal(38,12)"
+                )
+                if a.fn == "sum":
+                    c = F.sum_distinct(src) if a.distinct else F.sum(src)
+                else:
+                    if a.distinct:
+                        raise SparqlUnsupported(
+                            "AVG(DISTINCT) is not in the subset"
+                        )
+                    c = F.avg(src)
+            else:  # min / max — lexical order over the value strings
+                src = _lookup(a.arg, binds).display_col()
+                c = F.min(src) if a.fn == "min" else F.max(src)
             agg_cols.append(c.alias(a.alias))
         key_binds = {v.name: _lookup(v, binds) for v in keys}
         key_cols = [F.col(b.val).alias(n) for n, b in key_binds.items()]

@@ -191,7 +191,7 @@ def test_select_star_binds_all_vars(triples):
         "SELECT ?s WHERE { ?s ?p ?o . VALUES ?s { UNDEF } }",
         "SELECT ?s WHERE { { SELECT ?s WHERE { ?s ?p ?o } } }",
         "DESCRIBE <http://x>",
-        "SELECT (SUM(?o) AS ?t) WHERE { ?s ?p ?o }",
+        "SELECT (SAMPLE(?o) AS ?t) WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { ?s ?p ?o MINUS { ?s a ?t } }",
         "SELECT ?s WHERE { ?s <http://x>* ?o }",  # closure path
     ],
@@ -538,3 +538,25 @@ def test_bind_boolean_expression(triples):
              ?p ex:age ?a . BIND(?a >= 18 AS ?adult)
            }"""
     assert rows(sparql_select(triples, q)) == [("http://ex/Bob", "true")]
+
+
+def test_sum_min_max_avg_aggregates(triples):
+    # numeric SUM/AVG over the int-typed ages; lexical MIN over ssn
+    q = """PREFIX ex: <http://ex/>
+           SELECT (SUM(?a) AS ?total) (AVG(?a) AS ?mean)
+                  (MIN(?a) AS ?lo) (MAX(?a) AS ?hi)
+           WHERE { ?p ex:age ?a }"""
+    row = sparql_select(triples, q).collect()[0]
+    assert float(row["total"]) == 42.0 and float(row["mean"]) == 42.0
+    assert row["lo"] == "42" and row["hi"] == "42"
+    q2 = """PREFIX ex: <http://ex/>
+            SELECT ?t (SUM(?a) AS ?s) WHERE {
+              ?p a ?t . OPTIONAL { ?p ex:age ?a }
+            } GROUP BY ?t ORDER BY ?t"""
+    got = rows(sparql_select(triples, q2))
+    assert got[0][0] == "http://ex/Company" and got[0][1] is None
+    assert got[1][0] == "http://ex/Person" and float(got[1][1]) == 42.0
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT (SUM(*) AS ?t) WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlUnsupported):
+        parse_sparql("SELECT (GROUP_CONCAT(?o) AS ?t) WHERE { ?s ?p ?o }")
