@@ -18,6 +18,12 @@ lines plus a one-line summary either way. Parse errors in the corpus
 never fail the job: malformed docs contribute no triples (the engine's
 degrade-don't-crash parse contract), and their count is reported in the
 summary line so silent data loss is visible.
+
+--canonical runs the FULL construction pipeline first (SHACL conformance
+gate -> entity linking -> union-find -> deduplicated canonical graph)
+and queries THAT — harvest, validate, construct, and query in one
+spark-submit. ${name} template parameters bind with repeatable --param
+flags (the reference's Freemarker .sparql files run unchanged).
 """
 
 from __future__ import annotations
@@ -45,6 +51,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="bind a ${name} template parameter (repeatable; "
                          "the reference's Freemarker-style .sparql "
                          "templates run unchanged)")
+    ap.add_argument("--canonical", action="store_true",
+                    help="query the CONSTRUCTED canonical graph instead "
+                         "of the raw parsed triples: conforming docs -> "
+                         "entity linking -> union-find -> deduplicated "
+                         "(s,p,o) graph, then the query runs over it "
+                         "(no GRAPH clauses — provenance is dropped by "
+                         "the canonical dedup)")
+    ap.add_argument("--shapes", default=None,
+                    help="with --canonical: SHACL profile turtle file "
+                         "(default: the reference application profile)")
+    ap.add_argument("--blocking", default="minhash",
+                    choices=["minhash", "key"],
+                    help="with --canonical: candidate blocking strategy")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -76,6 +95,36 @@ def main(argv: list[str] | None = None) -> int:
     else:
         sources = spark.read.parquet(args.sources)
 
+    if args.canonical:
+        from harvesting_validator_spark.plans.pipeline import (
+            run_kg_construction,
+        )
+        from harvesting_validator_spark.sources.synthetic import (
+            APPLICATION_PROFILE,
+        )
+
+        if args.shapes:
+            with open(args.shapes) as fh:
+                shapes_turtle = fh.read()
+        else:
+            shapes_turtle = APPLICATION_PROFILE
+        kg = run_kg_construction(
+            spark, sources, shapes_turtle, blocking=args.blocking
+        )
+        try:
+            result = sparql_select(kg.graph, query_text)
+            n = _emit(spark, result, args)
+            summary = {
+                "mode": "sparql-canonical",
+                "solutions": n,
+                "parse_errors": kg.validation.parse_errors.count(),
+                "output": args.output,
+            }
+        finally:
+            kg.cleanup()
+        print(json.dumps(summary))
+        return 0
+
     # persist the parsed triples: the solution count, the row print, and
     # the error count otherwise each re-run the (expensive) corpus parse
     triples, errors, parsed = parse_sources_to_triples(
@@ -85,16 +134,7 @@ def main(argv: list[str] | None = None) -> int:
     try:
         parsed.count()  # full-width materialization (CLAUDE.md invariant)
         result = sparql_select(triples, query_text)
-
-        if args.output:
-            result.write.mode("overwrite").parquet(args.output)
-            n = spark.read.parquet(args.output).count()
-        else:
-            rows = result.limit(args.show).collect()
-            for r in rows:
-                print(json.dumps(r.asDict(), default=str))
-            n = result.count()
-
+        n = _emit(spark, result, args)
         print(json.dumps({
             "mode": "sparql",
             "solutions": n,
@@ -104,6 +144,17 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         parsed.unpersist()
     return 0
+
+
+def _emit(spark, result, args) -> int:
+    """Materialize the solutions (parquet or JSON lines) and count them
+    BEFORE any pipeline caches are released."""
+    if args.output:
+        result.write.mode("overwrite").parquet(args.output)
+        return spark.read.parquet(args.output).count()
+    for r in result.limit(args.show).collect():
+        print(json.dumps(r.asDict(), default=str))
+    return result.count()
 
 
 if __name__ == "__main__":

@@ -449,3 +449,30 @@ def test_sparql_bgp_reuses_single_doc_id_exchange(spark):
             t.unpersist()
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_sparql_values_broadcasts_constant_table(spark):
+    """The VALUES join-compatibility condition (val IS NULL OR term
+    equality) is not an equijoin, so Spark plans a nested-loop join —
+    acceptable ONLY as a broadcast of the constant inline table, never a
+    CartesianProduct over the corpus."""
+    from harvesting_validator_spark.sources.rdf_parse import (
+        parse_sources_to_triples,
+    )
+    from harvesting_validator_spark.sources.synthetic import generate_sources
+    from harvesting_validator_spark.sparql import sparql_select
+
+    t = parse_sources_to_triples(
+        generate_sources(spark, 50), repartition_by_doc=True
+    )
+    df = sparql_select(t, """
+        PREFIX ex: <http://example.com/ns#>
+        SELECT ?p ?co WHERE {
+          GRAPH ?g { ?p a ex:Person .
+                     OPTIONAL { ?p ex:worksFor ?co } }
+          VALUES ?co { <http://example.com/ns#NoSuchCompany> }
+        }""")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan
+    assert df.count() == 50  # all persons: unbound ?co is compatible

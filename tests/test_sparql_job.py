@@ -12,8 +12,11 @@ def _run(capsys, *argv) -> tuple[dict, list[dict]]:
     assert sparql_main(list(argv)) == 0
     out = capsys.readouterr().out.splitlines()
     rows = [json.loads(l) for l in out if l.startswith("{")]
-    summary = next(r for r in reversed(rows) if r.get("mode") == "sparql")
-    return summary, [r for r in rows if r.get("mode") != "sparql"]
+    summary = next(
+        r for r in reversed(rows)
+        if str(r.get("mode", "")).startswith("sparql")
+    )
+    return summary, [r for r in rows if r is not summary]
 
 
 def test_sparql_job_inline_query(spark, capsys):
@@ -51,3 +54,21 @@ def test_sparql_job_file_query_and_parquet_output(spark, tmp_path, capsys):
     assert df.columns == ["g", "n"]
     # closed form: per-doc triples 2/3/4 for base/mode-8/mode-9 docs
     assert df.agg({"n": "sum"}).collect()[0][0] == 30 * 2 + 3 + 3 * 2
+
+
+def test_sparql_job_canonical_mode(spark, capsys):
+    summary, rows = _run(
+        capsys,
+        "--sources", "synthetic:30",
+        "--canonical",
+        "--query",
+        "PREFIX ex: <http://example.com/ns#> "
+        "SELECT ?s ?ssn WHERE { ?s a ex:Person ; ex:ssn ?ssn }",
+        "--show", "40",
+    )
+    assert summary["mode"] == "sparql-canonical"
+    assert summary["parse_errors"] == 0
+    # 21 conforming docs (modes 0-6, 3 docs each) survive the conformance
+    # gate; canonicalization dedups identical (s,p,o) rows, and every
+    # conforming person keeps exactly one ssn triple
+    assert summary["solutions"] == 21
