@@ -84,6 +84,16 @@ ex:PersonShape
 """
 
 
+def profile_text(path: str | None) -> str:
+    """Job-entrypoint helper: a SHACL profile file's text, or the
+    reference application profile when no path is given (shared by
+    validate_job and sparql_job so profile resolution can't diverge)."""
+    if path:
+        with open(path) as fh:
+            return fh.read()
+    return APPLICATION_PROFILE
+
+
 def golden_sources(spark: SparkSession) -> DataFrame:
     rows = [
         ("repo0", f"data/pages/{name}.ttl", f"commit-{name}", "turtle", text)

@@ -13,8 +13,10 @@ plus the core of SPARQL 1.1 SELECT):
 
 * prologue ``PREFIX`` declarations; ``a`` for rdf:type
 * ``SELECT [DISTINCT] ?v ... | * | (AGG(...) AS ?alias)`` — aggregates
-  COUNT([DISTINCT] ?v|*), SUM/SUM DISTINCT, AVG, MIN, MAX (sum/avg
-  numeric in DECIMAL, min/max lexical over the value strings) — with
+  COUNT([DISTINCT] ?v|*), SUM, AVG, MIN, MAX (sum/avg numeric in
+  DECIMAL, NULL over empty/all-null groups rather than the spec's
+  Sum({})=0; min/max lexical over the value strings; DISTINCT only with
+  COUNT — it dedups terms, which sum/avg post-cast cannot) — with
   ``GROUP BY`` when vars and aggregates mix
 * ``ASK``
 * basic graph patterns with ``;`` / ``,`` predicate-object lists
@@ -73,9 +75,10 @@ Semantics notes (documented simplifications, asserted by tests):
 Scale: each triple pattern compiles to a constant-position filter over
 the (already cached, doc_id-partitioned) triples frame — predicate
 constants prune before any join, exactly what a 100-TB BGP needs; joins
-are hash equi-joins on the shared-variable keys (never BNLJ — the
-no-Cartesian plan guard covers the registered queries); aggregates are
-map-side-combined groupBys.
+are hash equi-joins on the shared-variable keys (the one exception is
+VALUES, whose join-compatibility condition nest-loops against the
+BROADCAST constant inline table — plan-guarded; never a corpus
+CartesianProduct); aggregates are map-side-combined groupBys.
 """
 
 from __future__ import annotations
@@ -409,6 +412,12 @@ class _Parser:
             )
         self.expect_op("(")
         distinct = bool(self.accept_kw("distinct"))
+        if distinct and fn != "count":
+            # DISTINCT dedups TERMS; sum/avg would dedup post-cast
+            # numerics (wrong) — only COUNT(DISTINCT) is in the subset
+            raise SparqlUnsupported(
+                f"{fn.upper()}(DISTINCT) is not in the subset"
+            )
         if self.accept_op("*"):
             if fn != "count":
                 raise SparqlError(f"{fn.upper()}(*) is not valid SPARQL")
@@ -808,6 +817,24 @@ def _unescape(s: str) -> str:
 def parse_sparql(text: str) -> Query:
     """Parse a SPARQL SELECT/ASK string into the subset AST."""
     return _Parser(text).parse()
+
+
+def uses_graph_clause(q: Query) -> bool:
+    """True when the query's pattern contains a GRAPH group — callers
+    querying a doc_id-less frame (the canonical graph) reject such
+    queries up front instead of dying mid-plan on the missing column."""
+
+    def walk(elements: tuple) -> bool:
+        for el in elements:
+            if isinstance(el, Graph):
+                return True
+            if isinstance(el, Optional_) and walk(el.pattern):
+                return True
+            if isinstance(el, Union_) and (walk(el.left) or walk(el.right)):
+                return True
+        return False
+
+    return walk(q.pattern)
 
 
 _TEMPLATE_RE = re.compile(r"\$\{\s*([A-Za-z_][A-Za-z0-9_.]*)\s*(\?[^}]*)?\}")
@@ -1565,19 +1592,13 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
             elif a.fn in ("sum", "avg"):
                 # numeric aggregation in DECIMAL (engine-wide fp
                 # discipline); non-numeric values cast to NULL and are
-                # skipped — a documented simplification of the spec's
-                # type-error propagation
+                # skipped, and an empty/all-null group yields NULL
+                # (unbound) rather than the spec's Sum({})=0 — documented
+                # simplifications of the spec's type-error propagation
                 src = _lookup(a.arg, binds).display_col().cast(
                     "decimal(38,12)"
                 )
-                if a.fn == "sum":
-                    c = F.sum_distinct(src) if a.distinct else F.sum(src)
-                else:
-                    if a.distinct:
-                        raise SparqlUnsupported(
-                            "AVG(DISTINCT) is not in the subset"
-                        )
-                    c = F.avg(src)
+                c = F.sum(src) if a.fn == "sum" else F.avg(src)
             else:  # min / max — lexical order over the value strings
                 src = _lookup(a.arg, binds).display_col()
                 c = F.min(src) if a.fn == "min" else F.max(src)

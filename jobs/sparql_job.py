@@ -61,10 +61,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--shapes", default=None,
                     help="with --canonical: SHACL profile turtle file "
                          "(default: the reference application profile)")
-    ap.add_argument("--blocking", default="minhash",
+    ap.add_argument("--blocking", default=None,
                     choices=["minhash", "key"],
-                    help="with --canonical: candidate blocking strategy")
+                    help="with --canonical: candidate blocking strategy "
+                         "(default minhash)")
     args = ap.parse_args(argv)
+    if not args.canonical and (args.shapes or args.blocking):
+        ap.error("--shapes/--blocking only apply with --canonical")
 
     from pyspark.sql import SparkSession
 
@@ -99,20 +102,31 @@ def main(argv: list[str] | None = None) -> int:
         from harvesting_validator_spark.plans.pipeline import (
             run_kg_construction,
         )
-        from harvesting_validator_spark.sources.synthetic import (
-            APPLICATION_PROFILE,
+        from harvesting_validator_spark.sources.synthetic import profile_text
+        from harvesting_validator_spark.sparql import (
+            SparqlUnsupported,
+            parse_sparql,
+            uses_graph_clause,
         )
 
-        if args.shapes:
-            with open(args.shapes) as fh:
-                shapes_turtle = fh.read()
-        else:
-            shapes_turtle = APPLICATION_PROFILE
+        # fail FAST on a bad query — the construction pipeline below is
+        # minutes of compute; a syntax error or a GRAPH clause (the
+        # canonical graph intentionally drops provenance, so there are
+        # no named graphs to match) must not cost a full run
+        if uses_graph_clause(parse_sparql(query_text)):
+            raise SparqlUnsupported(
+                "GRAPH clauses cannot be used with --canonical: the "
+                "deduplicated canonical graph has no per-document "
+                "provenance (query the raw triples without --canonical)"
+            )
         kg = run_kg_construction(
-            spark, sources, shapes_turtle, blocking=args.blocking
+            spark, sources, profile_text(args.shapes),
+            blocking=args.blocking or "minhash",
         )
+        graph = kg.graph.persist()
         try:
-            result = sparql_select(kg.graph, query_text)
+            graph.count()  # one materialization serves print + count
+            result = sparql_select(graph, query_text)
             n = _emit(spark, result, args)
             summary = {
                 "mode": "sparql-canonical",
@@ -121,6 +135,7 @@ def main(argv: list[str] | None = None) -> int:
                 "output": args.output,
             }
         finally:
+            graph.unpersist()
             kg.cleanup()
         print(json.dumps(summary))
         return 0

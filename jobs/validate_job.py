@@ -85,8 +85,8 @@ def main(argv: list[str] | None = None) -> int:
 
     from harvesting_validator_spark.lineage import run_validation_checkpointed
     from harvesting_validator_spark.sources.synthetic import (
-        APPLICATION_PROFILE,
         generate_sources,
+        profile_text,
     )
 
     # spark-submit provides the session config; getOrCreate attaches to it
@@ -139,11 +139,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         sources = spark.read.parquet(args.sources)
 
-    if args.shapes:
-        with open(args.shapes) as fh:
-            shapes_turtle = fh.read()
-    else:
-        shapes_turtle = APPLICATION_PROFILE
+    shapes_turtle = profile_text(args.shapes)
 
     if args.incremental:
         from harvesting_validator_spark.incremental import process_incremental

@@ -72,3 +72,27 @@ def test_sparql_job_canonical_mode(spark, capsys):
     # gate; canonicalization dedups identical (s,p,o) rows, and every
     # conforming person keeps exactly one ssn triple
     assert summary["solutions"] == 21
+
+
+def test_sparql_job_canonical_rejects_graph_queries_fast(spark, capsys):
+    import pytest as _pytest
+
+    from harvesting_validator_spark.sparql import SparqlUnsupported
+
+    with _pytest.raises(SparqlUnsupported, match="GRAPH"):
+        sparql_main([
+            "--sources", "synthetic:10", "--canonical",
+            "--query", "SELECT ?s WHERE { GRAPH ?g { ?s ?p ?o } }",
+        ])
+
+
+def test_sparql_job_flag_validation(capsys):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        sparql_main([
+            "--sources", "synthetic:10",
+            "--query", "ASK { ?s ?p ?o }",
+            "--shapes", "/tmp/nope.ttl",
+        ])
+    capsys.readouterr()
