@@ -36,9 +36,10 @@ ALL_ORACLES = {}
 # remaining slots ROTATE so every family earns a fresh driver row within
 # two rounds (VERDICT r4 next-step #1). Round 5 window: corpusops (never
 # driver-checked), textops + relational (riding on r3 evidence), then
-# the first two sparqlq entries (brand-new this round — newest oracles
-# get the strongest external checking). Tail this round: the remaining
-# four sparqlq entries, the rows-only sketches (their correctness lives in
+# the first sparqlq entry (brand-new this round — newest oracles get the
+# strongest external checking; kg_sparql_verdicts joining the kg block
+# pushed the second one out). Tail this round: the remaining
+# five sparqlq entries, the rows-only sketches (their correctness lives in
 # accuracy-bound tests, so a driver row adds nothing), and similarity/
 # dedup/graphops/eventops/textprep — all hash-green in
 # CORRECTNESS_r04.json and additionally gated locally by

@@ -695,12 +695,55 @@ FROM idx
 """
 
 
+def q_kg_sparql_verdicts(spark, sf_dir):
+    """Same pipeline with SPARQL_RULE_PROFILE — certifies SPARQL-based
+    constraints (sh:sparql with sh:prefixes/sh:message; shacl/compile.py
+    pass 7: the SELECT compiles through the engine's own SPARQL compiler
+    with per-document scoping) end-to-end at the driver, closed-form by
+    doc mode (i%4): see generate_sparql_rule_sources."""
+    from harvesting_validator_spark.sources.synthetic import (
+        SPARQL_RULE_PROFILE,
+        generate_sparql_rule_sources,
+    )
+
+    key = (id(spark), sf_dir, "sparqlrule")
+    if key not in _RUN_CACHE:
+        n = _corpus_n(spark, sf_dir)
+        sources = generate_sparql_rule_sources(spark, n)
+        with _sized_shuffle(spark, n):
+            _RUN_CACHE[key] = run_validation(
+                spark, sources, SPARQL_RULE_PROFILE
+            )
+    return hex_doc_id(_RUN_CACHE[key].verdicts)
+
+
+O_SPARQL_VERDICTS = """
+WITH idx AS (
+  SELECT doc_id AS i,
+         doc_id % 4 AS mode,
+         sha256(
+           printf('repo%d', doc_id % 16) || chr(31) ||
+           ('data/sparql/emp' || doc_id || '.ttl') || chr(31) ||
+           substr(sha256(printf('commit%d', doc_id)), 1, 40)
+         ) AS doc_id
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE mode WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END AS BIGINT)
+         AS n_violations,
+       TRUE AS parse_ok,
+       mode IN (0, 3) AS conforms
+FROM idx
+"""
+
+
 QUERIES = {
     "kg_verdicts": q_kg_verdicts,
     "kg_extended_verdicts": q_kg_extended_verdicts,
     "kg_qualified_verdicts": q_kg_qualified_verdicts,
     "kg_path_verdicts": q_kg_path_verdicts,
     "kg_recursive_verdicts": q_kg_recursive_verdicts,
+    "kg_sparql_verdicts": q_kg_sparql_verdicts,
     "kg_linked_clusters": q_kg_linked_clusters,
     "kg_incremental_clusters": q_kg_incremental_clusters,
     "kg_chain_clusters": q_kg_chain_clusters,
@@ -720,6 +763,7 @@ ORACLES = {
     "kg_qualified_verdicts": O_QUALIFIED_VERDICTS,
     "kg_path_verdicts": O_PATH_VERDICTS,
     "kg_recursive_verdicts": O_RECURSIVE_VERDICTS,
+    "kg_sparql_verdicts": O_SPARQL_VERDICTS,
     "kg_linked_clusters": O_LINKED_CLUSTERS,
     "kg_incremental_clusters": O_LINKED_CLUSTERS,
     "kg_chain_clusters": O_CHAIN_CLUSTERS,

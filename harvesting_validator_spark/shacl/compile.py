@@ -1456,6 +1456,62 @@ def validate(
                 F.col("shape").alias("source_shape"),
             )))
 
+    # pass 7 (r5): SPARQL-based constraints (sh:sparql, spec §5.3). Each
+    # constraint's SELECT — validated, prefix-inlined, and $this-rewritten
+    # to ?this at profile parse (shacl/parse.py) — compiles through the
+    # engine's OWN SPARQL compiler (sparql.py) with a graph VARIABLE, so
+    # every triple pattern carries doc_id and the query evaluates per
+    # document (the per-model Jena loop, FilteringService.java:60-85).
+    # Each DISTINCT solution joined back to the shape's focus set is one
+    # violation: focus = ?this, sh:value = the ?value binding, resultPath
+    # = the ?path binding (spec §5.3.2). Scale: pattern scans filter on
+    # predicate constants (pushdown), every BGP join key includes doc_id
+    # (co-partitioned with the pipeline's single doc_id exchange), and
+    # the final focus join uses the same (doc_id, node) key as every
+    # other pass.
+    for s in shapes.shapes:
+        for sc in s.sparql_constraints:
+            from harvesting_validator_spark import sparql as _sq
+
+            q = _sq.parse_sparql(sc.select)
+            comp = _sq._Compiler(triples)
+            sol_df, binds = comp.compile_pattern(
+                q.pattern, graph=_sq.Var("__shacl_g")
+            )
+            b_g, b_this = binds["__shacl_g"], binds["this"]
+
+            def _opt(name: str, kind: bool = False):
+                b = binds.get(name)
+                if b is None:
+                    return F.lit(None).cast("string")
+                return (b.kind_col() if kind else F.col(b.val)).cast("string")
+
+            sol = sol_df.select(
+                F.col(b_g.val).alias("q_doc"),
+                F.col(b_this.val).alias("q_node"),
+                _opt("value").alias("q_value"),
+                _opt("value", kind=True).alias("q_value_kind"),
+                _opt("path").alias("q_path"),
+            ).distinct()
+            hits = focus.filter(F.col("shape") == s.iri).join(
+                sol,
+                (F.col("doc_id") == F.col("q_doc"))
+                & (F.col("focus_node") == F.col("q_node")),
+            )
+            frames.append(_project(hits.select(
+                "doc_id", "shape", "focus_node",
+                F.col("q_path").alias("result_path"),
+                F.col("q_value").alias("value"),
+                F.when(
+                    F.col("q_value").isNotNull(), F.col("q_value_kind")
+                ).alias("value_kind"),
+                F.lit(SH + "SPARQLConstraintComponent")
+                .alias("constraint_component"),
+                F.lit(sc.message or "SPARQL constraint violated")
+                .alias("message"),
+                F.lit(sc.source).alias("source_shape"),
+            )))
+
     result = _union_all(frames)
     if result is None:
         return spark.createDataFrame(

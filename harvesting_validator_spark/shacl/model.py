@@ -28,9 +28,19 @@ _path_value_frames; the recursive forms zeroOrMorePath / oneOrMorePath
 run a per-predicate transitive-closure fixpoint by path doubling),
 plus (r5) sh:qualifiedValueShapesDisjoint (sibling-conforming values
 excluded from the qualified count — the sibling probes ride the same
-recursive conformance pass). Out of contract (raise at parse time,
-degrade-don't-guess): nested path expressions, sh:node under a
-non-IRI path, and SPARQL-based constraints.
+recursive conformance pass), plus (r5) node-shape SPARQL-based
+constraints (sh:sparql with sh:select / sh:message / sh:prefixes): the
+SELECT text compiles through the engine's OWN SPARQL->DataFrame
+compiler (sparql.py) with per-document graph scoping, $this joined
+against the shape's focus set — each distinct solution is one
+violation (sh:SPARQLConstraintComponent; ?value / ?path bindings map
+to sh:value / sh:resultPath per spec §5.3.2). Out of contract (raise
+at parse time, degrade-don't-guess): nested path expressions, sh:node
+under a non-IRI path, sh:sparql on PROPERTY shapes ($PATH pre-binding),
+pre-bound vars other than $this, GRAPH clauses inside a constraint
+query, sh:ask-only constraints, {?var} message substitution, and any
+SPARQL feature outside sparql.py's documented subset
+(SparqlUnsupported surfaces at profile-parse time).
 """
 
 from __future__ import annotations
@@ -120,6 +130,21 @@ class PropertyShape:
 
 
 @dataclass(frozen=True)
+class SparqlConstraint:
+    """One ``sh:sparql`` constraint of a node shape (spec §5.3).
+
+    ``select`` holds the FINAL query text the compiler runs: sh:prefixes
+    declarations inlined as a PREFIX prologue and the pre-bound ``$this``
+    rewritten to the plain variable ``?this`` (parse.py validates the
+    text against sparql.py's subset at profile-parse time, so a bad
+    constraint fails the run's startup, never mid-job)."""
+
+    source: str  # skolem-stable id of the constraint node (reporting)
+    select: str
+    message: str | None = None
+
+
+@dataclass(frozen=True)
 class NodeShape:
     iri: str
     target_classes: tuple[str, ...] = ()
@@ -140,6 +165,8 @@ class NodeShape:
     and_shapes: tuple[str, ...] = ()
     or_shapes: tuple[str, ...] = ()
     xone_shapes: tuple[str, ...] = ()
+    # SPARQL-based constraints (sh:sparql, spec §5.3) on this node shape
+    sparql_constraints: tuple[SparqlConstraint, ...] = ()
 
 
 @dataclass(frozen=True)

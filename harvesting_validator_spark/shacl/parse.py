@@ -9,6 +9,8 @@ executors implicitly via the DataFrame expressions built from it.
 
 from __future__ import annotations
 
+import re
+
 from collections import defaultdict
 
 from harvesting_validator_spark.sources.rdf_parse import Triple, parse_turtle
@@ -18,6 +20,7 @@ from harvesting_validator_spark.shacl.model import (
     NodeShape,
     PropertyShape,
     ShapesGraph,
+    SparqlConstraint,
 )
 
 RDF_FIRST = RDF + "first"
@@ -191,6 +194,14 @@ def _parse_property_shape(by_subj, ps_id: str) -> PropertyShape | None:
 
     lang_in_t = _value(by_subj, ps_id, SH + "languageIn")
     ul_t = _value(by_subj, ps_id, SH + "uniqueLang")
+    if _value(by_subj, ps_id, SH + "sparql") is not None:
+        # property-shape sh:sparql pre-binds $PATH (and result paths
+        # default to the shape's path) — not wired up; raising beats
+        # silently under-validating. Node-shape sh:sparql IS supported.
+        raise NotImplementedError(
+            "sh:sparql on a property shape ($PATH pre-binding) is out of "
+            "contract (shacl/model.py); attach it to the node shape"
+        )
     if node_t is not None and path_kind != "iri":
         # compute_focus / _nested_closure derive child focus by joining
         # triples on the parent's SIMPLE path; wiring them through the
@@ -240,6 +251,139 @@ def _parse_property_shape(by_subj, ps_id: str) -> PropertyShape | None:
         ),
         message=msg_t.obj_value if msg_t else None,
     )
+
+
+def _pattern_binds_this(elements: tuple) -> bool:
+    """Does any triple pattern (at any nesting level) bind ?this?"""
+    from harvesting_validator_spark.sparql import (
+        Graph,
+        Optional_,
+        TriplePattern,
+        Union_,
+        Var,
+    )
+
+    for el in elements:
+        if isinstance(el, TriplePattern):
+            for term in (el.s, el.p, el.o):
+                if isinstance(term, Var) and term.name == "this":
+                    return True
+        elif isinstance(el, Optional_):
+            if _pattern_binds_this(el.pattern):
+                return True
+        elif isinstance(el, Graph):
+            if _pattern_binds_this(el.pattern):
+                return True
+        elif isinstance(el, Union_):
+            if _pattern_binds_this(el.left) or _pattern_binds_this(el.right):
+                return True
+    return False
+
+
+def _parse_sparql_constraints(
+    by_subj, sid: str
+) -> tuple[SparqlConstraint, ...]:
+    """Parse the ``sh:sparql`` constraints of one node shape (spec §5.3).
+
+    Validation happens HERE, at profile-parse time (parity with the
+    reference's startup ``Shapes.parse``, `ApplicationConfig.java:44-50`):
+    the final query text — sh:prefixes inlined, ``$this`` rewritten to
+    ``?this`` — must parse within sparql.py's documented subset, be a
+    SELECT, use no GRAPH clause (the compiler owns document scoping),
+    pre-bind nothing but ``$this``, and bind ``?this`` in at least one
+    triple pattern. A constraint the engine cannot evaluate faithfully
+    fails the run's startup instead of under-validating (the
+    degrade-don't-guess contract)."""
+    from harvesting_validator_spark.sparql import (
+        parse_sparql,
+        uses_graph_clause,
+    )
+    import hashlib
+
+    out: list[SparqlConstraint] = []
+    for t in _values(by_subj, sid, SH + "sparql"):
+        node = t.obj_value
+        deact = _value(by_subj, node, SH + "deactivated")
+        if deact is not None and deact.obj_value == "true":
+            continue
+        sel = _value(by_subj, node, SH + "select")
+        if sel is None:
+            raise NotImplementedError(
+                "sh:sparql without sh:select (sh:ask-only constraint "
+                "validators) is out of contract (shacl/model.py)"
+            )
+        text = sel.obj_value
+        px = _value(by_subj, node, SH + "prefixes")
+        if px is not None:
+            decls = []
+            for d in _values(by_subj, px.obj_value, SH + "declare"):
+                p = _value(by_subj, d.obj_value, SH + "prefix")
+                ns = _value(by_subj, d.obj_value, SH + "namespace")
+                if p is None or ns is None:
+                    raise NotImplementedError(
+                        "sh:declare needs both sh:prefix and sh:namespace"
+                    )
+                decls.append(f"PREFIX {p.obj_value}: <{ns.obj_value}>")
+            if decls:
+                text = "\n".join(decls) + "\n" + text
+        other = sorted({
+            m.group(0) for m in re.finditer(r"\$\w+", text)
+            if m.group(0) != "$this"
+        })
+        if other:
+            raise NotImplementedError(
+                f"pre-bound variables {other} are out of contract "
+                "(shacl/model.py); only $this is pre-bound"
+            )
+        if "$this" not in text:
+            raise NotImplementedError(
+                "sh:select must reference the pre-bound $this variable"
+            )
+        text = text.replace("$this", "?this")
+        q = parse_sparql(text)  # SparqlUnsupported surfaces here
+        if q.form != "select":
+            raise NotImplementedError(
+                "sh:select must hold a SELECT query"
+            )
+        if uses_graph_clause(q):
+            raise NotImplementedError(
+                "GRAPH clauses inside sh:sparql are out of contract "
+                "(the compiler scopes the query to each document)"
+            )
+        from harvesting_validator_spark.sparql import Agg
+
+        if (
+            q.group_by
+            or q.limit is not None
+            or q.offset
+            or q.order_by
+            or any(isinstance(p, Agg) for p in q.projection or [])
+        ):
+            # a constraint emits one result PER SOLUTION; aggregates and
+            # global solution modifiers have no per-focus meaning here
+            raise NotImplementedError(
+                "aggregates / GROUP BY / ORDER / LIMIT / OFFSET inside "
+                "sh:sparql are out of contract (shacl/model.py)"
+            )
+        if not _pattern_binds_this(q.pattern):
+            raise NotImplementedError(
+                "sh:select must bind ?this in at least one triple pattern"
+            )
+        msg_t = _value(by_subj, node, SH + "message")
+        source = node
+        if source.startswith("_:"):
+            key = f"{sid}\x1fsparql\x1f{text}".encode()
+            source = (
+                "urn:skolem:sparql:" + hashlib.sha256(key).hexdigest()
+            )
+        out.append(
+            SparqlConstraint(
+                source=source,
+                select=text,
+                message=msg_t.obj_value if msg_t else None,
+            )
+        )
+    return tuple(out)
 
 
 def parse_shapes_triples(triples: list[Triple]) -> ShapesGraph:
@@ -332,6 +476,7 @@ def parse_shapes_triples(triples: list[Triple]) -> ShapesGraph:
                     for t in _values(by_subj, sid, SH + "xone")
                     for m in _rdf_list(by_subj, t.obj_value)
                 ),
+                sparql_constraints=_parse_sparql_constraints(by_subj, sid),
             )
         )
     return ShapesGraph(

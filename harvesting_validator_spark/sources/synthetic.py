@@ -661,6 +661,89 @@ def generate_recursive_path_sources(
     )
 
 
+# r5 wave 3: SPARQL-based constraints (sh:sparql, spec §5.3) —
+# driver-checked end-to-end. The rule is a cross-node join + filter
+# ("an employee's manager must be level >= 4") that SHACL core cannot
+# express; the SELECT compiles through the engine's own SPARQL compiler
+# (sparql.py) with per-document scoping (shacl/compile.py pass 7). The
+# sh:prefixes indirection is used deliberately so the driver path also
+# certifies prefix inlining (shacl/parse.py).
+SPARQL_RULE_PROFILE = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+
+ex:EmployeeShape a sh:NodeShape ;
+  sh:targetClass ex:Employee ;
+  sh:sparql [
+    sh:message "manager below required level" ;
+    sh:prefixes ex: ;
+    sh:select \"\"\"
+      SELECT $this ?value
+      WHERE {
+        $this ex:managedBy ?value .
+        ?value ex:level ?lvl .
+        FILTER(?lvl < 4)
+      }
+    \"\"\" ;
+  ] .
+
+ex: sh:declare [ sh:prefix "ex" ; sh:namespace "http://example.com/ns#" ] .
+"""
+
+
+def generate_sparql_rule_sources(
+    spark: SparkSession, n_docs: int, n_partitions: int | None = None
+) -> DataFrame:
+    """n synthetic employee docs exercising SPARQL_RULE_PROFILE in closed
+    form by i%4 (pure Catalyst, same contract as generate_sources). Only
+    ex:W{i} is typed ex:Employee, so each doc has ONE focus node:
+
+    mode 0: manager level 5 — conforms;
+    mode 1: manager level 2 — 1 violation (value = the manager IRI);
+    mode 2: TWO managers, levels 1 and 3 — 2 violations (one per
+            distinct solution);
+    mode 3: manager level 4 — conforms (boundary: 4 is not < 4).
+    n_violations: [0,1,2,0][mode]; conforms: mode IN (0, 3).
+    """
+    df = (
+        spark.range(0, n_docs, 1, n_partitions)
+        if n_partitions
+        else spark.range(n_docs)
+    ).withColumnRenamed("id", "i")
+    i = F.col("i")
+    mode = i % 4
+    typed = F.concat(F.lit("ex:W"), i, F.lit(" a ex:Employee"))
+    body = (
+        F.when(mode == 0, F.concat(
+            typed, F.lit(" ; ex:managedBy ex:M"), i, F.lit(" .\nex:M"), i,
+            F.lit(" ex:level 5 ."),
+        ))
+        .when(mode == 1, F.concat(
+            typed, F.lit(" ; ex:managedBy ex:M"), i, F.lit(" .\nex:M"), i,
+            F.lit(" ex:level 2 ."),
+        ))
+        .when(mode == 2, F.concat(
+            typed, F.lit(" ; ex:managedBy ex:M"), i, F.lit(", ex:N"), i,
+            F.lit(" .\nex:M"), i, F.lit(" ex:level 1 .\nex:N"), i,
+            F.lit(" ex:level 3 ."),
+        ))
+        .otherwise(F.concat(
+            typed, F.lit(" ; ex:managedBy ex:M"), i, F.lit(" .\nex:M"), i,
+            F.lit(" ex:level 4 ."),
+        ))
+    )
+    content = F.concat(
+        F.lit("@prefix ex: <http://example.com/ns#> .\n"), body, F.lit("\n")
+    )
+    return df.select(
+        F.format_string("repo%d", i % 16).alias("repo"),
+        F.concat(F.lit("data/sparql/emp"), i, F.lit(".ttl")).alias("path"),
+        F.sha2(F.format_string("commit%d", i), 256).substr(1, 40).alias("commit"),
+        F.lit("turtle").alias("lang"),
+        content.alias("content"),
+    )
+
+
 def generate_product_sources(
     spark: SparkSession, n_docs: int, n_partitions: int | None = None
 ) -> DataFrame:
