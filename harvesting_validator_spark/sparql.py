@@ -33,6 +33,21 @@ plus the core of SPARQL 1.1 SELECT):
   compare numerically (DECIMAL cast), everything else lexically
 * ``OPTIONAL { ... }`` (left outer join on the shared vars)
 * ``{ ... } UNION { ... }``
+* ``FILTER [NOT] EXISTS { ... }`` — a left_semi (resp. left_anti) join
+  of the current solutions against the inner pattern on the shared
+  vars; supported as a STANDALONE filter only (inside a boolean
+  expression it would need per-row correlated evaluation), and the
+  inner pattern must share >=1 var with the outer (inside GRAPH the
+  graph var always is, so doc-scoped [NOT] EXISTS — incl. every
+  sh:sparql constraint — composes freely)
+* ``MINUS { ... }`` — left_anti join on the shared vars; with NO shared
+  vars SPARQL MINUS removes nothing (disjoint binding domains), so it
+  compiles to a no-op. Since our binding domains are static (every
+  pattern var is always bound in its solution frame, modulo OPTIONAL
+  nulls), the per-solution dom-overlap test degenerates to this
+  compile-time check; a shared var left NULL by OPTIONAL compares
+  non-matching (kept by MINUS / NOT EXISTS) — documented simplification
+  of the spec's unbound-is-compatible rule
 * non-closure property paths in query position — sequence ``p1/p2``,
   inverse ``^p``, alternative ``p1|p2``, parenthesized compositions —
   desugared per SPARQL 18.2.2.4 into triple patterns with fresh
@@ -58,7 +73,8 @@ Out of contract — raise ``SparqlUnsupported`` at parse time
 nested sub-SELECTs (the one reference use,
 `load-imported-triples-stream.sparql`, is DISTINCT+ORDER inside
 LIMIT/OFFSET outside — expressible with plain modifiers), UNDEF,
-MINUS, EXISTS, DESCRIBE, and SPARQL Update (the write side is
+[NOT] EXISTS inside a boolean expression, var-disjoint EXISTS,
+SERVICE, DESCRIBE, and SPARQL Update (the write side is
 the engine's sinks, COVERAGE.md §2.9).
 
 Semantics notes (documented simplifications, asserted by tests):
@@ -165,6 +181,25 @@ class Values:
     rows: tuple  # tuples of (Iri | Lit)
 
 
+@dataclass(frozen=True)
+class Exists:
+    """``FILTER [NOT] EXISTS { pattern }`` — compiles to a left_semi
+    (resp. left_anti) join of the current solutions against the inner
+    pattern's solutions on the shared variables."""
+
+    pattern: tuple
+    negated: bool
+
+
+@dataclass(frozen=True)
+class Minus:
+    """``MINUS { pattern }`` — left_anti join on the shared variables;
+    with NO shared variables SPARQL MINUS removes nothing (disjoint
+    binding domains), so it compiles to a no-op."""
+
+    pattern: tuple
+
+
 # filter-expression nodes
 @dataclass(frozen=True)
 class BoolOp:
@@ -235,9 +270,9 @@ _KEYWORDS = {
     "prefix", "select", "ask", "distinct", "where", "filter", "optional",
     "union", "graph", "order", "by", "asc", "desc", "limit", "offset",
     "as", "count", "group", "true", "false",
+    "bind", "values", "minus", "exists", "not", "construct",
     # recognized so we can refuse them explicitly instead of misparsing
-    "bind", "values", "minus", "exists", "construct", "describe", "insert",
-    "delete", "service", "having",
+    "describe", "insert", "delete", "service", "having",
 }
 
 
@@ -491,8 +526,17 @@ class _Parser:
                 break
             if k == "KW" and v == "filter":
                 self.next()
-                # FILTER ( expr )  |  FILTER builtin(args)
-                if self.peek() == ("OP", "("):
+                # FILTER [NOT] EXISTS {…} | FILTER ( expr ) | FILTER f(args)
+                if self.accept_kw("exists"):
+                    elements.append(
+                        Exists(self._group_graph_pattern(), negated=False)
+                    )
+                elif self.accept_kw("not"):
+                    self.expect_kw("exists")
+                    elements.append(
+                        Exists(self._group_graph_pattern(), negated=True)
+                    )
+                elif self.peek() == ("OP", "("):
                     elements.append(Filter(self._expr_primary_paren()))
                 else:
                     elements.append(Filter(self._call()))
@@ -526,9 +570,12 @@ class _Parser:
             elif k == "KW" and v == "values":
                 self.next()
                 elements.append(self._values())
-            elif k == "KW" and v in ("minus", "service"):
+            elif k == "KW" and v == "minus":
+                self.next()
+                elements.append(Minus(self._group_graph_pattern()))
+            elif k == "KW" and v == "service":
                 raise SparqlUnsupported(
-                    f"{v.upper()} is out of the supported subset"
+                    "SERVICE is out of the supported subset"
                 )
             elif k == "KW" and v == "select":
                 raise SparqlUnsupported(
@@ -764,6 +811,14 @@ class _Parser:
         if self.accept_op("!"):
             return Not(self._expr_unary())
         k, v = self.peek()
+        if k == "KW" and v in ("exists", "not"):
+            # inside a boolean expression it would need per-row correlated
+            # evaluation; the standalone-FILTER form is a plain semi/anti
+            # join and covers the practical uses
+            raise SparqlUnsupported(
+                "[NOT] EXISTS is supported only as a standalone FILTER, "
+                "not inside a boolean expression"
+            )
         if k == "OP" and v == "(":
             return self._expr_primary_paren()
         if k == "NAME" or (k == "KW" and v == "count"):
@@ -828,7 +883,7 @@ def uses_graph_clause(q: Query) -> bool:
         for el in elements:
             if isinstance(el, Graph):
                 return True
-            if isinstance(el, Optional_) and walk(el.pattern):
+            if isinstance(el, (Optional_, Exists, Minus)) and walk(el.pattern):
                 return True
             if isinstance(el, Union_) and (walk(el.left) or walk(el.right)):
                 return True
@@ -943,6 +998,41 @@ class _Compiler:
             elif isinstance(el, Values):
                 vdf, vbinds = self._values_frame(el)
                 df, binds = self._merge_values(df, binds, vdf, vbinds)
+            elif isinstance(el, Exists):
+                if df is None:
+                    raise SparqlError(
+                        "FILTER EXISTS before any triple pattern"
+                    )
+                inner, ibinds = self.compile_pattern(el.pattern, graph)
+                if inner is None:
+                    raise SparqlError("empty EXISTS pattern")
+                cond, shared = self._join_cond(binds, ibinds)
+                if cond is None:
+                    # a var-disjoint EXISTS would be a nested-loop probe
+                    # against the whole inner frame — same no-cartesian
+                    # discipline as disconnected groups. (Inside GRAPH —
+                    # incl. every sh:sparql constraint — the graph var is
+                    # always shared, so doc-scoped EXISTS never hits this.)
+                    raise SparqlUnsupported(
+                        "EXISTS sharing no variable with the outer pattern "
+                        "is out of the subset"
+                    )
+                df = df.join(
+                    inner, on=cond,
+                    how="left_anti" if el.negated else "left_semi",
+                )
+                # semi/anti joins keep only the left side's columns; binds
+                # are unchanged (EXISTS never projects bindings outward)
+            elif isinstance(el, Minus):
+                inner, ibinds = self.compile_pattern(el.pattern, graph)
+                if inner is not None and df is not None:
+                    cond, shared = self._join_cond(binds, ibinds)
+                    if cond is not None:
+                        # SPARQL MINUS: drop solutions compatible with some
+                        # inner solution on a nonempty shared domain; with
+                        # our static binding domains that is a plain
+                        # anti-join. No shared vars => remove nothing.
+                        df = df.join(inner, on=cond, how="left_anti")
             elif isinstance(el, Graph):
                 inner, ibinds = self.compile_pattern(el.pattern, el.term)
                 df, binds = self._merge(df, binds, inner, ibinds, how="inner")

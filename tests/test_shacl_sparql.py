@@ -151,12 +151,13 @@ def test_parse_rejections():
         '"""SELECT $this WHERE { $this ?p ?v . }""" ] ] .',
         "property shape",
     )
-    # out-of-subset SPARQL (MINUS) surfaces the sparql.py error at parse
+    # out-of-subset SPARQL (SERVICE) surfaces the sparql.py error at parse
     _expect_parse_error(
         'ex:S a sh:NodeShape ; sh:targetClass ex:T ; sh:sparql [ sh:select '
         '"""SELECT $this WHERE { $this <http://example.com/ns#p> ?v . '
-        'MINUS { $this <http://example.com/ns#q> ?v . } }""" ] .',
-        "(?i)minus",
+        'SERVICE <http://x> { $this <http://example.com/ns#q> ?v . } }""" '
+        '] .',
+        "(?i)service",
     )
 
 
@@ -257,6 +258,37 @@ def test_core_constraints_compose_with_sparql(spark):
     rows = _emp("a", "e1", ("m1", 2))  # no badge + low-level manager
     comps = {v[5] for v in _violations(spark, rows, shapes)}
     assert comps == {COMPONENT, SH + "MinCountConstraintComponent"}
+
+
+def test_absence_rule_via_not_exists(spark):
+    # the other half of constraint space: "violation when something is
+    # MISSING", expressed with FILTER NOT EXISTS inside sh:sparql (the
+    # inner pattern inherits the per-document scope via the graph var)
+    profile = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Employee ; sh:sparql [
+  sh:message "manager has no recorded level" ;
+  sh:select \"\"\"
+    PREFIX ex: <http://example.com/ns#>
+    SELECT $this ?value WHERE {
+      $this ex:managedBy ?value .
+      FILTER NOT EXISTS { ?value ex:level ?lvl . }
+    }\"\"\" ] .
+"""
+    shapes = parse_shapes_turtle(profile)
+    rows = _emp("a", "e1", ("m1", 5)) + [
+        ("b", EX + "e2", RDF_TYPE, EX + "Employee", "iri", None, None),
+        ("b", EX + "e2", EX + "managedBy", EX + "m9", "iri", None, None),
+        # m9 has a level only in doc a — must NOT satisfy doc b's probe
+        ("a", EX + "m9", EX + "level", "7", "literal", XSD + "integer",
+         None),
+    ]
+    viols = _violations(spark, rows, shapes)
+    assert viols == {
+        ("b", EX + "e2", None, EX + "m9", "iri", COMPONENT,
+         "manager has no recorded level"),
+    }
 
 
 # --- 3. composition with the probe machinery --------------------------------

@@ -192,13 +192,70 @@ def test_select_star_binds_all_vars(triples):
         "SELECT ?s WHERE { { SELECT ?s WHERE { ?s ?p ?o } } }",
         "DESCRIBE <http://x>",
         "SELECT (SAMPLE(?o) AS ?t) WHERE { ?s ?p ?o }",
-        "SELECT ?s WHERE { ?s ?p ?o MINUS { ?s a ?t } }",
         "SELECT ?s WHERE { ?s <http://x>* ?o }",  # closure path
+        # EXISTS inside a boolean expression (standalone FILTER only)
+        'SELECT ?s WHERE { ?s ?p ?o . '
+        'FILTER(EXISTS { ?s a ?t } || ?o = "x") }',
+        "SELECT ?s WHERE { SERVICE <http://x> { ?s ?p ?o } }",
     ],
 )
 def test_out_of_subset_raises(text):
     with pytest.raises(SparqlUnsupported):
         parse_sparql(text)
+
+
+# --- negation: FILTER [NOT] EXISTS and MINUS --------------------------------
+
+
+def test_filter_not_exists_and_exists(triples):
+    base = """PREFIX ex: <http://ex/>
+        SELECT ?who WHERE {{ ?who a ex:Person .
+          FILTER {neg} EXISTS {{ ?who ex:worksFor ?c . }} }} ORDER BY ?who"""
+    assert rows(sparql_select(triples, base.format(neg="NOT"))) == [
+        ("http://ex/Bob",)
+    ]
+    assert rows(sparql_select(triples, base.format(neg=""))) == [
+        ("http://ex/Alice",)
+    ]
+
+
+def test_minus_shared_and_disjoint(triples):
+    got = rows(sparql_select(
+        triples,
+        """PREFIX ex: <http://ex/>
+           SELECT ?who WHERE { ?who a ex:Person .
+             MINUS { ?who ex:worksFor ?c . } } ORDER BY ?who""",
+    ))
+    assert got == [("http://ex/Bob",)]
+    # disjoint domains: SPARQL MINUS removes NOTHING (unlike NOT EXISTS)
+    got = rows(sparql_select(
+        triples,
+        """PREFIX ex: <http://ex/>
+           SELECT ?who WHERE { ?who a ex:Person .
+             MINUS { ?x ex:nonexistent ?y . } } ORDER BY ?who""",
+    ))
+    assert got == [("http://ex/Alice",), ("http://ex/Bob",)]
+
+
+def test_not_exists_scopes_per_document_inside_graph(triples):
+    # Alice's doc (01) has no ex:age rows; Bob's (02) does. The inner
+    # pattern inherits the GRAPH scope, so the probe joins on doc_id too.
+    got = rows(sparql_select(
+        triples,
+        """PREFIX ex: <http://ex/>
+           SELECT ?who WHERE { GRAPH ?g { ?who a ex:Person .
+             FILTER NOT EXISTS { ?who ex:age ?a . } } } ORDER BY ?who""",
+    ))
+    assert got == [("http://ex/Alice",)]
+
+
+def test_var_disjoint_exists_raises(triples):
+    with pytest.raises(SparqlUnsupported, match="sharing no variable"):
+        sparql_select(
+            triples,
+            "SELECT ?s WHERE { ?s ?p ?o . "
+            "FILTER EXISTS { ?x <http://ex/age> ?y . } }",
+        )
 
 
 def test_disconnected_pattern_raises(triples):
