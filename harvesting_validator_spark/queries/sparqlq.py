@@ -9,11 +9,14 @@ queries share (one parse per (session, sf_dir)), with closed-form DuckDB
 oracles derived from the synthetic corpus index (sources/synthetic.py:
 mode = i%10; per-doc triples 2/3/4 for base/mode-8/mode-9 docs).
 
-The four queries cover the engine's feature matrix end to end:
+The queries cover the engine's feature matrix end to end:
 GRAPH-var scoping + `a` + predicate-object lists + OPTIONAL + FILTER
 regex (roster); GROUP BY + COUNT(*) (graph sizes); DISTINCT + ORDER BY
-over an all-var pattern (predicates); ASK + isIRI (company ask). A
-hash match certifies parser, compiler, and term semantics in one go.
+over an all-var pattern (predicates); ASK + isIRI (company ask);
+SPARQL over the CONSTRUCTED canonical graph (kg entities); CONSTRUCT
+derivation (employers); FILTER NOT EXISTS + MINUS negation (negation
+roster). A hash match certifies parser, compiler, and term semantics
+in one go.
 """
 
 from __future__ import annotations
@@ -206,6 +209,38 @@ FROM idx WHERE mode = 9
 )
 
 
+# --- negation: FILTER NOT EXISTS + MINUS (r5 wave 3) ------------------------
+# persons with NO employer (NOT EXISTS probes absence per document),
+# excluding persons whose ssn was corrupted (MINUS removes solutions
+# compatible on the shared ?g/?p domain) — mode 9 docs have worksFor,
+# mode 7 docs have the trailing-X ssn, so the closed form is
+# mode NOT IN (7, 9)
+_Q_NEGATION_ROSTER = """
+PREFIX ex: <http://example.com/ns#>
+SELECT ?g ?p WHERE {
+  GRAPH ?g {
+    ?p a ex:Person .
+    FILTER NOT EXISTS { ?p ex:worksFor ?c . }
+  }
+  MINUS { GRAPH ?g { ?p ex:ssn ?s . FILTER regex(?s, "X$") } }
+}
+"""
+
+
+def q_sparql_negation_roster(spark, sf_dir):
+    return sparql_select(_triples(spark, sf_dir), _Q_NEGATION_ROSTER)
+
+
+O_NEGATION_ROSTER = (
+    _ORACLE_BASE
+    + """
+SELECT doc_id AS g,
+       'http://example.com/ns#P' || i AS p
+FROM idx WHERE mode NOT IN (7, 9)
+"""
+)
+
+
 QUERIES = {
     "sparql_person_roster": q_sparql_person_roster,
     "sparql_graph_sizes": q_sparql_graph_sizes,
@@ -213,6 +248,7 @@ QUERIES = {
     "sparql_company_ask": q_sparql_company_ask,
     "sparql_kg_entities": q_sparql_kg_entities,
     "sparql_construct_employers": q_sparql_construct_employers,
+    "sparql_negation_roster": q_sparql_negation_roster,
 }
 
 ORACLES = {
@@ -222,4 +258,5 @@ ORACLES = {
     "sparql_company_ask": O_COMPANY_ASK,
     "sparql_kg_entities": O_KG_ENTITIES,
     "sparql_construct_employers": O_CONSTRUCT_EMPLOYERS,
+    "sparql_negation_roster": O_NEGATION_ROSTER,
 }
