@@ -617,9 +617,11 @@ FROM idx
 def q_kg_path_verdicts(spark, sf_dir):
     """Same pipeline as kg_extended_verdicts but with PATH_PROFILE —
     certifies the property-path expressions (2-hop sequence path with
-    value-node SET semantics, inverse path; shacl/compile.py
-    _path_value_frames) end-to-end at the driver, closed-form by doc
-    mode (i%5): see generate_path_sources."""
+    value-node SET semantics, inverse path, and the r5-wave-3 NESTED
+    coworker path worksFor/^worksFor — an inverse step inside a
+    sequence; shacl/compile.py _path_value_frames) end-to-end at the
+    driver, closed-form by doc mode (i%6): see
+    generate_path_sources."""
     from harvesting_validator_spark.sources.synthetic import (
         PATH_PROFILE,
         generate_path_sources,
@@ -637,7 +639,7 @@ def q_kg_path_verdicts(spark, sf_dir):
 O_PATH_VERDICTS = """
 WITH idx AS (
   SELECT doc_id AS i,
-         doc_id % 5 AS mode,
+         doc_id % 6 AS mode,
          sha256(
            printf('repo%d', doc_id % 16) || chr(31) ||
            ('data/paths/emp' || doc_id || '.ttl') || chr(31) ||

@@ -347,11 +347,15 @@ def _path_value_frames(
       of the focus table against triples keyed (doc_id, object). This is
       the one join in the engine keyed on the object side; it cannot
       reuse the (doc_id, subj) exchange by definition of inversion.
-    * sequence paths: objects reachable by chaining the hops, each hop a
-      join keyed (doc_id, node) — the same key prefix as ftrip.
-    * alternative paths (r5): objects over ANY member predicate — one
-      focus⋈triples join against a (shape, path, member) spec; a value
-      reachable via two members counts once (distinct).
+    * sequence paths: nodes reachable by chaining the hops, each hop a
+      join keyed (doc_id, node) — the same key prefix as ftrip. Each
+      step may be FORWARD (IRI member) or INVERSE ([sh:inversePath
+      <iri>] member, r5 wave 3 — join flipped to the object side).
+    * alternative paths (r5): values over ANY member step — forward
+      members share one focus⋈triples join against a (shape, path,
+      member) spec, inverse members one object-side join; the union is
+      distinct-ed per path id so a value reachable via two members (or
+      both directions) counts once.
     * zero-or-one paths (r5): the focus node itself (the zero step —
       always present, so sh:minCount 1 is trivially met per spec) union
       the one-hop objects; a self-loop collapses with the zero step
@@ -373,15 +377,32 @@ def _path_value_frames(
         if p.path_kind == "inverse"
     })
     seq_specs = sorted({
-        (s.iri, p.path, p.path_preds)
+        (s.iri, p.path, p.path_preds,
+         p.path_dirs or (False,) * len(p.path_preds))
         for s in shapes.shapes for p in s.properties
         if p.path_kind == "sequence"
     })
+    # alternative members carry a per-member direction (r5 wave 3):
+    # forward members ride the forward hop frame, inverse members the
+    # inverse hop frame; the two are unioned per path id before the
+    # value-node distinct so a node reachable both ways counts ONCE
     alt_rows = sorted({
         (s.iri, p.path, member)
         for s in shapes.shapes for p in s.properties
         if p.path_kind == "alternative"
-        for member in p.path_preds
+        for member, inv in zip(
+            p.path_preds, p.path_dirs or (False,) * len(p.path_preds)
+        )
+        if not inv
+    })
+    alt_inv_rows = sorted({
+        (s.iri, p.path, member)
+        for s in shapes.shapes for p in s.properties
+        if p.path_kind == "alternative"
+        for member, inv in zip(
+            p.path_preds, p.path_dirs or (False,) * len(p.path_preds)
+        )
+        if inv
     })
     zoo_rows = sorted({
         (s.iri, p.path, p.path_preds[0])
@@ -394,8 +415,8 @@ def _path_value_frames(
         if p.path_kind in ("zero_or_more", "one_or_more")
     })
     if (
-        not inv_rows and not seq_specs and not alt_rows and not zoo_rows
-        and not rec_specs
+        not inv_rows and not seq_specs and not alt_rows and not alt_inv_rows
+        and not zoo_rows and not rec_specs
     ):
         return None
 
@@ -405,11 +426,16 @@ def _path_value_frames(
         )
 
     frames: list[DataFrame] = []
-    if inv_rows:
+
+    def _inverse_hop_frame(spec_rows):
+        """focus⋈triples INVERSE hop (value nodes = subjects of triples
+        whose object is the focus) gated by a broadcast (shape, path,
+        pred) spec — shared by standalone inverse paths and the inverse
+        members of alternatives."""
         ispec = F.broadcast(spark.createDataFrame(
-            inv_rows, "i_shape string, i_path string, i_pred string"
+            spec_rows, "i_shape string, i_path string, i_pred string"
         ))
-        frames.append(
+        return (
             focus.alias("f")
             .join(
                 triples.alias("t"),
@@ -431,8 +457,11 @@ def _path_value_frames(
                 F.lit(None).cast("string").alias("obj_datatype"),
                 F.lit(None).cast("string").alias("obj_lang"),
             )
-            .distinct()
         )
+
+    if inv_rows:
+        frames.append(_inverse_hop_frame(inv_rows).distinct())
+
     def _forward_hop_frame(spec_rows, schema):
         """focus⋈triples forward hop gated by a broadcast (shape, path,
         pred) spec — shared by alternative and the zero-or-one one-step."""
@@ -461,8 +490,13 @@ def _path_value_frames(
         )
 
     spec_schema = "s_shape string, s_path string, s_pred string"
-    if alt_rows:
-        frames.append(_forward_hop_frame(alt_rows, spec_schema).distinct())
+    if alt_rows or alt_inv_rows:
+        parts = []
+        if alt_rows:
+            parts.append(_forward_hop_frame(alt_rows, spec_schema))
+        if alt_inv_rows:
+            parts.append(_inverse_hop_frame(alt_inv_rows))
+        frames.append(_union_all(parts).distinct())
     if zoo_rows:
         zspec = F.broadcast(spark.createDataFrame(
             [(s, p) for s, p, _ in zoo_rows], "s_shape string, s_path string"
@@ -582,40 +616,64 @@ def _path_value_frames(
                 )
                 hop = hop.unionByName(zero)
             frames.append(hop.distinct())
-    for shape_iri, path_id, preds in seq_specs:
+    for shape_iri, path_id, preds, dirs in seq_specs:
         cur = focus.filter(F.col("shape") == shape_iri).select(
             "doc_id", "focus_node", "shape",
             F.col("focus_node").alias("node"),
         )
-        for k, pred in enumerate(preds):
+        for k, (pred, inv_step) in enumerate(zip(preds, dirs)):
             last = k == len(preds) - 1
-            hop = (
-                cur.alias("c")
-                .join(
-                    triples.alias("t"),
-                    (F.col("c.doc_id") == F.col("t.doc_id"))
-                    & (F.col("c.node") == F.col("t.subj"))
-                    & (F.col("t.pred") == F.lit(pred)),
+            if inv_step:
+                # inverse hop (r5 wave 3): walk triples backwards —
+                # current node matches the OBJECT, the step lands on the
+                # subject (never a literal, so kind derives exactly)
+                hop = (
+                    cur.alias("c")
+                    .join(
+                        triples.alias("t"),
+                        (F.col("c.doc_id") == F.col("t.doc_id"))
+                        & (F.col("c.node") == F.col("t.obj_value"))
+                        & (F.col("t.obj_kind") != "literal")
+                        & (F.col("t.pred") == F.lit(pred)),
+                    )
                 )
-            )
+                val, kind = F.col("t.subj"), subj_kind(F.col("t.subj"))
+                dt = F.lit(None).cast("string")
+                lang = F.lit(None).cast("string")
+            else:
+                hop = (
+                    cur.alias("c")
+                    .join(
+                        triples.alias("t"),
+                        (F.col("c.doc_id") == F.col("t.doc_id"))
+                        & (F.col("c.node") == F.col("t.subj"))
+                        & (F.col("t.pred") == F.lit(pred)),
+                    )
+                )
+                val, kind = F.col("t.obj_value"), F.col("t.obj_kind")
+                dt, lang = F.col("t.obj_datatype"), F.col("t.obj_lang")
             if last:
                 cur = hop.select(
                     F.col("t.doc_id").alias("doc_id"),
                     "c.focus_node", "c.shape",
                     F.lit(path_id).alias("pred"),
-                    F.col("t.obj_value").alias("obj_value"),
-                    F.col("t.obj_kind").alias("obj_kind"),
-                    F.col("t.obj_datatype").alias("obj_datatype"),
-                    F.col("t.obj_lang").alias("obj_lang"),
+                    val.alias("obj_value"),
+                    kind.alias("obj_kind"),
+                    dt.alias("obj_datatype"),
+                    lang.alias("obj_lang"),
                 ).distinct()
             else:
                 # intermediates must be resources (literals have no
-                # outgoing triples); distinct keeps the diamond fan-out
-                # from multiplying downstream rows
-                cur = hop.filter(F.col("t.obj_kind") != "literal").select(
+                # outgoing triples — forward hops filter them; inverse
+                # hops land on subjects, resources by definition);
+                # distinct keeps the diamond fan-out from multiplying
+                # downstream rows
+                if not inv_step:
+                    hop = hop.filter(F.col("t.obj_kind") != "literal")
+                cur = hop.select(
                     F.col("t.doc_id").alias("doc_id"),
                     "c.focus_node", "c.shape",
-                    F.col("t.obj_value").alias("node"),
+                    val.alias("node"),
                 ).distinct()
         frames.append(cur)
     return _union_all(frames)

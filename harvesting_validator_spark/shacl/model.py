@@ -114,18 +114,25 @@ class PropertyShape:
     qualified_disjoint: bool = False
     # property-path expressions (r5): "iri" = plain predicate path;
     # "inverse" = sh:inversePath (value nodes = SUBJECTS of triples whose
-    # object is the focus); "sequence" = an rdf:list of >=2 IRIs (value
-    # nodes = objects reachable by chaining the hops); "alternative" =
-    # sh:alternativePath over an rdf:list of >=2 IRIs (union of the
-    # members' objects, set semantics); "zero_or_one" = sh:zeroOrOnePath
+    # object is the focus); "sequence" = an rdf:list of >=2 members
+    # (value nodes = nodes reachable by chaining the hops); "alternative"
+    # = sh:alternativePath over an rdf:list of >=2 members (union of the
+    # members' values, set semantics); "zero_or_one" = sh:zeroOrOnePath
     # (the focus node itself union the one-hop objects); "zero_or_more"
     # / "one_or_more" = the recursive forms (directed transitive closure
     # of the predicate, p* including the focus itself). path_preds holds
     # the underlying predicate IRIs in traversal/member order (empty for
-    # "iri", where `path` is the predicate itself). Nested path
-    # expressions raise at parse time — degrade-don't-guess.
+    # "iri", where `path` is the predicate itself); path_dirs (r5 wave 3)
+    # holds one flag per step for sequence/alternative members — True =
+    # the step is an INVERSE hop ([sh:inversePath <p>] list member).
+    # [sh:inversePath (p1 .. pn)] and [sh:inversePath [alternative]]
+    # normalize at parse time (^(p/q) == ^q/^p; ^(p|q) == ^p|^q), so
+    # "inverse" itself always wraps a single IRI. Deeper nesting
+    # (closures inside expressions, alternatives inside sequences)
+    # raises at parse time — degrade-don't-guess.
     path_kind: str = "iri"
     path_preds: tuple[str, ...] = ()
+    path_dirs: tuple[bool, ...] = ()
     message: str | None = None
 
 

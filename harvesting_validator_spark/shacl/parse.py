@@ -72,10 +72,13 @@ _RECURSIVE_PATH_KINDS = {
 }
 
 
-def _iri_list(by_subj, head: str, ctx: str) -> tuple[str, ...]:
-    """Walk an rdf:list of plain IRIs; nested expressions raise (the
-    degrade-don't-guess contract)."""
-    preds: list[str] = []
+def _step_list(
+    by_subj, head: str, ctx: str
+) -> list[tuple[str, bool]]:
+    """Walk an rdf:list whose members are path STEPS: a plain IRI
+    (forward hop) or ``[sh:inversePath <iri>]`` (inverse hop, r5 wave 3).
+    Deeper nesting raises (the degrade-don't-guess contract)."""
+    steps: list[tuple[str, bool]] = []
     cur = head
     seen: set[str] = set()
     while cur and cur != RDF_NIL and cur not in seen:
@@ -84,55 +87,104 @@ def _iri_list(by_subj, head: str, ctx: str) -> tuple[str, ...]:
         if first is None:
             break
         if first.obj_kind == "bnode":
-            raise NotImplementedError(
-                f"nested path expression inside {ctx} is out of contract "
-                "(shacl/model.py)"
-            )
-        preds.append(first.obj_value)
+            inv = _value(by_subj, first.obj_value, SH + "inversePath")
+            if inv is None or inv.obj_kind == "bnode":
+                raise NotImplementedError(
+                    f"only IRI and [sh:inversePath <iri>] members are "
+                    f"supported inside {ctx} (shacl/model.py)"
+                )
+            steps.append((inv.obj_value, True))
+        else:
+            steps.append((first.obj_value, False))
         rest = _value(by_subj, cur, RDF_REST)
         cur = rest.obj_value if rest is not None else RDF_NIL
-    return tuple(preds)
+    return steps
 
 
-def _parse_path(by_subj, path_t) -> tuple[str, str, tuple[str, ...]]:
-    """Resolve a sh:path object -> (display_id, kind, underlying preds).
+def _step_display(steps: list[tuple[str, bool]], sep: str) -> str:
+    return sep.join(("^" + p) if inv else p for p, inv in steps)
+
+
+def _parse_path(
+    by_subj, path_t
+) -> tuple[str, str, tuple[str, ...], tuple[bool, ...]]:
+    """Resolve a sh:path object -> (display_id, kind, preds, dirs).
 
     Supported beyond the simple IRI the reference uses (SURVEY §2.6):
-    ``[sh:inversePath <p>]``, sequence paths ``( <p1> <p2> ... )`` with
-    >=2 IRI members, ``[sh:alternativePath ( <p1> <p2> ... )]``,
+    ``[sh:inversePath <p>]``, sequence paths ``( s1 s2 ... )`` with >=2
+    step members, ``[sh:alternativePath ( s1 s2 ... )]`` — where each
+    step member is an IRI or ``[sh:inversePath <iri>]`` (r5 wave 3) —
     ``[sh:zeroOrOnePath <p>]``, and the recursive forms
     ``[sh:zeroOrMorePath <p>]`` / ``[sh:oneOrMorePath <p>]`` (evaluated
-    by an iterative transitive-closure fixpoint, compile.py). Nested
-    path expressions raise — the degrade-don't-guess contract (silently
-    skipping a constraint would under-validate). Display ids use SPARQL
-    path syntax over raw IRIs ("^"+iri, "/".join(iris), "|".join(iris),
-    iri+"?", iri+"*", iri+"+"); an IRI cannot start with "^" or contain
-    a second full IRI joined by "/" or "|", and predicate IRIs ending in
-    a bare "?"/"*"/"+" do not occur in practice, so the ids do not
-    collide with real predicates in the data."""
+    by an iterative transitive-closure fixpoint, compile.py).
+    ``[sh:inversePath (s1 .. sn)]`` and ``[sh:inversePath
+    [sh:alternativePath (..)]]`` normalize here (^(p/q) == ^q/^p,
+    ^(p|q) == ^p|^q). Deeper nesting raises — the degrade-don't-guess
+    contract (silently skipping a constraint would under-validate).
+    Display ids use SPARQL path syntax over raw IRIs ("^"+iri,
+    "/"-joined steps, "|"-joined steps, iri+"?", iri+"*", iri+"+"); an
+    IRI cannot start with "^" or contain a second full IRI joined by
+    "/" or "|", and predicate IRIs ending in a bare "?"/"*"/"+" do not
+    occur in practice, so the ids do not collide with real predicates
+    in the data."""
     if path_t.obj_kind != "bnode":
-        return path_t.obj_value, "iri", ()
+        return path_t.obj_value, "iri", (), ()
     node = path_t.obj_value
     inv = _value(by_subj, node, SH + "inversePath")
     if inv is not None:
-        if inv.obj_kind == "bnode":
-            raise NotImplementedError(
-                "nested path expression under sh:inversePath is out of "
-                "contract (shacl/model.py)"
+        if inv.obj_kind != "bnode":
+            return "^" + inv.obj_value, "inverse", (inv.obj_value,), (True,)
+        # inverse of an expression: normalize into the expression space
+        inner = inv.obj_value
+        if _value(by_subj, inner, RDF_FIRST) is not None:
+            steps = [
+                (p, not d)
+                for p, d in reversed(
+                    _step_list(by_subj, inner, "sh:inversePath(sequence)")
+                )
+            ]
+            if len(steps) < 2:
+                raise NotImplementedError("sequence path needs >=2 members")
+            return (
+                _step_display(steps, "/"), "sequence",
+                tuple(p for p, _ in steps), tuple(d for _, d in steps),
             )
-        return "^" + inv.obj_value, "inverse", (inv.obj_value,)
+        inner_alt = _value(by_subj, inner, SH + "alternativePath")
+        if inner_alt is not None and inner_alt.obj_kind == "bnode":
+            steps = [
+                (p, not d)
+                for p, d in _step_list(
+                    by_subj, inner_alt.obj_value,
+                    "sh:inversePath(alternative)",
+                )
+            ]
+            if len(steps) < 2:
+                raise NotImplementedError(
+                    "sh:alternativePath needs an rdf:list of >=2 members"
+                )
+            return (
+                _step_display(steps, "|"), "alternative",
+                tuple(p for p, _ in steps), tuple(d for _, d in steps),
+            )
+        raise NotImplementedError(
+            "nested path expression under sh:inversePath is out of "
+            "contract (shacl/model.py)"
+        )
     alt = _value(by_subj, node, SH + "alternativePath")
     if alt is not None:
         if alt.obj_kind != "bnode":
             raise NotImplementedError(
-                "sh:alternativePath needs an rdf:list of >=2 IRI members"
+                "sh:alternativePath needs an rdf:list of >=2 members"
             )
-        preds = _iri_list(by_subj, alt.obj_value, "sh:alternativePath")
-        if len(preds) < 2:
+        steps = _step_list(by_subj, alt.obj_value, "sh:alternativePath")
+        if len(steps) < 2:
             raise NotImplementedError(
-                "sh:alternativePath needs an rdf:list of >=2 IRI members"
+                "sh:alternativePath needs an rdf:list of >=2 members"
             )
-        return "|".join(preds), "alternative", preds
+        return (
+            _step_display(steps, "|"), "alternative",
+            tuple(p for p, _ in steps), tuple(d for _, d in steps),
+        )
     zoo = _value(by_subj, node, SH + "zeroOrOnePath")
     if zoo is not None:
         if zoo.obj_kind == "bnode":
@@ -140,7 +192,7 @@ def _parse_path(by_subj, path_t) -> tuple[str, str, tuple[str, ...]]:
                 "nested path expression under sh:zeroOrOnePath is out of "
                 "contract (shacl/model.py)"
             )
-        return zoo.obj_value + "?", "zero_or_one", (zoo.obj_value,)
+        return zoo.obj_value + "?", "zero_or_one", (zoo.obj_value,), (False,)
     for pred, (kind, suffix) in _RECURSIVE_PATH_KINDS.items():
         rec = _value(by_subj, node, pred)
         if rec is not None:
@@ -149,14 +201,17 @@ def _parse_path(by_subj, path_t) -> tuple[str, str, tuple[str, ...]]:
                     f"nested path expression under <{pred}> is out of "
                     "contract (shacl/model.py)"
                 )
-            return rec.obj_value + suffix, kind, (rec.obj_value,)
+            return rec.obj_value + suffix, kind, (rec.obj_value,), (False,)
     if _value(by_subj, node, RDF_FIRST) is not None:
-        preds = _iri_list(by_subj, node, "a sequence path")
-        if len(preds) < 2:
+        steps = _step_list(by_subj, node, "a sequence path")
+        if len(steps) < 2:
             raise NotImplementedError(
-                "sequence path needs >=2 IRI members"
+                "sequence path needs >=2 members"
             )
-        return "/".join(preds), "sequence", preds
+        return (
+            _step_display(steps, "/"), "sequence",
+            tuple(p for p, _ in steps), tuple(d for _, d in steps),
+        )
     raise NotImplementedError(
         "unrecognized sh:path blank-node expression is out of contract "
         "(shacl/model.py)"
@@ -167,7 +222,7 @@ def _parse_property_shape(by_subj, ps_id: str) -> PropertyShape | None:
     path_t = _value(by_subj, ps_id, SH + "path")
     if path_t is None:
         return None
-    path, path_kind, path_preds = _parse_path(by_subj, path_t)
+    path, path_kind, path_preds, path_dirs = _parse_path(by_subj, path_t)
     datatypes: list[str] = []
     dt = _value(by_subj, ps_id, SH + "datatype")
     if dt is not None:
@@ -215,6 +270,7 @@ def _parse_property_shape(by_subj, ps_id: str) -> PropertyShape | None:
         path=path,
         path_kind=path_kind,
         path_preds=path_preds,
+        path_dirs=path_dirs,
         min_count=_int(_value(by_subj, ps_id, SH + "minCount")),
         max_count=_int(_value(by_subj, ps_id, SH + "maxCount")),
         datatypes=tuple(datatypes),

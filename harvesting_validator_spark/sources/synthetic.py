@@ -506,6 +506,8 @@ ex:EmployeeShape a sh:NodeShape ;
   sh:property [ sh:path ( ex:worksFor ex:city ) ;
                 sh:minCount 1 ; sh:maxCount 1 ] ;
   sh:property [ sh:path [ sh:inversePath ex:manages ] ;
+                sh:maxCount 1 ] ;
+  sh:property [ sh:path ( ex:worksFor [ sh:inversePath ex:worksFor ] ) ;
                 sh:maxCount 1 ] .
 """
 
@@ -514,15 +516,20 @@ def generate_path_sources(
     spark: SparkSession, n_docs: int, n_partitions: int | None = None
 ) -> DataFrame:
     """n synthetic employee docs exercising PATH_PROFILE in closed form
-    by i%5 (pure Catalyst, same contract as generate_sources):
+    by i%6 (pure Catalyst, same contract as generate_sources). The third
+    property shape is the NESTED coworker path worksFor/^worksFor (r5
+    wave 3: inverse step inside a sequence) — a lone employee's value
+    set is exactly itself, so modes 0-4 stay untouched:
 
     mode 0: one employer with a city, one manager — conforms;
     mode 1: no employer — sequence-path minCount (zero-value edge);
     mode 2: employer with TWO cities — sequence-path maxCount;
     mode 3: TWO managers — inverse-path maxCount;
     mode 4: two employers sharing the SAME city (diamond) + one manager
-            — conforms iff sequence values are counted as a SET.
-    n_violations: [0,1,1,1,0][mode]; conforms: mode IN (0, 4).
+            — conforms iff sequence values are counted as a SET;
+    mode 5: a SECOND (untyped) employee at the same employer — coworker
+            set {W, V} = 2 -> nested-path maxCount.
+    n_violations: [0,1,1,1,0,1][mode]; conforms: mode IN (0, 4).
     """
     df = (
         spark.range(0, n_docs, 1, n_partitions)
@@ -530,7 +537,7 @@ def generate_path_sources(
         else spark.range(n_docs)
     ).withColumnRenamed("id", "i")
     i = F.col("i")
-    mode = i % 5
+    mode = i % 6
     body = (
         F.when(mode == 0, F.concat(
             F.lit("ex:W"), i, F.lit(" a ex:Employee ; ex:worksFor ex:C"), i,
@@ -553,11 +560,17 @@ def generate_path_sources(
             F.lit(" ex:manages ex:W"), i, F.lit(" .\nex:N"), i,
             F.lit(" ex:manages ex:W"), i, F.lit(" ."),
         ))
-        .otherwise(F.concat(
+        .when(mode == 4, F.concat(
             F.lit("ex:W"), i, F.lit(" a ex:Employee ; ex:worksFor ex:C"), i,
             F.lit(", ex:D"), i, F.lit(" .\nex:C"), i,
             F.lit(' ex:city "City A" .\nex:D'), i,
             F.lit(' ex:city "City A" .\nex:M'), i,
+            F.lit(" ex:manages ex:W"), i, F.lit(" ."),
+        ))
+        .otherwise(F.concat(
+            F.lit("ex:W"), i, F.lit(" a ex:Employee ; ex:worksFor ex:C"), i,
+            F.lit(" .\nex:V"), i, F.lit(" ex:worksFor ex:C"), i,
+            F.lit(" .\nex:C"), i, F.lit(' ex:city "City A" .\nex:M'), i,
             F.lit(" ex:manages ex:W"), i, F.lit(" ."),
         ))
     )

@@ -81,16 +81,22 @@ def test_parse_path_expressions():
 
 
 @pytest.mark.parametrize("snippet", [
-    # nested expression inside a sequence
-    "sh:path ( ex:a [ sh:inversePath ex:b ] )",
-    # nested expression under inverse
+    # double inverse (normalize-at-parse covers sequence/alternative
+    # under inverse; ^^a stays out)
     "sh:path [ sh:inversePath [ sh:inversePath ex:a ] ]",
+    # closure under inverse
+    "sh:path [ sh:inversePath [ sh:zeroOrMorePath ex:a ] ]",
+    # sequence nested inside a sequence (step members are IRI or
+    # [sh:inversePath <iri>] only)
+    "sh:path ( ex:a ( ex:b ex:c ) )",
+    # alternative nested inside a sequence
+    "sh:path ( ex:a [ sh:alternativePath ( ex:b ex:c ) ] )",
     # 1-element sequence
     "sh:path ( ex:a )",
-    # alternative: 1-element list / bare IRI / nested member
+    # alternative: 1-element list / bare IRI / nested non-step member
     "sh:path [ sh:alternativePath ( ex:a ) ]",
     "sh:path [ sh:alternativePath ex:a ]",
-    "sh:path [ sh:alternativePath ( ex:a [ sh:inversePath ex:b ] ) ]",
+    "sh:path [ sh:alternativePath ( ex:a ( ex:b ex:c ) ) ]",
     # nested expressions under the unary forms
     "sh:path [ sh:zeroOrOnePath [ sh:inversePath ex:a ] ]",
     "sh:path [ sh:zeroOrMorePath [ sh:inversePath ex:a ] ]",
@@ -477,3 +483,132 @@ ex:NShape a sh:NodeShape ;
         for path_id, expect in by_path.items():
             assert counts.get((doc_id, path_id), 0) == expect, (
                 doc_id, path_id, expect, counts.get((doc_id, path_id)))
+
+
+# --- nested path steps (r5 wave 3): inverse members inside sequences /
+# alternatives, inverse-of-sequence / inverse-of-alternative normalization
+
+
+NESTED_PROFILE = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+
+ex:S a sh:NodeShape ; sh:targetClass ex:Employee ;
+  sh:property [ sh:path ( ex:worksFor [ sh:inversePath ex:worksFor ] ) ;
+                sh:maxCount 2 ] ;
+  sh:property [ sh:path [ sh:inversePath ( ex:manages ex:deputy ) ] ;
+                sh:maxCount 1 ] ;
+  sh:property [ sh:path [ sh:alternativePath
+                          ( ex:knows [ sh:inversePath ex:knows ] ) ] ;
+                sh:maxCount 1 ] .
+"""
+
+NESTED_SHAPES = parse_shapes_turtle(NESTED_PROFILE)
+COWORKER = EX + "worksFor/^" + EX + "worksFor"
+INV_SEQ = "^" + EX + "deputy/^" + EX + "manages"
+UNDIRECTED = EX + "knows|^" + EX + "knows"
+
+
+def test_parse_nested_path_steps():
+    by_path = {
+        p.path: p for s in NESTED_SHAPES.shapes for p in s.properties
+    }
+    cw = by_path[COWORKER]
+    assert cw.path_kind == "sequence"
+    assert cw.path_preds == (EX + "worksFor", EX + "worksFor")
+    assert cw.path_dirs == (False, True)
+    # ^(manages/deputy) normalizes to ^deputy/^manages
+    inv_seq = by_path[INV_SEQ]
+    assert inv_seq.path_kind == "sequence"
+    assert inv_seq.path_preds == (EX + "deputy", EX + "manages")
+    assert inv_seq.path_dirs == (True, True)
+    und = by_path[UNDIRECTED]
+    assert und.path_kind == "alternative"
+    assert und.path_dirs == (False, True)
+
+
+def test_inverse_of_alternative_normalizes():
+    turtle = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path [ sh:inversePath
+                          [ sh:alternativePath ( ex:a ex:b ) ] ] ;
+                sh:minCount 1 ] .
+"""
+    (ps,) = parse_shapes_turtle(turtle).shapes[0].properties
+    # ^(a|b) == ^a|^b
+    assert ps.path_kind == "alternative"
+    assert ps.path_preds == (EX + "a", EX + "b")
+    assert ps.path_dirs == (True, True)
+    assert ps.path == "^" + EX + "a|^" + EX + "b"
+
+
+def test_coworker_sequence_with_inverse_step(spark):
+    # worksFor/^worksFor = everyone at the focus node's employer,
+    # INCLUDING the focus itself (it reaches itself back through the
+    # inverse hop). e1 has coworkers {e1,e2,e3} = 3 > maxCount 2.
+    docs = {
+        "a": [
+            _t(EX + "e1", RDF_TYPE, EX + "Employee", kind="iri"),
+            _t(EX + "e1", EX + "worksFor", EX + "c", kind="iri"),
+            _t(EX + "e2", EX + "worksFor", EX + "c", kind="iri"),
+            _t(EX + "e3", EX + "worksFor", EX + "c", kind="iri"),
+        ],
+        "b": [
+            # alone at the employer: values {e4} = 1, conforms
+            _t(EX + "e4", RDF_TYPE, EX + "Employee", kind="iri"),
+            _t(EX + "e4", EX + "worksFor", EX + "d", kind="iri"),
+        ],
+    }
+    got = _violations(spark, docs, NESTED_SHAPES)
+    assert got == {
+        (EX + "e1", SH + "MaxCountConstraintComponent", COWORKER, None),
+    }
+
+
+def test_inverse_of_sequence_walks_backwards(spark):
+    # ^(manages/deputy): managers whose managed node has the focus as
+    # deputy. Two such chains -> 2 values > maxCount 1.
+    docs = {
+        "a": [
+            _t(EX + "e4", RDF_TYPE, EX + "Employee", kind="iri"),
+            _t(EX + "m", EX + "manages", EX + "x", kind="iri"),
+            _t(EX + "x", EX + "deputy", EX + "e4", kind="iri"),
+            _t(EX + "n", EX + "manages", EX + "y", kind="iri"),
+            _t(EX + "y", EX + "deputy", EX + "e4", kind="iri"),
+        ],
+        "b": [
+            # one chain only: conforms
+            _t(EX + "e5", RDF_TYPE, EX + "Employee", kind="iri"),
+            _t(EX + "m2", EX + "manages", EX + "x2", kind="iri"),
+            _t(EX + "x2", EX + "deputy", EX + "e5", kind="iri"),
+        ],
+    }
+    got = _violations(spark, docs, NESTED_SHAPES)
+    assert got == {
+        (EX + "e4", SH + "MaxCountConstraintComponent", INV_SEQ, None),
+    }
+
+
+def test_undirected_alternative_counts_value_once(spark):
+    # knows|^knows over a SYMMETRIC pair: f is reachable forward AND
+    # inverse — one value node, not two (set semantics across the
+    # forward/inverse member frames)
+    docs = {
+        "a": [
+            _t(EX + "e5", RDF_TYPE, EX + "Employee", kind="iri"),
+            _t(EX + "e5", EX + "knows", EX + "f", kind="iri"),
+            _t(EX + "f", EX + "knows", EX + "e5", kind="iri"),
+        ],
+        "b": [
+            # two distinct neighbors, one per direction -> 2 > maxCount 1
+            _t(EX + "e6", RDF_TYPE, EX + "Employee", kind="iri"),
+            _t(EX + "e6", EX + "knows", EX + "g", kind="iri"),
+            _t(EX + "h", EX + "knows", EX + "e6", kind="iri"),
+        ],
+    }
+    got = _violations(spark, docs, NESTED_SHAPES)
+    assert got == {
+        (EX + "e6", SH + "MaxCountConstraintComponent", UNDIRECTED, None),
+    }
