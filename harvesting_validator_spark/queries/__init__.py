@@ -39,7 +39,7 @@ ALL_ORACLES = {}
 # the first sparqlq entry (brand-new this round — newest oracles get the
 # strongest external checking; kg_sparql_verdicts joining the kg block
 # pushed the second one out). Tail this round: the remaining
-# six sparqlq entries, the rows-only sketches (their correctness lives in
+# seven sparqlq entries, the rows-only sketches (their correctness lives in
 # accuracy-bound tests, so a driver row adds nothing), and similarity/
 # dedup/graphops/eventops/textprep — all hash-green in
 # CORRECTNESS_r04.json and additionally gated locally by

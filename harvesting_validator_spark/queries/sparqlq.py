@@ -15,7 +15,8 @@ regex (roster); GROUP BY + COUNT(*) (graph sizes); DISTINCT + ORDER BY
 over an all-var pattern (predicates); ASK + isIRI (company ask);
 SPARQL over the CONSTRUCTED canonical graph (kg entities); CONSTRUCT
 derivation (employers); FILTER NOT EXISTS + MINUS negation (negation
-roster). A hash match certifies parser, compiler, and term semantics
+roster); closure paths ex:broader+ via the per-predicate reachability
+fixpoint (reachable rollup). A hash match certifies parser, compiler, and term semantics
 in one go.
 """
 
@@ -241,6 +242,48 @@ FROM idx WHERE mode NOT IN (7, 9)
 )
 
 
+# --- closure paths in query position (r5 wave 3) ----------------------------
+# per-doc ancestor counts over ex:broader+ on the category-hierarchy
+# corpus (the one with real multi-hop chains AND a cycle mode, shared
+# with kg_recursive_verdicts — same cached parse). Closed form by
+# i%6: chain of 2 -> 2 ancestors, mode 1 chain of 3 -> 3, mode 2 has no
+# broader edge (group absent), mode 5's 2-cycle reaches {B, K} -> 2.
+_Q_REACHABLE = """
+PREFIX ex: <http://example.com/ns#>
+SELECT ?g (COUNT(?anc) AS ?n_ancestors) WHERE {
+  GRAPH ?g { ?k a ex:Category . ?k ex:broader+ ?anc . }
+} GROUP BY ?g
+"""
+
+
+def q_sparql_reachable_rollup(spark, sf_dir):
+    from harvesting_validator_spark.queries.kg import (
+        _RUN_CACHE,
+        q_kg_recursive_verdicts,
+    )
+
+    q_kg_recursive_verdicts(spark, sf_dir)  # populate the shared cache
+    triples = _RUN_CACHE[(id(spark), sf_dir, "recpath")].triples
+    return sparql_select(triples, _Q_REACHABLE)
+
+
+O_REACHABLE = """
+WITH idx AS (
+  SELECT doc_id AS i,
+         doc_id % 6 AS mode,
+         sha256(
+           printf('repo%d', doc_id % 16) || chr(31) ||
+           ('data/recpaths/cat' || doc_id || '.ttl') || chr(31) ||
+           substr(sha256(printf('commit%d', doc_id)), 1, 40)
+         ) AS doc_id
+  FROM documents
+)
+SELECT doc_id AS g,
+       CAST(CASE mode WHEN 1 THEN 3 ELSE 2 END AS BIGINT) AS n_ancestors
+FROM idx WHERE mode != 2
+"""
+
+
 QUERIES = {
     "sparql_person_roster": q_sparql_person_roster,
     "sparql_graph_sizes": q_sparql_graph_sizes,
@@ -249,6 +292,7 @@ QUERIES = {
     "sparql_kg_entities": q_sparql_kg_entities,
     "sparql_construct_employers": q_sparql_construct_employers,
     "sparql_negation_roster": q_sparql_negation_roster,
+    "sparql_reachable_rollup": q_sparql_reachable_rollup,
 }
 
 ORACLES = {
@@ -259,4 +303,5 @@ ORACLES = {
     "sparql_kg_entities": O_KG_ENTITIES,
     "sparql_construct_employers": O_CONSTRUCT_EMPLOYERS,
     "sparql_negation_roster": O_NEGATION_ROSTER,
+    "sparql_reachable_rollup": O_REACHABLE,
 }

@@ -48,12 +48,16 @@ plus the core of SPARQL 1.1 SELECT):
   compile-time check; a shared var left NULL by OPTIONAL compares
   non-matching (kept by MINUS / NOT EXISTS) — documented simplification
   of the spec's unbound-is-compatible rule
-* non-closure property paths in query position — sequence ``p1/p2``,
-  inverse ``^p``, alternative ``p1|p2``, parenthesized compositions —
+* property paths in query position — sequence ``p1/p2``, inverse
+  ``^p``, alternative ``p1|p2``, parenthesized compositions —
   desugared per SPARQL 18.2.2.4 into triple patterns with fresh
-  variables / swapped positions / UNION (closure paths ``* + ?`` would
-  need a query-side fixpoint and stay out; the SHACL engine evaluates
-  those shape-side, `shacl/compile.py`)
+  variables / swapped positions / UNION; plus (r5 wave 3) the closure
+  modifiers ``p*`` / ``p+`` / ``p?`` over a plain IRI step, evaluated
+  by a per-predicate path-doubling fixpoint (doc-scoped inside GRAPH —
+  the same loop discipline as the SHACL engine's shape-side closure).
+  Zero-step endpoints are the graph's resources; literal self-pairs
+  are a documented simplification away from the spec's all-terms rule.
+  Closures of composite sub-paths (``(p/q)*``) stay out
 * ``CONSTRUCT { template } WHERE { ... }`` — rule-based triple
   derivation: each solution instantiates the template, invalid
   instantiations are skipped per spec, and the deduplicated result uses
@@ -69,8 +73,8 @@ plus the core of SPARQL 1.1 SELECT):
   the reference's `.sparql` files run with their parameters bound
 
 Out of contract — raise ``SparqlUnsupported`` at parse time
-(degrade-don't-guess, same contract as the RDF parsers): closure paths,
-nested sub-SELECTs (the one reference use,
+(degrade-don't-guess, same contract as the RDF parsers): closures of
+composite sub-paths, nested sub-SELECTs (the one reference use,
 `load-imported-triples-stream.sparql`, is DISTINCT+ORDER inside
 LIMIT/OFFSET outside — expressible with plain modifiers), UNDEF,
 [NOT] EXISTS inside a boolean expression, var-disjoint EXISTS,
@@ -179,6 +183,23 @@ class Bind:
 class Values:
     vars: tuple  # var names
     rows: tuple  # tuples of (Iri | Lit)
+
+
+@dataclass(frozen=True)
+class ClosurePath:
+    """``<p>*`` / ``<p>+`` / ``<p>?`` in predicate position (r5 wave 3).
+
+    Sits in ``TriplePattern.p``; the compiler evaluates the predicate's
+    transitive closure by a path-doubling fixpoint (``+``), optionally
+    unioned with the zero step (``*``), or just identity ∪ one hop
+    (``?``). Zero-step endpoints are the graph's RESOURCES (IRIs and
+    blank nodes appearing as subject or non-literal object) — literal
+    self-pairs are a documented simplification away from the spec's
+    all-terms rule (they only differ when both endpoints are unbound,
+    which anchored closure queries never are)."""
+
+    pred: str
+    op: str  # "*" | "+" | "?"
 
 
 @dataclass(frozen=True)
@@ -659,10 +680,18 @@ class _Parser:
                 raise SparqlError(f"a path step must be an IRI, got {t!r}")
         k, v = self.peek()
         if k == "OP" and v in ("*", "+", "?"):
-            raise SparqlUnsupported(
-                "closure paths (* + ?) in query position are out of the "
-                "subset"
-            )
+            # closure modifier (r5 wave 3): supported over a SIMPLE IRI
+            # step only; closures of composite sub-paths stay out
+            if not isinstance(inner, Iri):
+                raise SparqlUnsupported(
+                    "closure modifiers (* + ?) apply to a plain IRI step "
+                    "only"
+                )
+            self.next()
+            inner = ClosurePath(inner.value, v)
+            k, v = self.peek()
+            if k == "OP" and v in ("*", "+", "?"):
+                raise SparqlUnsupported("stacked closure modifiers")
         if inverse and isinstance(inner, Var):
             # ^(?v) — the parenthesized spelling of an invalid var step
             raise SparqlError("a variable cannot be a path step")
@@ -674,10 +703,12 @@ class _Parser:
 
     def _expand_path(self, s, path, o) -> list:
         """Desugar one (s, path, o) into pattern elements."""
-        if isinstance(path, (Iri, Var)):
+        if isinstance(path, (Iri, Var, ClosurePath)):
             return [TriplePattern(s, path, o)]
         kind, payload = path
         if kind == "inv":
+            # also covers ^(p*): the closure of the inverse is the
+            # inverse of the closure, so swapping the endpoints suffices
             return self._expand_path(o, payload, s)
         if kind == "seq":
             out: list = []
@@ -967,10 +998,208 @@ class _Compiler:
     def __init__(self, triples: DataFrame):
         self.triples = triples
         self.n = 0
+        self._closure_cache: dict = {}
 
     def fresh(self, stem: str) -> str:
         self.n += 1
         return f"__{stem}_{self.n}"
+
+    # -- closure paths (r5 wave 3) -------------------------------------------
+    def _closure_pairs(self, cp: ClosurePath, graph: object) -> DataFrame:
+        """Reachability pairs of ``cp.pred`` under the closure operator:
+        columns ``[doc_id,] src, dst, dst_kind, dst_dt, dst_lang``.
+
+        ``+`` runs a per-predicate path-doubling fixpoint (R ∪ R∘R per
+        round — O(log diameter) materialized rounds, each round
+        localCheckpointed to truncate lineage with superseded
+        checkpoints released immediately; the same loop discipline as
+        the SHACL engine's shape-side closure, shacl/compile.py).
+        ``*`` additionally unions the zero step over the graph's
+        resources; ``?`` is just identity ∪ one hop (no fixpoint).
+        Inside GRAPH the pairs carry doc_id and every join is keyed on
+        it (per-document reachability — a constant graph IRI prunes the
+        slice BEFORE the fixpoint); without GRAPH the closure runs over
+        the union graph, which is what the query asks for. NOTE: the
+        frame the final round returns pins its checkpoint blocks for
+        the session; bench/driver loops sweep them via runtime.py."""
+        scoped = graph is not None
+        gkey = graph.value if isinstance(graph, Iri) else None
+        key = (cp.pred, cp.op, scoped, gkey)
+        if key in self._closure_cache:
+            return self._closure_cache[key]
+        t = self.triples
+        if gkey is not None:
+            if not gkey.startswith(DOC_GRAPH_PREFIX):
+                raise SparqlUnsupported(
+                    f"graph IRIs are {DOC_GRAPH_PREFIX}<hex-doc-id>; got "
+                    f"{gkey!r}"
+                )
+            t = t.filter(
+                F.col("doc_id")
+                == F.unhex(F.lit(gkey[len(DOC_GRAPH_PREFIX):]))
+            )
+        gcols = ["doc_id"] if scoped else []
+        base = (
+            t.filter(F.col("pred") == cp.pred)
+            .select(
+                *gcols,
+                F.col("subj").alias("src"),
+                F.col("obj_value").alias("dst"),
+                F.col("obj_kind").alias("dst_kind"),
+                F.col("obj_datatype").alias("dst_dt"),
+                F.col("obj_lang").alias("dst_lang"),
+            )
+            .distinct()
+        )
+        ident = None
+        if cp.op in ("*", "?"):
+            derived_kind = F.when(
+                F.col("node").startswith("_:"), F.lit("bnode")
+            ).otherwise(F.lit("iri"))
+            nodes = (
+                t.select(*gcols, F.col("subj").alias("node"))
+                .unionByName(
+                    t.filter(F.col("obj_kind") != "literal")
+                    .select(*gcols, F.col("obj_value").alias("node"))
+                )
+                .distinct()
+            )
+            ident = nodes.select(
+                *gcols,
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                derived_kind.alias("dst_kind"),
+                F.lit(None).cast("string").alias("dst_dt"),
+                F.lit(None).cast("string").alias("dst_lang"),
+            )
+        if cp.op == "?":
+            out = base.unionByName(ident).distinct()
+        else:
+            from harvesting_validator_spark.runtime import (
+                persistent_rdd_ids,
+                unpersist_rdds,
+            )
+
+            spark = self.triples.sparkSession
+            pre = persistent_rdd_ids(spark)
+            reach = base.localCheckpoint()
+            held = persistent_rdd_ids(spark) - pre
+            n = reach.count()
+            for _ in range(16):  # paths up to length 2^16
+                cond = F.col("x.dst") == F.col("y.src")
+                if scoped:
+                    cond = cond & (F.col("x.doc_id") == F.col("y.doc_id"))
+                ext = (
+                    reach.alias("x")
+                    .join(reach.alias("y"), cond)
+                    .select(
+                        *[F.col(f"x.{c}").alias(c) for c in gcols],
+                        F.col("x.src").alias("src"),
+                        F.col("y.dst").alias("dst"),
+                        F.col("y.dst_kind").alias("dst_kind"),
+                        F.col("y.dst_dt").alias("dst_dt"),
+                        F.col("y.dst_lang").alias("dst_lang"),
+                    )
+                )
+                nxt = reach.unionByName(ext).distinct().localCheckpoint()
+                m = nxt.count()
+                new_ids = persistent_rdd_ids(spark) - pre - held
+                unpersist_rdds(spark, held)
+                held = new_ids
+                reach = nxt
+                if m == n:
+                    break
+                n = m
+            else:
+                raise SparqlError(
+                    f"transitive closure of <{cp.pred}> did not converge "
+                    "in 16 doubling rounds (path length > 65536)"
+                )
+            out = (
+                reach if cp.op == "+"
+                else reach.unionByName(ident).distinct()
+            )
+        self._closure_cache[key] = out
+        return out
+
+    def _scan_closure(
+        self, tp: TriplePattern, graph: object
+    ) -> tuple[DataFrame, dict[str, _Binding]]:
+        """One closure-path pattern -> filtered reachability scan with
+        fresh column names (the ClosurePath analog of _scan_tp)."""
+        cp = tp.p
+        frame = self._closure_pairs(cp, graph)
+        cond = F.lit(True)
+        if isinstance(tp.s, Iri):
+            cond = cond & (F.col("src") == tp.s.value)
+        elif isinstance(tp.s, Lit):
+            # literal endpoints are excluded from the zero step (see
+            # ClosurePath docstring) and can never start a hop
+            cond = F.lit(False)
+        if isinstance(tp.o, Iri):
+            cond = cond & (F.col("dst_kind") == "iri") & (
+                F.col("dst") == tp.o.value
+            )
+        elif isinstance(tp.o, Lit):
+            cond = cond & (F.col("dst_kind") == "literal") & (
+                F.col("dst") == tp.o.value
+            )
+            if tp.o.lang is not None:
+                cond = cond & (F.lower(F.col("dst_lang")) == tp.o.lang)
+            elif tp.o.datatype is None or tp.o.datatype == _XSD_STRING:
+                cond = cond & (
+                    F.col("dst_dt").isNull()
+                    | (F.col("dst_dt") == _XSD_STRING)
+                ) & F.col("dst_lang").isNull()
+            else:
+                cond = cond & (F.col("dst_dt") == tp.o.datatype)
+        frame = frame.filter(cond)
+
+        binds: dict[str, _Binding] = {}
+        sel: list[Column] = []
+        if isinstance(tp.s, Var):
+            c = self.fresh("s")
+            sel.append(F.col("src").alias(c))
+            binds[tp.s.name] = _Binding(val=c)
+        self_reach = isinstance(tp.o, Var) and isinstance(tp.s, Var) and (
+            tp.o.name == tp.s.name
+        )
+        if self_reach:
+            # ?x p+ ?x — self-reachability (cycle membership): keep the
+            # pairs whose endpoints coincide; the src binding already
+            # covers the var
+            frame = frame.filter(
+                (F.col("dst") == F.col("src"))
+                & (F.col("dst_kind") != "literal")
+            )
+        if isinstance(tp.o, Var) and not self_reach:
+            if tp.o.name in binds:
+                raise SparqlUnsupported("repeated var within one pattern")
+            cv, ck, cd, cl = (
+                self.fresh("o"), self.fresh("ok"), self.fresh("od"),
+                self.fresh("ol"),
+            )
+            sel += [
+                F.col("dst").alias(cv), F.col("dst_kind").alias(ck),
+                F.when(
+                    F.col("dst_dt") == _XSD_STRING,
+                    F.lit(None).cast("string"),
+                ).otherwise(F.col("dst_dt")).alias(cd),
+                F.lower(F.col("dst_lang")).alias(cl),
+            ]
+            binds[tp.o.name] = _Binding(val=cv, kind=ck, datatype=cd, lang=cl)
+        if isinstance(graph, Var):
+            if graph.name in binds:
+                raise SparqlUnsupported(
+                    f"?{graph.name} binds both the graph and a closure "
+                    "endpoint in one pattern"
+                )
+            c = self.fresh("g")
+            sel.append(F.col("doc_id").alias(c))
+            binds[graph.name] = _Binding(val=c, is_graph=True)
+        if not sel:
+            sel.append(F.lit(1).alias(self.fresh("one")))
+        return frame.select(*sel), binds
 
     # -- pattern compilation -------------------------------------------------
     def compile_pattern(
@@ -1049,6 +1278,8 @@ class _Compiler:
         self, tp: TriplePattern, graph: object
     ) -> tuple[DataFrame, dict[str, _Binding]]:
         """One triple pattern -> filtered scan with fresh column names."""
+        if isinstance(tp.p, ClosurePath):
+            return self._scan_closure(tp, graph)
         t = self.triples
         cond = F.lit(True)
         # constant positions -> pushed filters

@@ -192,7 +192,7 @@ def test_select_star_binds_all_vars(triples):
         "SELECT ?s WHERE { { SELECT ?s WHERE { ?s ?p ?o } } }",
         "DESCRIBE <http://x>",
         "SELECT (SAMPLE(?o) AS ?t) WHERE { ?s ?p ?o }",
-        "SELECT ?s WHERE { ?s <http://x>* ?o }",  # closure path
+        "SELECT ?s WHERE { ?s (<http://x>/<http://y>)* ?o }",  # composite closure
         # EXISTS inside a boolean expression (standalone FILTER only)
         'SELECT ?s WHERE { ?s ?p ?o . '
         'FILTER(EXISTS { ?s a ?t } || ?o = "x") }',
@@ -558,10 +558,15 @@ def test_construct_template_rejects_paths(triples):
         )
 
 
-def test_closure_paths_raise_unsupported_not_tokenize_error():
+def test_closure_modifier_parse_and_guards():
+    # simple-IRI closures are IN the subset (r5 wave 3)
     for op in ("*", "+", "?"):
-        with pytest.raises(SparqlUnsupported):
-            parse_sparql(f"SELECT ?x WHERE {{ ?x <http://x/p>{op} ?y }}")
+        parse_sparql(f"SELECT ?x WHERE {{ ?x <http://x/p>{op} ?y }}")
+    # composite sub-path closures and stacked modifiers stay out
+    with pytest.raises(SparqlUnsupported):
+        parse_sparql("SELECT ?x WHERE { ?x (<http://x/p>|<http://x/q>)+ ?y }")
+    with pytest.raises(SparqlUnsupported):
+        parse_sparql("SELECT ?x WHERE { ?x <http://x/p>*+ ?y }")
 
 
 def test_parenthesized_var_path_step_rejected():
@@ -617,3 +622,59 @@ def test_sum_min_max_avg_aggregates(triples):
         parse_sparql("SELECT (SUM(*) AS ?t) WHERE { ?s ?p ?o }")
     with pytest.raises(SparqlUnsupported):
         parse_sparql("SELECT (GROUP_CONCAT(?o) AS ?t) WHERE { ?s ?p ?o }")
+
+
+# --- closure paths in query position (r5 wave 3) -----------------------------
+
+
+@pytest.fixture(scope="module")
+def chain_triples(spark):
+    EX = "http://ex/"
+    rows = [
+        # doc 1: chain a->b->c->d, a label on a
+        (b"\x01", EX + "a", EX + "next", EX + "b", "iri", None, None),
+        (b"\x01", EX + "b", EX + "next", EX + "c", "iri", None, None),
+        (b"\x01", EX + "c", EX + "next", EX + "d", "iri", None, None),
+        (b"\x01", EX + "a", EX + "label", "start", "literal", None, None),
+        # doc 2: 2-cycle x<->y
+        (b"\x02", EX + "x", EX + "next", EX + "y", "iri", None, None),
+        (b"\x02", EX + "y", EX + "next", EX + "x", "iri", None, None),
+    ]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def test_closure_plus_star_question(chain_triples):
+    base = "SELECT ?r WHERE {{ <http://ex/a> <http://ex/next>{op} ?r . }} ORDER BY ?r"
+    got = lambda op: [
+        r.r.replace("http://ex/", "")
+        for r in sparql_select(chain_triples, base.format(op=op)).collect()
+    ]
+    assert got("+") == ["b", "c", "d"]
+    # * includes the zero step (the anchor itself)
+    assert got("*") == ["a", "b", "c", "d"]
+    # ? is identity plus ONE hop
+    assert got("?") == ["a", "b"]
+
+
+def test_closure_cycle_self_reachability_scoped(chain_triples):
+    # ?s next+ ?s finds exactly the cycle members, per document
+    q = """SELECT ?g ?s WHERE { GRAPH ?g { ?s <http://ex/next>+ ?s . } }
+           ORDER BY ?s"""
+    assert rows(sparql_select(chain_triples, q)) == [
+        ("02", "http://ex/x"), ("02", "http://ex/y"),
+    ]
+
+
+def test_inverse_closure_and_composition(chain_triples):
+    # ^next+ from d walks the chain backwards (closure of the inverse ==
+    # inverse of the closure, handled by the endpoint swap)
+    q = "SELECT ?r WHERE { <http://ex/d> ^<http://ex/next>+ ?r . } ORDER BY ?r"
+    assert [r.r for r in sparql_select(chain_triples, q).collect()] == [
+        "http://ex/a", "http://ex/b", "http://ex/c",
+    ]
+    # closure step inside a sequence path: reach the label over next*
+    q2 = ("SELECT ?v WHERE { <http://ex/a> "
+          "<http://ex/next>*/<http://ex/label> ?v . }")
+    assert [r.v for r in sparql_select(chain_triples, q2).collect()] == [
+        "start"
+    ]
