@@ -1527,48 +1527,61 @@ def validate(
     # (co-partitioned with the pipeline's single doc_id exchange), and
     # the final focus join uses the same (doc_id, node) key as every
     # other pass.
-    for s in shapes.shapes:
-        for sc in s.sparql_constraints:
-            from harvesting_validator_spark import sparql as _sq
+    sparql_cs = [
+        (s, None, sc) for s in shapes.shapes for sc in s.sparql_constraints
+    ] + [
+        # property-shape constraints (spec §5.3.1): $PATH was substituted
+        # at parse time; violations default result_path to the shape's
+        # path when the query binds no ?path
+        (s, ps, sc)
+        for s in shapes.shapes for ps in s.properties
+        for sc in ps.sparql_constraints
+    ]
+    for s, ps, sc in sparql_cs:
+        from harvesting_validator_spark import sparql as _sq
 
-            q = _sq.parse_sparql(sc.select)
-            comp = _sq._Compiler(triples)
-            sol_df, binds = comp.compile_pattern(
-                q.pattern, graph=_sq.Var("__shacl_g")
-            )
-            b_g, b_this = binds["__shacl_g"], binds["this"]
+        q = _sq.parse_sparql(sc.select)
+        comp = _sq._Compiler(triples)
+        sol_df, binds = comp.compile_pattern(
+            q.pattern, graph=_sq.Var("__shacl_g")
+        )
+        b_g, b_this = binds["__shacl_g"], binds["this"]
 
-            def _opt(name: str, kind: bool = False):
-                b = binds.get(name)
-                if b is None:
-                    return F.lit(None).cast("string")
-                return (b.kind_col() if kind else F.col(b.val)).cast("string")
+        def _opt(name: str, kind: bool = False, binds=binds):
+            b = binds.get(name)
+            if b is None:
+                return F.lit(None).cast("string")
+            return (b.kind_col() if kind else F.col(b.val)).cast("string")
 
-            sol = sol_df.select(
-                F.col(b_g.val).alias("q_doc"),
-                F.col(b_this.val).alias("q_node"),
-                _opt("value").alias("q_value"),
-                _opt("value", kind=True).alias("q_value_kind"),
-                _opt("path").alias("q_path"),
-            ).distinct()
-            hits = focus.filter(F.col("shape") == s.iri).join(
-                sol,
-                (F.col("doc_id") == F.col("q_doc"))
-                & (F.col("focus_node") == F.col("q_node")),
-            )
-            frames.append(_project(hits.select(
-                "doc_id", "shape", "focus_node",
-                F.col("q_path").alias("result_path"),
-                F.col("q_value").alias("value"),
-                F.when(
-                    F.col("q_value").isNotNull(), F.col("q_value_kind")
-                ).alias("value_kind"),
-                F.lit(SH + "SPARQLConstraintComponent")
-                .alias("constraint_component"),
-                F.lit(sc.message or "SPARQL constraint violated")
-                .alias("message"),
-                F.lit(sc.source).alias("source_shape"),
-            )))
+        sol = sol_df.select(
+            F.col(b_g.val).alias("q_doc"),
+            F.col(b_this.val).alias("q_node"),
+            _opt("value").alias("q_value"),
+            _opt("value", kind=True).alias("q_value_kind"),
+            _opt("path").alias("q_path"),
+        ).distinct()
+        hits = focus.filter(F.col("shape") == s.iri).join(
+            sol,
+            (F.col("doc_id") == F.col("q_doc"))
+            & (F.col("focus_node") == F.col("q_node")),
+        )
+        default_path = (
+            F.lit(ps.path) if ps is not None
+            else F.lit(None).cast("string")
+        )
+        frames.append(_project(hits.select(
+            "doc_id", "shape", "focus_node",
+            F.coalesce(F.col("q_path"), default_path).alias("result_path"),
+            F.col("q_value").alias("value"),
+            F.when(
+                F.col("q_value").isNotNull(), F.col("q_value_kind")
+            ).alias("value_kind"),
+            F.lit(SH + "SPARQLConstraintComponent")
+            .alias("constraint_component"),
+            F.lit(sc.message or "SPARQL constraint violated")
+            .alias("message"),
+            F.lit(sc.source).alias("source_shape"),
+        )))
 
     result = _union_all(frames)
     if result is None:

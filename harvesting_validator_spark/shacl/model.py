@@ -34,13 +34,16 @@ SELECT text compiles through the engine's OWN SPARQL->DataFrame
 compiler (sparql.py) with per-document graph scoping, $this joined
 against the shape's focus set — each distinct solution is one
 violation (sh:SPARQLConstraintComponent; ?value / ?path bindings map
-to sh:value / sh:resultPath per spec §5.3.2). Out of contract (raise
-at parse time, degrade-don't-guess): nested path expressions, sh:node
-under a non-IRI path, sh:sparql on PROPERTY shapes ($PATH pre-binding),
-pre-bound vars other than $this, GRAPH clauses inside a constraint
-query, sh:ask-only constraints, {?var} message substitution, and any
-SPARQL feature outside sparql.py's documented subset
-(SparqlUnsupported surfaces at profile-parse time).
+to sh:value / sh:resultPath per spec §5.3.2); sh:sparql on PROPERTY
+shapes substitutes the pre-bound $PATH with the shape's path IRI at
+parse time (spec §5.3.1, simple IRI paths only) and defaults
+result_path to that path. Out of contract (raise at parse time,
+degrade-don't-guess): deeply-nested path expressions, sh:node under a
+non-IRI path, $PATH substitution into a path EXPRESSION, pre-bound
+vars other than $this/$PATH, GRAPH clauses inside a constraint query,
+sh:ask-only constraints, {?var} message substitution, and any SPARQL
+feature outside sparql.py's documented subset (SparqlUnsupported
+surfaces at profile-parse time).
 """
 
 from __future__ import annotations
@@ -133,6 +136,12 @@ class PropertyShape:
     path_kind: str = "iri"
     path_preds: tuple[str, ...] = ()
     path_dirs: tuple[bool, ...] = ()
+    # SPARQL-based constraints on THIS property shape (spec §5.3.1):
+    # the pre-bound $PATH is substituted with the shape's path IRI at
+    # parse time (simple IRI paths only — substitution into a path
+    # EXPRESSION raises), and violations default sh:resultPath to the
+    # path when the query binds no ?path
+    sparql_constraints: tuple = ()
     message: str | None = None
 
 

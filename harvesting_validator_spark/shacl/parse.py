@@ -249,14 +249,17 @@ def _parse_property_shape(by_subj, ps_id: str) -> PropertyShape | None:
 
     lang_in_t = _value(by_subj, ps_id, SH + "languageIn")
     ul_t = _value(by_subj, ps_id, SH + "uniqueLang")
+    sparql_cs: tuple = ()
     if _value(by_subj, ps_id, SH + "sparql") is not None:
-        # property-shape sh:sparql pre-binds $PATH (and result paths
-        # default to the shape's path) — not wired up; raising beats
-        # silently under-validating. Node-shape sh:sparql IS supported.
-        raise NotImplementedError(
-            "sh:sparql on a property shape ($PATH pre-binding) is out of "
-            "contract (shacl/model.py); attach it to the node shape"
-        )
+        if path_kind != "iri":
+            # $PATH substitution into a path EXPRESSION would need the
+            # SPARQL engine to evaluate that expression — raising beats
+            # silently under-validating
+            raise NotImplementedError(
+                "sh:sparql on a property shape with a non-IRI sh:path is "
+                "out of contract (shacl/model.py)"
+            )
+        sparql_cs = _parse_sparql_constraints(by_subj, ps_id, path=path)
     if node_t is not None and path_kind != "iri":
         # compute_focus / _nested_closure derive child focus by joining
         # triples on the parent's SIMPLE path; wiring them through the
@@ -271,6 +274,7 @@ def _parse_property_shape(by_subj, ps_id: str) -> PropertyShape | None:
         path_kind=path_kind,
         path_preds=path_preds,
         path_dirs=path_dirs,
+        sparql_constraints=sparql_cs,
         min_count=_int(_value(by_subj, ps_id, SH + "minCount")),
         max_count=_int(_value(by_subj, ps_id, SH + "maxCount")),
         datatypes=tuple(datatypes),
@@ -337,19 +341,22 @@ def _pattern_binds_this(elements: tuple) -> bool:
 
 
 def _parse_sparql_constraints(
-    by_subj, sid: str
+    by_subj, sid: str, path: str | None = None
 ) -> tuple[SparqlConstraint, ...]:
-    """Parse the ``sh:sparql`` constraints of one node shape (spec §5.3).
+    """Parse the ``sh:sparql`` constraints of one node or property shape
+    (spec §5.3).
 
     Validation happens HERE, at profile-parse time (parity with the
     reference's startup ``Shapes.parse``, `ApplicationConfig.java:44-50`):
     the final query text — sh:prefixes inlined, ``$this`` rewritten to
-    ``?this`` — must parse within sparql.py's documented subset, be a
-    SELECT, use no GRAPH clause (the compiler owns document scoping),
-    pre-bind nothing but ``$this``, and bind ``?this`` in at least one
-    triple pattern. A constraint the engine cannot evaluate faithfully
-    fails the run's startup instead of under-validating (the
-    degrade-don't-guess contract)."""
+    ``?this``, and on property shapes (``path`` given) the pre-bound
+    ``$PATH`` substituted with ``<path-iri>`` per spec §5.3.1 — must
+    parse within sparql.py's documented subset, be a SELECT, use no
+    GRAPH clause (the compiler owns document scoping), pre-bind nothing
+    else, and bind ``?this`` in at least one triple pattern. A
+    constraint the engine cannot evaluate faithfully fails the run's
+    startup instead of under-validating (the degrade-don't-guess
+    contract)."""
     from harvesting_validator_spark.sparql import (
         parse_sparql,
         uses_graph_clause,
@@ -382,6 +389,8 @@ def _parse_sparql_constraints(
                 decls.append(f"PREFIX {p.obj_value}: <{ns.obj_value}>")
             if decls:
                 text = "\n".join(decls) + "\n" + text
+        if path is not None:
+            text = text.replace("$PATH", f"<{path}>")
         other = sorted({
             m.group(0) for m in re.finditer(r"\$\w+", text)
             if m.group(0) != "$this"

@@ -144,12 +144,19 @@ def test_parse_rejections():
         'LIMIT 5""" ] .',
         "out of contract",
     )
-    # sh:sparql on a PROPERTY shape ($PATH pre-binding semantics)
+    # sh:sparql on a property shape whose path is an EXPRESSION ($PATH
+    # substitution needs a plain IRI)
     _expect_parse_error(
         'ex:S a sh:NodeShape ; sh:targetClass ex:T ; sh:property [ '
-        'sh:path ex:p ; sh:sparql [ sh:select '
+        'sh:path [ sh:inversePath ex:p ] ; sh:sparql [ sh:select '
         '"""SELECT $this WHERE { $this ?p ?v . }""" ] ] .',
-        "property shape",
+        "non-IRI",
+    )
+    # $PATH on a NODE shape (no path to substitute)
+    _expect_parse_error(
+        'ex:S a sh:NodeShape ; sh:targetClass ex:T ; sh:sparql [ sh:select '
+        '"""SELECT $this WHERE { $this $PATH ?v . }""" ] .',
+        r"\$PATH",
     )
     # out-of-subset SPARQL (SERVICE) surfaces the sparql.py error at parse
     _expect_parse_error(
@@ -258,6 +265,38 @@ def test_core_constraints_compose_with_sparql(spark):
     rows = _emp("a", "e1", ("m1", 2))  # no badge + low-level manager
     comps = {v[5] for v in _violations(spark, rows, shapes)}
     assert comps == {COMPONENT, SH + "MinCountConstraintComponent"}
+
+
+def test_property_shape_sparql_with_path_prebinding(spark):
+    # spec §5.3.1: on a property shape, $PATH substitutes the shape's
+    # path IRI and violations default sh:resultPath to that path
+    profile = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Employee ;
+  sh:property [ sh:path ex:managedBy ;
+    sh:sparql [
+      sh:message "manager below required level" ;
+      sh:select \"\"\"
+        PREFIX ex: <http://example.com/ns#>
+        SELECT $this ?value WHERE {
+          $this $PATH ?value .
+          ?value ex:level ?lvl .
+          FILTER(?lvl < 4)
+        }\"\"\" ] ] .
+"""
+    shapes = parse_shapes_turtle(profile)
+    (ps,) = shapes.shapes[0].properties
+    (sc,) = ps.sparql_constraints
+    assert "$PATH" not in sc.select
+    assert f"<{EX}managedBy>" in sc.select
+    rows = _emp("a", "e1", ("m1", 5)) + _emp("b", "e2", ("m2", 2))
+    viols = _violations(spark, rows, shapes)
+    # result_path defaults to the property shape's path
+    assert viols == {
+        ("b", EX + "e2", EX + "managedBy", EX + "m2", "iri", COMPONENT,
+         "manager below required level"),
+    }
 
 
 def test_absence_rule_via_not_exists(spark):
