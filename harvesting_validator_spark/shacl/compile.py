@@ -1553,12 +1553,32 @@ def validate(
                 return F.lit(None).cast("string")
             return (b.kind_col() if kind else F.col(b.val)).cast("string")
 
+        # sh:message placeholders {?var} / {$var} substitute the
+        # solution's binding (spec §5.3.2.3); unbound names stay literal
+        import re as _re
+
+        msg_pieces = []
+        for part in _re.split(
+            r"(\{[?$]\w+\})", sc.message or "SPARQL constraint violated"
+        ):
+            m = _re.fullmatch(r"\{[?$](\w+)\}", part)
+            b = binds.get(m.group(1)) if m else None
+            if b is not None:
+                msg_pieces.append(b.display_col().cast("string"))
+            elif part:
+                msg_pieces.append(F.lit(part))
+        msg_col = (
+            msg_pieces[0] if len(msg_pieces) == 1
+            else F.concat(*msg_pieces)
+        )
+
         sol = sol_df.select(
             F.col(b_g.val).alias("q_doc"),
             F.col(b_this.val).alias("q_node"),
             _opt("value").alias("q_value"),
             _opt("value", kind=True).alias("q_value_kind"),
             _opt("path").alias("q_path"),
+            msg_col.alias("q_message"),
         ).distinct()
         hits = focus.filter(F.col("shape") == s.iri).join(
             sol,
@@ -1578,8 +1598,7 @@ def validate(
             ).alias("value_kind"),
             F.lit(SH + "SPARQLConstraintComponent")
             .alias("constraint_component"),
-            F.lit(sc.message or "SPARQL constraint violated")
-            .alias("message"),
+            F.col("q_message").alias("message"),
             F.lit(sc.source).alias("source_shape"),
         )))
 

@@ -34,14 +34,15 @@ SELECT text compiles through the engine's OWN SPARQL->DataFrame
 compiler (sparql.py) with per-document graph scoping, $this joined
 against the shape's focus set — each distinct solution is one
 violation (sh:SPARQLConstraintComponent; ?value / ?path bindings map
-to sh:value / sh:resultPath per spec §5.3.2); sh:sparql on PROPERTY
-shapes substitutes the pre-bound $PATH with the shape's path IRI at
-parse time (spec §5.3.1, simple IRI paths only) and defaults
-result_path to that path. Out of contract (raise at parse time,
-degrade-don't-guess): deeply-nested path expressions, sh:node under a
-non-IRI path, $PATH substitution into a path EXPRESSION, pre-bound
-vars other than $this/$PATH, GRAPH clauses inside a constraint query,
-sh:ask-only constraints, {?var} message substitution, and any SPARQL
+to sh:value / sh:resultPath per spec §5.3.2, and sh:message
+{?var}/{$var} placeholders substitute the solution's bindings per spec
+§5.3.2.3); sh:sparql on PROPERTY shapes substitutes the pre-bound
+$PATH with the shape's path IRI at parse time (spec §5.3.1, simple IRI
+paths only) and defaults result_path to that path. Out of contract
+(raise at parse time, degrade-don't-guess): deeply-nested path
+expressions, sh:node under a non-IRI path, $PATH substitution into a
+path EXPRESSION, pre-bound vars other than $this/$PATH, GRAPH clauses
+inside a constraint query, sh:ask-only constraints, and any SPARQL
 feature outside sparql.py's documented subset (SparqlUnsupported
 surfaces at profile-parse time).
 """

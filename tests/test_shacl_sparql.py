@@ -267,6 +267,21 @@ def test_core_constraints_compose_with_sparql(spark):
     assert comps == {COMPONENT, SH + "MinCountConstraintComponent"}
 
 
+def test_message_placeholder_substitution(spark):
+    # sh:message {?var} / {$var} placeholders substitute per solution
+    # (spec §5.3.2.3); unknown names stay literal
+    profile = PROFILE.replace(
+        'sh:message "manager below required level" ;',
+        'sh:message "{$this} has low-level manager {?value} ({?nope})" ;',
+    )
+    shapes = parse_shapes_turtle(profile)
+    rows = _emp("b", "e2", ("m2", 2))
+    viols = _violations(spark, rows, shapes)
+    assert {v[6] for v in viols} == {
+        f"{EX}e2 has low-level manager {EX}m2 ({{?nope}})",
+    }
+
+
 def test_property_shape_sparql_with_path_prebinding(spark):
     # spec §5.3.1: on a property shape, $PATH substitutes the shape's
     # path IRI and violations default sh:resultPath to that path
