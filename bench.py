@@ -42,6 +42,12 @@ HEADLINE = [
     # r5: real SPARQL text through the tokenizer->parser->Catalyst stack
     # (BGP self-joins + OPTIONAL over the shared validation-run triples)
     "sparql_person_roster",
+    # r5 wave 3: SPARQL-based SHACL constraints (pass 7: the constraint
+    # SELECT compiled to doc-scoped joins) and query-position closure
+    # paths (per-predicate reachability fixpoint) — the two new
+    # iterative/join-heavy surfaces, benched so regressions are visible
+    "kg_sparql_verdicts",
+    "sparql_reachable_rollup",
     # training-data prep (r3): 1->N chunk explosion, stratified-window
     # packing, broadcast-shaped n-gram decontamination
     "chunk_documents",

@@ -1085,36 +1085,53 @@ class _Compiler:
             reach = base.localCheckpoint()
             held = persistent_rdd_ids(spark) - pre
             n = reach.count()
-            for _ in range(16):  # paths up to length 2^16
-                cond = F.col("x.dst") == F.col("y.src")
-                if scoped:
-                    cond = cond & (F.col("x.doc_id") == F.col("y.doc_id"))
-                ext = (
-                    reach.alias("x")
-                    .join(reach.alias("y"), cond)
-                    .select(
-                        *[F.col(f"x.{c}").alias(c) for c in gcols],
-                        F.col("x.src").alias("src"),
-                        F.col("y.dst").alias("dst"),
-                        F.col("y.dst_kind").alias("dst_kind"),
-                        F.col("y.dst_dt").alias("dst_dt"),
-                        F.col("y.dst_lang").alias("dst_lang"),
+            # size the loop's shuffles to the edge count (the house
+            # pattern for iterative plans, kg/canonicalize.py): each
+            # doubling round is a join + distinct over the reach table,
+            # and near-empty reduce tasks dominate small fixpoints.
+            # Session-width stays the ceiling, so corpus-scale closures
+            # keep their configured parallelism.
+            prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            loop_parts = max(8, min(int(prev_parts), n // 10000 + 4))
+            spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+            try:
+                for _ in range(16):  # paths up to length 2^16
+                    cond = F.col("x.dst") == F.col("y.src")
+                    if scoped:
+                        cond = cond & (
+                            F.col("x.doc_id") == F.col("y.doc_id")
+                        )
+                    ext = (
+                        reach.alias("x")
+                        .join(reach.alias("y"), cond)
+                        .select(
+                            *[F.col(f"x.{c}").alias(c) for c in gcols],
+                            F.col("x.src").alias("src"),
+                            F.col("y.dst").alias("dst"),
+                            F.col("y.dst_kind").alias("dst_kind"),
+                            F.col("y.dst_dt").alias("dst_dt"),
+                            F.col("y.dst_lang").alias("dst_lang"),
+                        )
                     )
-                )
-                nxt = reach.unionByName(ext).distinct().localCheckpoint()
-                m = nxt.count()
-                new_ids = persistent_rdd_ids(spark) - pre - held
-                unpersist_rdds(spark, held)
-                held = new_ids
-                reach = nxt
-                if m == n:
-                    break
-                n = m
-            else:
-                raise SparqlError(
-                    f"transitive closure of <{cp.pred}> did not converge "
-                    "in 16 doubling rounds (path length > 65536)"
-                )
+                    nxt = (
+                        reach.unionByName(ext).distinct().localCheckpoint()
+                    )
+                    m = nxt.count()
+                    new_ids = persistent_rdd_ids(spark) - pre - held
+                    unpersist_rdds(spark, held)
+                    held = new_ids
+                    reach = nxt
+                    if m == n:
+                        break
+                    n = m
+                else:
+                    raise SparqlError(
+                        f"transitive closure of <{cp.pred}> did not "
+                        "converge in 16 doubling rounds (path length > "
+                        "65536)"
+                    )
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
             out = (
                 reach if cp.op == "+"
                 else reach.unionByName(ident).distinct()
