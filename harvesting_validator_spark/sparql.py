@@ -29,8 +29,10 @@ plus the core of SPARQL 1.1 SELECT):
   corpus-wide shuffle beyond the per-key hash joins themselves
 * ``FILTER`` with ``|| && ! = != < <= > >=``, ``regex(?v, "re"[, "i"])``,
   ``STRSTARTS/STRENDS/CONTAINS/STRLEN/STR/LANG/DATATYPE/BOUND``,
-  ``isIRI/isBlank/isLiteral``; comparisons against a numeric literal
-  compare numerically (DECIMAL cast), everything else lexically
+  ``isIRI/isBlank/isLiteral``, and (r5 wave 3) the string builtins
+  ``UCASE/LCASE/SUBSTR/CONCAT/REPLACE/STRBEFORE/STRAFTER`` (also usable
+  in BIND; outputs are plain literals); comparisons against a numeric
+  literal compare numerically (DECIMAL cast), everything else lexically
 * ``OPTIONAL { ... }`` (left outer join on the shared vars)
 * ``{ ... } UNION { ... }``
 * ``FILTER [NOT] EXISTS { ... }`` — a left_semi (resp. left_anti) join
@@ -860,6 +862,9 @@ class _Parser:
         "regex", "strstarts", "strends", "contains", "strlen", "str",
         "lang", "datatype", "bound", "isiri", "isuri", "isblank",
         "isliteral",
+        # string builtins (r5 wave 3) — plain-literal outputs
+        "ucase", "lcase", "substr", "concat", "replace",
+        "strbefore", "strafter",
     }
 
     def _call(self):
@@ -1759,6 +1764,55 @@ def _call_col(call: Call, binds: dict[str, _Binding]) -> Column:
                 ).otherwise(F.lit(_XSD_STRING)),
             ),
         )
+    if name == "ucase":
+        return F.upper(val(0))
+    if name == "lcase":
+        return F.lower(val(0))
+    if name == "substr":
+        # SPARQL SUBSTR is 1-based like Spark's; the length defaults to
+        # "to the end of the string"
+        if len(args) not in (2, 3):
+            raise SparqlError("substr(source, start [, length])")
+        start = _value_col(args[1], binds, numeric=True).cast("int")
+        length = (
+            _value_col(args[2], binds, numeric=True).cast("int")
+            if len(args) == 3
+            else F.length(val(0))
+        )
+        return val(0).substr(start, length)
+    if name == "concat":
+        # NULL propagates (SPARQL: an unbound argument is a type error
+        # => the whole expression is unbound) — Spark's concat matches
+        return F.concat(*[val(i) for i in range(len(args))])
+    if name == "replace":
+        if len(args) not in (3, 4):
+            raise SparqlError("replace(arg, pattern, replacement [, flags])")
+        if not (isinstance(args[1], Lit) and isinstance(args[2], Lit)):
+            raise SparqlUnsupported(
+                "replace pattern/replacement must be literals"
+            )
+        flags = ""
+        if len(args) == 4:
+            if not (isinstance(args[3], Lit) and args[3].value in ("", "i")):
+                raise SparqlUnsupported(
+                    "only the 'i' replace flag is supported"
+                )
+            flags = args[3].value
+        pat = ("(?i)" if flags == "i" else "") + args[1].value
+        return F.regexp_replace(val(0), pat, args[2].value)
+    if name in ("strbefore", "strafter"):
+        # SPARQL: empty string when there is no match; STRBEFORE(s, "")
+        # is "" and STRAFTER(s, "") is s — F.instr returns 1 on the
+        # empty needle, which both branches below already honor
+        s, needle = val(0), val(1)
+        pos = F.instr(s, needle)
+        if name == "strbefore":
+            return F.when(pos > 0, s.substr(F.lit(1), pos - 1)).otherwise(
+                F.lit("")
+            )
+        return F.when(
+            pos > 0, s.substr(pos + F.length(needle), F.length(s))
+        ).otherwise(F.lit(""))
     if name == "bound":
         return bind0().display_col().isNotNull()
     if name in ("isiri", "isuri"):

@@ -678,3 +678,44 @@ def test_inverse_closure_and_composition(chain_triples):
     assert [r.v for r in sparql_select(chain_triples, q2).collect()] == [
         "start"
     ]
+
+
+# --- string builtins (r5 wave 3) ---------------------------------------------
+
+
+def test_string_builtins_in_bind_and_filter(triples):
+    q = """PREFIX ex: <http://ex/>
+        SELECT ?u ?pre ?post ?sub WHERE {
+          ?s ex:ssn ?v . ?s a ex:Person .
+          FILTER(strlen(?v) = 11)
+          BIND(ucase(?v) AS ?u)
+          BIND(strbefore(?v, "-") AS ?pre)
+          BIND(strafter(?v, "-") AS ?post)
+          BIND(substr(?v, 5, 2) AS ?sub)
+        } ORDER BY ?u LIMIT 1"""
+    assert rows(sparql_select(triples, q)) == [
+        ("123-45-6789", "123", "45-6789", "45"),
+    ]
+
+
+def test_concat_replace_lcase(triples):
+    q = """PREFIX ex: <http://ex/>
+        SELECT ?who ?r WHERE {
+          ?who ex:label ?l . FILTER(lang(?l) = "en")
+          BIND(concat("[", replace(lcase(?l), "A", "@", "i"), "]") AS ?r)
+        }"""
+    assert rows(sparql_select(triples, q)) == [
+        ("http://ex/Alice", "[@lice]"),
+    ]
+
+
+def test_strbefore_strafter_no_match_and_empty(triples):
+    q = """PREFIX ex: <http://ex/>
+        SELECT ?b ?a ?e WHERE {
+          ?s ex:age ?v .
+          BIND(strbefore(?v, "x") AS ?b)
+          BIND(strafter(?v, "x") AS ?a)
+          BIND(strafter(?v, "") AS ?e)
+        }"""
+    # no match -> empty string (spec); empty needle -> "" / whole string
+    assert rows(sparql_select(triples, q)) == [("", "", "42")]
