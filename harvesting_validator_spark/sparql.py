@@ -13,11 +13,22 @@ plus the core of SPARQL 1.1 SELECT):
 
 * prologue ``PREFIX`` declarations; ``a`` for rdf:type
 * ``SELECT [DISTINCT] ?v ... | * | (AGG(...) AS ?alias)`` — aggregates
-  COUNT([DISTINCT] ?v|*), SUM, AVG, MIN, MAX (sum/avg numeric in
+  COUNT([DISTINCT] ?v|*), SUM, AVG, MIN, MAX, SAMPLE, and
+  GROUP_CONCAT([DISTINCT] ?v; SEPARATOR="s") (sum/avg numeric in
   DECIMAL, NULL over empty/all-null groups rather than the spec's
   Sum({})=0; min/max lexical over the value strings; DISTINCT only with
-  COUNT — it dedups terms, which sum/avg post-cast cannot) — with
-  ``GROUP BY`` when vars and aggregates mix
+  COUNT/GROUP_CONCAT — it dedups terms, which sum/avg post-cast cannot;
+  SAMPLE picks the lexical minimum — a spec-conformant deterministic
+  choice; GROUP_CONCAT concatenates in lexical ascending order — the
+  spec leaves order undefined, this engine pins it so results are
+  deterministic and oracle-able) — with ``GROUP BY`` when vars and
+  aggregates mix
+* ``HAVING (expr)+`` — boolean combinations of comparisons over
+  aggregate calls, group keys, and literals; several bracketted
+  conditions conjoin. HAVING aggregates compute in the SAME groupBy as
+  the projection's (one shuffle); one equal to a projected aggregate
+  reuses its column. Requires at least one aggregate in the query
+  (key-only HAVING == a WHERE filter — out of subset by design)
 * ``ASK``
 * basic graph patterns with ``;`` / ``,`` predicate-object lists
 * ``GRAPH ?var { ... }`` / ``GRAPH <urn:doc:HEX> { ... }`` — the engine's
@@ -250,11 +261,24 @@ class Call:
 
 
 @dataclass(frozen=True)
+class InList:
+    expr: object
+    terms: tuple  # constant Iri/Lit terms
+    negated: bool
+
+
+@dataclass(frozen=True)
 class Agg:
     fn: str  # "count"
     distinct: bool
     arg: object  # Var | None (= COUNT(*))
-    alias: str
+    alias: str | None  # None inside a HAVING expression
+    sep: str | None = None  # GROUP_CONCAT separator
+
+    def key(self) -> tuple:
+        """Identity of the aggregate COMPUTATION (alias excluded) — a
+        HAVING aggregate equal to a projected one reuses its column."""
+        return (self.fn, self.distinct, self.arg, self.sep)
 
 
 @dataclass
@@ -265,6 +289,7 @@ class Query:
     pattern: tuple = ()
     template: list = field(default_factory=list)  # CONSTRUCT triples
     group_by: list = field(default_factory=list)  # [Var]
+    having: object | None = None  # filter expr over aggregates/keys
     order_by: list = field(default_factory=list)  # [(Var, asc: bool)]
     limit: int | None = None
     offset: int | None = None
@@ -329,6 +354,7 @@ class _Parser:
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self._in_having = False  # aggregate calls legal in expressions
 
     # -- token plumbing ----------------------------------------------------
     def peek(self) -> tuple[str, str]:
@@ -448,13 +474,15 @@ class _Parser:
         self.accept_kw("where")
         q.pattern = self._group_graph_pattern()
         self._modifiers(q)
-        if q.order_by or q.group_by:
+        if q.order_by or q.group_by or q.having is not None:
             raise SparqlUnsupported(
-                "ORDER BY / GROUP BY do not apply to a CONSTRUCT graph"
+                "ORDER BY / GROUP BY / HAVING do not apply to a "
+                "CONSTRUCT graph"
             )
         return q
 
-    _AGG_FNS = {"count", "sum", "min", "max", "avg"}
+    _AGG_FNS = {"count", "sum", "min", "max", "avg", "group_concat",
+                "sample"}
 
     def _agg_projection(self) -> Agg:
         self.expect_op("(")
@@ -466,13 +494,29 @@ class _Parser:
         ):
             raise SparqlUnsupported(
                 f"aggregate {v!r} is not in the subset "
-                "(COUNT/SUM/MIN/MAX/AVG)"
+                "(COUNT/SUM/MIN/MAX/AVG/GROUP_CONCAT/SAMPLE)"
             )
+        agg = self._agg_body(fn)
+        self.expect_kw("as")
+        k, v = self.next()
+        if k != "VAR":
+            raise SparqlError(f"AS needs ?alias, got {v!r}")
+        self.expect_op(")")
+        return Agg(
+            fn=agg.fn, distinct=agg.distinct, arg=agg.arg,
+            alias=v[1:], sep=agg.sep,
+        )
+
+    def _agg_body(self, fn: str) -> Agg:
+        """``fn ( [DISTINCT] ?v|* [; SEPARATOR="s"] )`` — shared by the
+        projection form (which adds ``AS ?alias``) and bare aggregate
+        calls inside a HAVING expression (alias None)."""
         self.expect_op("(")
         distinct = bool(self.accept_kw("distinct"))
-        if distinct and fn != "count":
+        if distinct and fn not in ("count", "group_concat"):
             # DISTINCT dedups TERMS; sum/avg would dedup post-cast
-            # numerics (wrong) — only COUNT(DISTINCT) is in the subset
+            # numerics (wrong) — only COUNT/GROUP_CONCAT(DISTINCT) are
+            # in the subset (both operate on the terms themselves)
             raise SparqlUnsupported(
                 f"{fn.upper()}(DISTINCT) is not in the subset"
             )
@@ -485,13 +529,24 @@ class _Parser:
             if k != "VAR":
                 raise SparqlError(f"{fn.upper()} needs ?var, got {v!r}")
             arg = Var(v[1:])
+        sep = None
+        if self.accept_op(";"):
+            if fn != "group_concat":
+                raise SparqlError(
+                    f"only GROUP_CONCAT takes a SEPARATOR, not {fn.upper()}"
+                )
+            k, v = self.next()
+            if not (k == "NAME" and v.lower() == "separator"):
+                raise SparqlError(f"expected SEPARATOR, got {v!r}")
+            self.expect_op("=")
+            k, v = self.next()
+            if k != "STRING":
+                raise SparqlError("SEPARATOR needs a string literal")
+            sep = _unescape(v[1:-1])
+        if fn == "group_concat" and sep is None:
+            sep = " "  # SPARQL 1.1 §18.5.1.7 default separator
         self.expect_op(")")
-        self.expect_kw("as")
-        k, v = self.next()
-        if k != "VAR":
-            raise SparqlError(f"AS needs ?alias, got {v!r}")
-        self.expect_op(")")
-        return Agg(fn=fn, distinct=distinct, arg=arg, alias=v[1:])
+        return Agg(fn=fn, distinct=distinct, arg=arg, alias=None, sep=sep)
 
     def _modifiers(self, q: Query) -> None:
         if self.accept_kw("group"):
@@ -501,7 +556,17 @@ class _Parser:
             if not q.group_by:
                 raise SparqlError("empty GROUP BY")
         if self.accept_kw("having"):
-            raise SparqlUnsupported("HAVING is out of the supported subset")
+            # HAVING HavingCondition+ — each condition a bracketted
+            # expression; several conditions conjoin (SPARQL 18.2.4.4).
+            # Aggregate calls are legal inside (alias-less Agg nodes).
+            self._in_having = True
+            try:
+                cond = self._expr_primary_paren()
+                while self.peek()[:2] == ("OP", "("):
+                    cond = BoolOp("&&", cond, self._expr_primary_paren())
+            finally:
+                self._in_having = False
+            q.having = cond
         if self.accept_kw("order"):
             self.expect_kw("by")
             while True:
@@ -838,7 +903,34 @@ class _Parser:
         if k == "OP" and v in ("=", "!=", "<", "<=", ">", ">="):
             self.next()
             return Cmp(v, e, self._expr_unary())
+        if k == "NAME" and v.lower() == "in":
+            self.next()
+            return InList(e, self._in_terms(), negated=False)
+        if k == "KW" and v == "not":
+            self.next()
+            k, v = self.next()
+            if not (k == "NAME" and v.lower() == "in"):
+                raise SparqlError(f"expected IN after NOT, got {v!r}")
+            return InList(e, self._in_terms(), negated=True)
         return e
+
+    def _in_terms(self) -> tuple:
+        """Constant term list of ``IN ( t, ... )`` — may be empty
+        (SPARQL: IN () is false, NOT IN () is true)."""
+        self.expect_op("(")
+        terms: list = []
+        if not self.accept_op(")"):
+            while True:
+                t = self._term()
+                if not isinstance(t, (Iri, Lit)):
+                    raise SparqlUnsupported(
+                        "IN list elements must be constant terms"
+                    )
+                terms.append(t)
+                if self.accept_op(")"):
+                    break
+                self.expect_op(",")
+        return tuple(terms)
 
     def _expr_unary(self):
         if self.accept_op("!"):
@@ -865,11 +957,15 @@ class _Parser:
         # string builtins (r5 wave 3) — plain-literal outputs
         "ucase", "lcase", "substr", "concat", "replace",
         "strbefore", "strafter",
+        # conditional / language builtins (r5 wave 4)
+        "if", "coalesce", "langmatches",
     }
 
     def _call(self):
         k, v = self.next()
         name = v.lower()
+        if self._in_having and name in self._AGG_FNS:
+            return self._agg_body(name)
         if name not in self._BUILTINS:
             raise SparqlUnsupported(f"builtin {v!r} is not in the subset")
         self.expect_op("(")
@@ -1684,6 +1780,21 @@ def _expr_col(expr: object, binds: dict[str, _Binding]) -> Column:
             "=": l == r, "!=": l != r, "<": l < r, "<=": l <= r,
             ">": l > r, ">=": l >= r,
         }[expr.op]
+    if isinstance(expr, InList):
+        # expr IN (t1..tn) == (expr = t1 || .. || expr = tn); each
+        # comparison keeps the engine's numeric-vs-lexical rule. An
+        # empty list is a compile-time constant (false / true for NOT
+        # IN) — no comparison is evaluated, so not even NULL errors.
+        if not expr.terms:
+            return F.lit(expr.negated)
+        conds = None
+        for t in expr.terms:
+            numeric = isinstance(t, Lit) and t.datatype in _NUMERIC_DTS
+            c = _value_col(expr.expr, binds, numeric) == _value_col(
+                t, binds, numeric
+            )
+            conds = c if conds is None else (conds | c)
+        return ~conds if expr.negated else conds
     if isinstance(expr, Call):
         return _call_col(expr, binds)
     if isinstance(expr, Var):
@@ -1697,6 +1808,114 @@ def _lookup(v: Var, binds: dict[str, _Binding]) -> _Binding:
     if v.name not in binds:
         raise SparqlError(f"unbound variable ?{v.name} in expression")
     return binds[v.name]
+
+
+def _collect_aggs(expr: object) -> list:
+    """Aggregate calls appearing in a HAVING expression, in order."""
+    if isinstance(expr, Agg):
+        return [expr]
+    if isinstance(expr, (BoolOp, Cmp)):
+        return _collect_aggs(expr.left) + _collect_aggs(expr.right)
+    if isinstance(expr, Not):
+        return _collect_aggs(expr.expr)
+    if isinstance(expr, InList):
+        return _collect_aggs(expr.expr)
+    if isinstance(expr, Call):
+        out: list = []
+        for a in expr.args:
+            out.extend(_collect_aggs(a))
+        return out
+    return []
+
+
+def _agg_expr(a: Agg, binds: dict[str, _Binding]) -> Column:
+    """One aggregate call -> an unaliased Spark aggregate Column."""
+    if a.arg is None:
+        if a.distinct:
+            raise SparqlUnsupported("COUNT(DISTINCT *) is not supported")
+        return F.count(F.lit(1))
+    if a.fn == "count":
+        # count on the raw column: hexing is injective, so the
+        # (distinct) counts are identical and the narrow form wins
+        src = F.col(_lookup(a.arg, binds).val)
+        return F.count_distinct(src) if a.distinct else F.count(src)
+    if a.fn in ("sum", "avg"):
+        # numeric aggregation in DECIMAL (engine-wide fp discipline);
+        # non-numeric values cast to NULL and are skipped, and an
+        # empty/all-null group yields NULL (unbound) rather than the
+        # spec's Sum({})=0 — documented simplifications of the spec's
+        # type-error propagation
+        src = _lookup(a.arg, binds).display_col().cast("decimal(38,12)")
+        return F.sum(src) if a.fn == "sum" else F.avg(src)
+    if a.fn == "group_concat":
+        # the spec leaves concatenation order undefined; this engine
+        # pins lexical ascending (array_sort) so results are
+        # deterministic and oracle-able (DuckDB: string_agg ORDER BY).
+        # NULLs (OPTIONAL-unbound values) are skipped by collect_*.
+        src = _lookup(a.arg, binds).display_col()
+        arr = F.collect_set(src) if a.distinct else F.collect_list(src)
+        return F.array_join(F.array_sort(arr), a.sep)
+    if a.fn == "sample":
+        # SAMPLE may return ANY value from the group; picking the
+        # lexical minimum is a spec-conformant deterministic choice
+        return F.min(_lookup(a.arg, binds).display_col())
+    # min / max — lexical order over the value strings
+    src = _lookup(a.arg, binds).display_col()
+    return F.min(src) if a.fn == "min" else F.max(src)
+
+
+def _having_col(
+    expr: object, alias_of: dict, key_binds: dict[str, _Binding]
+) -> Column:
+    """Compile a HAVING expression over the AGGREGATED frame: aggregate
+    calls read their (possibly internal) result columns, bare vars read
+    group-key columns, literals stay literals. Comparisons touching a
+    numeric aggregate (COUNT/SUM/AVG) or a numeric literal compare in
+    DECIMAL, everything else lexically — the same rule FILTER uses."""
+    if isinstance(expr, BoolOp):
+        l = _having_col(expr.left, alias_of, key_binds)
+        r = _having_col(expr.right, alias_of, key_binds)
+        return (l & r) if expr.op == "&&" else (l | r)
+    if isinstance(expr, Not):
+        return ~_having_col(expr.expr, alias_of, key_binds)
+    if isinstance(expr, Cmp):
+        numeric = any(
+            (isinstance(t, Agg) and (t.fn in ("sum", "avg", "count")))
+            or (isinstance(t, Lit) and t.datatype in _NUMERIC_DTS)
+            for t in (expr.left, expr.right)
+        )
+        l = _having_val(expr.left, alias_of, key_binds, numeric)
+        r = _having_val(expr.right, alias_of, key_binds, numeric)
+        return {
+            "=": l == r, "!=": l != r, "<": l < r, "<=": l <= r,
+            ">": l > r, ">=": l >= r,
+        }[expr.op]
+    raise SparqlUnsupported(
+        "HAVING supports boolean combinations of comparisons over "
+        "aggregates, group keys, and literals"
+    )
+
+
+def _having_val(
+    term: object, alias_of: dict, key_binds: dict[str, _Binding],
+    numeric: bool,
+) -> Column:
+    if isinstance(term, Agg):
+        c = F.col(alias_of[term.key()])
+    elif isinstance(term, Var):
+        if term.name not in key_binds:
+            raise SparqlError(
+                f"?{term.name} in HAVING must be a GROUP BY key"
+            )
+        b = key_binds[term.name]
+        c = F.lower(F.hex(term.name)) if b.is_graph else F.col(term.name)
+    elif isinstance(term, (Lit, Iri)):
+        c = F.lit(term.value)
+    else:
+        raise SparqlUnsupported(
+            "HAVING terms must be aggregates, group keys, or literals"
+        )
+    return c.cast("decimal(38,12)") if numeric else c
 
 
 def _value_col(term: object, binds: dict[str, _Binding], numeric: bool) -> Column:
@@ -1813,6 +2032,31 @@ def _call_col(call: Call, binds: dict[str, _Binding]) -> Column:
         return F.when(
             pos > 0, s.substr(pos + F.length(needle), F.length(s))
         ).otherwise(F.lit(""))
+    if name == "if":
+        # IF(cond, then, else) — the condition compiles through the
+        # boolean expression compiler (so comparisons/IN/builtins all
+        # work); branches are values. A NULL condition propagates NULL
+        # (Spark's when), matching the spec's error propagation.
+        if len(args) != 3:
+            raise SparqlError("if(condition, then, else)")
+        return F.when(_expr_col(args[0], binds), val(1)).otherwise(val(2))
+    if name == "coalesce":
+        if not args:
+            raise SparqlError("coalesce needs at least one argument")
+        return F.coalesce(*[val(i) for i in range(len(args))])
+    if name == "langmatches":
+        # langMatches(tag, range): "*" matches any non-empty tag; a
+        # concrete range matches the tag or any of its extended
+        # subtags, case-insensitively (BCP47 basic filtering)
+        if len(args) != 2 or not isinstance(args[1], Lit):
+            raise SparqlUnsupported(
+                "langMatches needs (expr, literal-range)"
+            )
+        tag = F.lower(val(0))
+        rng = args[1].value.lower()
+        if rng == "*":
+            return tag != ""
+        return (tag == rng) | tag.startswith(rng + "-")
     if name == "bound":
         return bind0().display_col().isNotNull()
     if name in ("isiri", "isuri"):
@@ -1953,7 +2197,10 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
     # raw doc_id also lets the aggregate reuse the pipeline's existing
     # doc_id exchange (subset co-partitioning), where hex(doc_id) as the
     # grouping expression would force a fresh corpus-wide shuffle.
-    if q.group_by and not aggs:
+    hav_aggs = _collect_aggs(q.having) if q.having is not None else []
+    if q.having is not None and not (aggs or hav_aggs or q.group_by):
+        raise SparqlError("HAVING requires a grouped query")
+    if q.group_by and not aggs and not hav_aggs:
         # grouping with no aggregates: one row per group. Expressible as
         # DISTINCT over the keys only when the projection IS the key set
         # (any order); a strict subset would need the group structure —
@@ -1963,43 +2210,45 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
                 "GROUP BY without aggregates requires the projection to "
                 "equal the group keys"
             )
+        if q.having is not None:
+            # key-only HAVING over a key-only grouping == a WHERE-side
+            # filter on the deduplicated keys; handled post-distinct
+            # below via the same compiler (keys are plain columns)
+            raise SparqlUnsupported(
+                "HAVING without any aggregate is not in the subset "
+                "(filter in WHERE instead)"
+            )
         q.distinct = True
-    if aggs:
+    if aggs or hav_aggs:
         keys = q.group_by or plain
         if set(v.name for v in plain) - set(v.name for v in keys):
             raise SparqlError(
                 "projected vars must appear in GROUP BY alongside aggregates"
             )
-        agg_cols = []
-        for a in aggs:
-            if a.arg is None:
-                c = F.count(F.lit(1))
-                if a.distinct:
-                    raise SparqlUnsupported("COUNT(DISTINCT *) is not supported")
-            elif a.fn == "count":
-                # count on the raw column: hexing is injective, so the
-                # (distinct) counts are identical and the narrow form wins
-                src = F.col(_lookup(a.arg, binds).val)
-                c = F.count_distinct(src) if a.distinct else F.count(src)
-            elif a.fn in ("sum", "avg"):
-                # numeric aggregation in DECIMAL (engine-wide fp
-                # discipline); non-numeric values cast to NULL and are
-                # skipped, and an empty/all-null group yields NULL
-                # (unbound) rather than the spec's Sum({})=0 — documented
-                # simplifications of the spec's type-error propagation
-                src = _lookup(a.arg, binds).display_col().cast(
-                    "decimal(38,12)"
+        # HAVING aggregates compute alongside the projected ones in the
+        # SAME groupBy (one shuffle); one equal to a projected aggregate
+        # reuses its column, the rest get internal aliases dropped by
+        # the final projection.
+        alias_of: dict[tuple, str] = {a.key(): a.alias for a in aggs}
+        agg_list = list(aggs)
+        for i, h in enumerate(hav_aggs):
+            if h.key() not in alias_of:
+                named = Agg(
+                    fn=h.fn, distinct=h.distinct, arg=h.arg,
+                    alias=f"__hav{i}", sep=h.sep,
                 )
-                c = F.sum(src) if a.fn == "sum" else F.avg(src)
-            else:  # min / max — lexical order over the value strings
-                src = _lookup(a.arg, binds).display_col()
-                c = F.min(src) if a.fn == "min" else F.max(src)
-            agg_cols.append(c.alias(a.alias))
+                alias_of[h.key()] = named.alias
+                agg_list.append(named)
+        agg_cols = [
+            _agg_expr(a, binds).alias(a.alias) for a in agg_list
+        ]
         key_binds = {v.name: _lookup(v, binds) for v in keys}
         key_cols = [F.col(b.val).alias(n) for n, b in key_binds.items()]
         out = (
             df.groupBy(*key_cols).agg(*agg_cols) if key_cols else df.agg(*agg_cols)
         )
+        if q.having is not None:
+            out = out.filter(_having_col(q.having, alias_of, key_binds))
         # project EXACTLY the declared projection, in declaration order;
         # group keys that aren't projected stay internal
         out = out.select(

@@ -191,7 +191,8 @@ def test_select_star_binds_all_vars(triples):
         "SELECT ?s WHERE { ?s ?p ?o . VALUES ?s { UNDEF } }",
         "SELECT ?s WHERE { { SELECT ?s WHERE { ?s ?p ?o } } }",
         "DESCRIBE <http://x>",
-        "SELECT (SAMPLE(?o) AS ?t) WHERE { ?s ?p ?o }",
+        "SELECT (MEDIAN(?o) AS ?t) WHERE { ?s ?p ?o }",
+        "SELECT (SUM(DISTINCT ?o) AS ?t) WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { ?s (<http://x>/<http://y>)* ?o }",  # composite closure
         # EXISTS inside a boolean expression (standalone FILTER only)
         'SELECT ?s WHERE { ?s ?p ?o . '
@@ -621,7 +622,7 @@ def test_sum_min_max_avg_aggregates(triples):
     with pytest.raises(SparqlError):
         parse_sparql("SELECT (SUM(*) AS ?t) WHERE { ?s ?p ?o }")
     with pytest.raises(SparqlUnsupported):
-        parse_sparql("SELECT (GROUP_CONCAT(?o) AS ?t) WHERE { ?s ?p ?o }")
+        parse_sparql("SELECT (AVG(DISTINCT ?o) AS ?t) WHERE { ?s ?p ?o }")
 
 
 # --- closure paths in query position (r5 wave 3) -----------------------------
@@ -719,3 +720,155 @@ def test_strbefore_strafter_no_match_and_empty(triples):
         }"""
     # no match -> empty string (spec); empty needle -> "" / whole string
     assert rows(sparql_select(triples, q)) == [("", "", "42")]
+
+
+# --- HAVING / IN / conditionals / new aggregates (r5 wave 4) ------------------
+
+
+@pytest.fixture(scope="module")
+def num_triples(spark):
+    EX = "http://ex/"
+    rows = [
+        (b"\x01", EX + "A", EX + "v", "3", "literal", XSD + "integer", None),
+        (b"\x01", EX + "A", EX + "v", "5", "literal", XSD + "integer", None),
+        (b"\x01", EX + "B", EX + "v", "7", "literal", XSD + "integer", None),
+        (b"\x02", EX + "C", EX + "v", "2", "literal", XSD + "integer", None),
+        (b"\x01", EX + "A", EX + "lbl", "hi", "literal", None, "en-GB"),
+    ]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def test_having_filters_groups(num_triples):
+    q = """PREFIX ex: <http://ex/>
+        SELECT ?s (COUNT(?o) AS ?n) (SUM(?o) AS ?total)
+        WHERE { ?s ex:v ?o }
+        GROUP BY ?s
+        HAVING (COUNT(?o) > 1) (SUM(?o) >= 8)"""
+    got = rows(sparql_select(num_triples, q))
+    assert len(got) == 1
+    s, n, total = got[0]
+    assert (s, n, float(total)) == ("http://ex/A", 2, 8.0)
+
+
+def test_having_reuses_projected_aggregate_column(num_triples):
+    # the HAVING COUNT(?o) must reuse ?n's column — exactly one count
+    # in the aggregate, no __hav internal column in the final schema
+    q = """PREFIX ex: <http://ex/>
+        SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ex:v ?o }
+        GROUP BY ?s HAVING (COUNT(?o) = 1) ORDER BY ?s"""
+    df = sparql_select(num_triples, q)
+    assert df.columns == ["s", "n"]
+    assert rows(df) == [("http://ex/B", 1), ("http://ex/C", 1)]
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("count(") <= 2  # partial+final, not doubled
+
+
+def test_having_unprojected_aggregate_and_disjunction(num_triples):
+    q = """PREFIX ex: <http://ex/>
+        SELECT ?s WHERE { ?s ex:v ?o }
+        GROUP BY ?s
+        HAVING ((SUM(?o) > 6) || (COUNT(?o) > 1)) ORDER BY ?s"""
+    got = rows(sparql_select(num_triples, q))
+    assert got == [("http://ex/A",), ("http://ex/B",)]
+
+
+def test_having_over_graph_key_and_global_group(num_triples):
+    q = """SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }
+           GROUP BY ?g HAVING (COUNT(*) > 1)"""
+    assert rows(sparql_select(num_triples, q)) == [("01", 4)]
+    # global (keyless) aggregate with HAVING acts as an all-or-nothing
+    q2 = """PREFIX ex: <http://ex/>
+        SELECT (COUNT(?o) AS ?n) WHERE { ?s ex:v ?o } HAVING (COUNT(?o) > 99)"""
+    assert rows(sparql_select(num_triples, q2)) == []
+
+
+def test_having_guards(num_triples):
+    with pytest.raises(SparqlError):
+        # HAVING with neither aggregates nor GROUP BY anywhere
+        sparql_select(
+            num_triples,
+            'SELECT ?s WHERE { ?s ?p ?o } HAVING (?s = "x")',
+        )
+    with pytest.raises(SparqlUnsupported):
+        # key-only HAVING on a key-only grouping: use WHERE instead
+        sparql_select(
+            num_triples,
+            """SELECT ?s WHERE { ?s ?p ?o } GROUP BY ?s HAVING (?s = "x")""",
+        )
+    with pytest.raises(SparqlError):
+        # a HAVING var must be a group key
+        sparql_select(
+            num_triples,
+            """PREFIX ex: <http://ex/>
+               SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ex:v ?o }
+               GROUP BY ?s HAVING (?o > 1)""",
+        )
+
+
+def test_in_and_not_in(num_triples):
+    q = """PREFIX ex: <http://ex/>
+        SELECT ?s ?o WHERE { ?s ex:v ?o FILTER(?o IN (3, 7)) } ORDER BY ?o"""
+    assert rows(sparql_select(num_triples, q)) == [
+        ("http://ex/A", "3"), ("http://ex/B", "7"),
+    ]
+    q2 = """PREFIX ex: <http://ex/>
+        SELECT ?s ?o WHERE { ?s ex:v ?o FILTER(?s NOT IN (ex:A)) }
+        ORDER BY ?o"""
+    assert rows(sparql_select(num_triples, q2)) == [
+        ("http://ex/C", "2"), ("http://ex/B", "7"),
+    ]
+    # empty lists are compile-time constants
+    q3 = """PREFIX ex: <http://ex/>
+        SELECT ?o WHERE { ex:B ex:v ?o FILTER(?o IN ()) }"""
+    assert rows(sparql_select(num_triples, q3)) == []
+    q4 = """PREFIX ex: <http://ex/>
+        SELECT ?o WHERE { ex:B ex:v ?o FILTER(?o NOT IN ()) }"""
+    assert rows(sparql_select(num_triples, q4)) == [("7",)]
+    with pytest.raises(SparqlUnsupported):
+        parse_sparql(
+            "SELECT ?o WHERE { ?s ?p ?o FILTER(?o IN (?s)) }"
+        )
+
+
+def test_if_coalesce_langmatches(num_triples):
+    q = """PREFIX ex: <http://ex/>
+        SELECT ?s ?x WHERE {
+          ?s ex:v ?o .
+          OPTIONAL { ?s ex:lbl ?l FILTER langMatches(LANG(?l), "EN") }
+          BIND(IF(?o > 4, COALESCE(?l, "big"), "small") AS ?x)
+        } ORDER BY ?s ?x"""
+    assert rows(sparql_select(num_triples, q)) == [
+        ("http://ex/A", "hi"), ("http://ex/A", "small"),
+        ("http://ex/B", "big"), ("http://ex/C", "small"),
+    ]
+    # langMatches "*" matches any tagged literal; a bare range matches
+    # extended subtags case-insensitively (en matches en-GB)
+    q2 = """PREFIX ex: <http://ex/>
+        SELECT ?l WHERE { ?s ex:lbl ?l FILTER langMatches(LANG(?l), "*") }"""
+    assert rows(sparql_select(num_triples, q2)) == [("hi",)]
+    with pytest.raises(SparqlError):
+        # arity is checked at compile time
+        sparql_select(
+            num_triples, "SELECT ?o WHERE { ?s ?p ?o FILTER(IF(?o)) }"
+        )
+
+
+def test_group_concat_and_sample(num_triples):
+    q = """PREFIX ex: <http://ex/>
+        SELECT ?s (GROUP_CONCAT(?o; SEPARATOR="|") AS ?vals)
+               (SAMPLE(?o) AS ?any)
+        WHERE { ?s ex:v ?o } GROUP BY ?s ORDER BY ?s"""
+    assert rows(sparql_select(num_triples, q)) == [
+        ("http://ex/A", "3|5", "3"),
+        ("http://ex/B", "7", "7"),
+        ("http://ex/C", "2", "2"),
+    ]
+    # DISTINCT dedups terms before concatenation; default separator " "
+    q2 = """PREFIX ex: <http://ex/>
+        SELECT (GROUP_CONCAT(DISTINCT ?p) AS ?preds) WHERE { ?s ?p ?o }"""
+    got = rows(sparql_select(num_triples, q2))
+    assert got == [("http://ex/lbl http://ex/v",)]
+    with pytest.raises(SparqlError):
+        parse_sparql(
+            'SELECT (SUM(?o; SEPARATOR=",") AS ?x) WHERE { ?s ?p ?o }'
+        )
