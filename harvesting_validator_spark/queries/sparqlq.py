@@ -284,6 +284,46 @@ FROM idx WHERE mode != 2
 """
 
 
+# --- HAVING + GROUP_CONCAT + SAMPLE (r5 wave 4) ------------------------------
+# graphs with more than two triples (modes 8 and 9 only), with their
+# deduplicated predicate digest and a deterministic witness subject.
+# Exercises the grouped-filter path (HAVING reusing the projected
+# COUNT(*) column — one shuffle, no doubled aggregate), GROUP_CONCAT's
+# pinned lexical-ascending order (the spec leaves order undefined; the
+# engine pins it exactly so queries like this one are oracle-able), and
+# SAMPLE's deterministic lexical-min choice.
+_Q_PREDICATE_DIGEST = """
+SELECT ?g (COUNT(*) AS ?n) (GROUP_CONCAT(DISTINCT ?p) AS ?preds)
+       (SAMPLE(?s) AS ?witness)
+WHERE { GRAPH ?g { ?s ?p ?o } }
+GROUP BY ?g
+HAVING (COUNT(*) > 2)
+"""
+
+
+def q_sparql_predicate_digest(spark, sf_dir):
+    return sparql_select(_triples(spark, sf_dir), _Q_PREDICATE_DIGEST)
+
+
+O_PREDICATE_DIGEST = (
+    _ORACLE_BASE
+    + """
+SELECT doc_id AS g,
+       CAST(CASE mode WHEN 8 THEN 3 ELSE 4 END AS BIGINT) AS n,
+       CASE mode
+         WHEN 8 THEN 'http://example.com/ns#ssn'
+                  || ' http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+         ELSE 'http://example.com/ns#hobby'
+           || ' http://example.com/ns#ssn'
+           || ' http://example.com/ns#worksFor'
+           || ' http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+       END AS preds,
+       'http://example.com/ns#P' || i AS witness
+FROM idx WHERE mode IN (8, 9)
+"""
+)
+
+
 QUERIES = {
     "sparql_person_roster": q_sparql_person_roster,
     "sparql_graph_sizes": q_sparql_graph_sizes,
@@ -293,6 +333,7 @@ QUERIES = {
     "sparql_construct_employers": q_sparql_construct_employers,
     "sparql_negation_roster": q_sparql_negation_roster,
     "sparql_reachable_rollup": q_sparql_reachable_rollup,
+    "sparql_predicate_digest": q_sparql_predicate_digest,
 }
 
 ORACLES = {
@@ -304,4 +345,5 @@ ORACLES = {
     "sparql_construct_employers": O_CONSTRUCT_EMPLOYERS,
     "sparql_negation_roster": O_NEGATION_ROSTER,
     "sparql_reachable_rollup": O_REACHABLE,
+    "sparql_predicate_digest": O_PREDICATE_DIGEST,
 }
