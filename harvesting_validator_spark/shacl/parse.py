@@ -318,6 +318,7 @@ def _pattern_binds_this(elements: tuple) -> bool:
     from harvesting_validator_spark.sparql import (
         Graph,
         Optional_,
+        SubSelect,
         TriplePattern,
         Union_,
         Var,
@@ -336,6 +337,16 @@ def _pattern_binds_this(elements: tuple) -> bool:
                 return True
         elif isinstance(el, Union_):
             if _pattern_binds_this(el.left) or _pattern_binds_this(el.right):
+                return True
+        elif isinstance(el, SubSelect):
+            # only the sub-select's PROJECTED vars are visible outward
+            proj = el.query.projection
+            if proj is None:  # SELECT * re-exposes everything it binds
+                if _pattern_binds_this(el.query.pattern):
+                    return True
+            elif any(
+                isinstance(p, Var) and p.name == "this" for p in proj
+            ) and _pattern_binds_this(el.query.pattern):
                 return True
     return False
 

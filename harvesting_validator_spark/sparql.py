@@ -82,14 +82,19 @@ plus the core of SPARQL 1.1 SELECT):
   joined on the shared vars (at least one required — a disconnected
   VALUES block would be a cartesian; ``UNDEF`` cells are out of subset)
 * ``ORDER BY [ASC()/DESC()]``, ``LIMIT``, ``OFFSET``
+* ``{ SELECT ... }`` sub-queries (full SubSelect grammar incl. its own
+  DISTINCT/GROUP BY/HAVING/slice), evaluated bottom-up with only the
+  projected vars visible outward (SPARQL 18.2.2.8) — this runs the
+  reference's nested pager (`load-imported-triples-stream.sparql`)
+  verbatim; an inner ORDER BY compiles only when a LIMIT/OFFSET slice
+  makes it observable (the outer join destroys order), so bare ordered
+  sub-selects never pay the total-sort exchange
 * Freemarker-style ``${name}`` templates via :func:`bind_template` —
   the reference's `.sparql` files run with their parameters bound
 
 Out of contract — raise ``SparqlUnsupported`` at parse time
 (degrade-don't-guess, same contract as the RDF parsers): closures of
-composite sub-paths, nested sub-SELECTs (the one reference use,
-`load-imported-triples-stream.sparql`, is DISTINCT+ORDER inside
-LIMIT/OFFSET outside — expressible with plain modifiers), UNDEF,
+composite sub-paths, UNDEF,
 [NOT] EXISTS inside a boolean expression, var-disjoint EXISTS,
 SERVICE, DESCRIBE, and SPARQL Update (the write side is
 the engine's sinks, COVERAGE.md §2.9).
@@ -235,6 +240,18 @@ class Minus:
 
 
 # filter-expression nodes
+@dataclass(frozen=True)
+class SubSelect:
+    """``{ SELECT ... }`` — a nested query evaluated bottom-up as an
+    isolated group; only its PROJECTED variables are visible to the
+    enclosing pattern (SPARQL 18.2.2.8 variable scope), which joins the
+    solution frame on whatever it shares. The grammar makes a sub-select
+    the WHOLE content of its braces (GroupGraphPattern ::= '{'
+    (SubSelect | GroupGraphPatternSub) '}')."""
+
+    query: object  # Query (form == "select")
+
+
 @dataclass(frozen=True)
 class BoolOp:
     op: str  # "&&" | "||"
@@ -639,6 +656,16 @@ class _Parser:
                 elements.append(Graph(term, self._group_graph_pattern()))
             elif k == "OP" and v == "{":
                 left = self._group_graph_pattern()
+                if (
+                    len(left) == 1
+                    and isinstance(left[0], SubSelect)
+                    and self.peek()[:2] != ("KW", "union")
+                ):
+                    # a braced sub-select joining sibling elements:
+                    # `{ { SELECT ... } ?s ?p ?o }`
+                    elements.append(left[0])
+                    self.accept_op(".")
+                    continue
                 self.expect_kw("union")
                 right = self._group_graph_pattern()
                 u = Union_(left, right)
@@ -666,10 +693,21 @@ class _Parser:
                     "SERVICE is out of the supported subset"
                 )
             elif k == "KW" and v == "select":
-                raise SparqlUnsupported(
-                    "sub-SELECT is out of the supported subset (use "
-                    "DISTINCT/ORDER/LIMIT modifiers on the outer query)"
-                )
+                # GroupGraphPattern ::= '{' (SubSelect | ...) '}' — a
+                # sub-select is the ENTIRE group; nothing may follow it
+                self.next()
+                if elements:
+                    raise SparqlError(
+                        "a sub-SELECT must be the only element of its "
+                        "group"
+                    )
+                elements.append(SubSelect(self._select()))
+                k2, v2 = self.peek()
+                if not (k2 == "OP" and v2 == "}"):
+                    raise SparqlError(
+                        "a sub-SELECT must be the only element of its "
+                        f"group; found {v2!r} after it"
+                    )
             else:
                 elements.extend(self._triples_block())
             self.accept_op(".")
@@ -1018,6 +1056,8 @@ def uses_graph_clause(q: Query) -> bool:
             if isinstance(el, (Optional_, Exists, Minus)) and walk(el.pattern):
                 return True
             if isinstance(el, Union_) and (walk(el.left) or walk(el.right)):
+                return True
+            if isinstance(el, SubSelect) and walk(el.query.pattern):
                 return True
         return False
 
@@ -1383,6 +1423,9 @@ class _Compiler:
             elif isinstance(el, Graph):
                 inner, ibinds = self.compile_pattern(el.pattern, el.term)
                 df, binds = self._merge(df, binds, inner, ibinds, how="inner")
+            elif isinstance(el, SubSelect):
+                sdf, sbinds = self._subselect(el.query, graph)
+                df, binds = self._merge(df, binds, sdf, sbinds, how="inner")
             elif isinstance(el, Union_):
                 left, lb = self.compile_pattern(el.left, graph)
                 right, rb = self.compile_pattern(el.right, graph)
@@ -1760,6 +1803,202 @@ class _Compiler:
         return normalize(left, lbinds).unionByName(
             normalize(right, rbinds)
         ), out_binds
+
+    def _subselect(
+        self, q: Query, graph: object
+    ) -> tuple[DataFrame, dict[str, _Binding]]:
+        """Compile ``{ SELECT ... }`` bottom-up into a solution frame.
+
+        Projected variables keep their FULL term quad (value/kind/
+        datatype/lang) under fresh column names, so the enclosing
+        pattern's join compares terms, not display strings, and two
+        sub-selects projecting the same name never collide. The
+        enclosing GRAPH context applies to the inner pattern (the
+        grammar nests SubSelect inside GRAPH's group). Aggregate
+        results bind as plain literals carrying their native Spark type
+        (COUNT -> bigint, SUM/AVG -> DECIMAL(38,12), the rest strings),
+        consistent with the top-level aggregate projection. Grouping is
+        TERM-level (the whole quad rides the groupBy) and HAVING
+        computes in the same single shuffle, as at the top level.
+
+        Scale note: an inner ORDER BY is observable only through a
+        LIMIT/OFFSET slice (the outer join destroys order), so the
+        sort — a total exchange at corpus scale — compiles ONLY when a
+        slice rides on it; a bare ordered sub-select skips the shuffle.
+        """
+        df, binds = self.compile_pattern(q.pattern, graph)
+        if df is None:
+            raise SparqlError("empty sub-SELECT pattern")
+        # a sub-select under GRAPH ?g evaluates once per ACTIVE graph
+        # (SPARQL 13.3: the group pattern, sub-queries included, runs
+        # against each named graph the variable ranges over): the graph
+        # binding implicitly joins the group keys and propagates
+        # outward, so aggregates never leak across documents and the
+        # enclosing pattern keeps its per-document join key — this is
+        # also what scopes sh:sparql sub-selects per document (pass 7
+        # compiles with a graph variable). A sliced sub-select under a
+        # graph VARIABLE would need a per-graph window (the slice
+        # applies per active graph) — out of the subset; constant- and
+        # default-graph slices stay global and correct.
+        gvar = (
+            graph.name
+            if isinstance(graph, Var) and graph.name in binds
+            else None
+        )
+        if gvar and (q.limit is not None or q.offset):
+            raise SparqlUnsupported(
+                "LIMIT/OFFSET in a sub-select under a graph variable is "
+                "out of the subset (the slice applies per active graph)"
+            )
+        aggs = [p for p in q.projection or [] if isinstance(p, Agg)]
+        plain = [p for p in q.projection or [] if isinstance(p, Var)]
+        hav_aggs = _collect_aggs(q.having) if q.having is not None else []
+        distinct = q.distinct
+        if q.having is not None and not (aggs or hav_aggs or q.group_by):
+            raise SparqlError("HAVING requires a grouped query")
+        if q.group_by and not aggs and not hav_aggs:
+            if {v.name for v in plain} != {v.name for v in q.group_by}:
+                raise SparqlUnsupported(
+                    "GROUP BY without aggregates requires the projection "
+                    "to equal the group keys"
+                )
+            if q.having is not None:
+                raise SparqlUnsupported(
+                    "HAVING without any aggregate is not in the subset "
+                    "(filter in WHERE instead)"
+                )
+            distinct = True
+
+        out_binds: dict[str, _Binding] = {}
+        if aggs or hav_aggs:
+            keys = q.group_by or plain
+            if set(v.name for v in plain) - set(v.name for v in keys):
+                raise SparqlError(
+                    "projected vars must appear in GROUP BY alongside "
+                    "aggregates"
+                )
+            if gvar and gvar not in {v.name for v in keys}:
+                keys = [Var(gvar), *keys]
+            # key quads materialize ALONGSIDE the original columns (the
+            # aggregate inputs still need those); key values alias to
+            # the var name so the shared _having_col key lookups work
+            # pre-rename
+            key_binds: dict[str, _Binding] = {}
+            add_cols: list[Column] = []
+            gb: list[str] = []
+            for v in keys:
+                b = _lookup(v, binds)
+                if b.is_graph:
+                    nb = _Binding(val=v.name, is_graph=True)
+                    add_cols.append(F.col(b.val).alias(nb.val))
+                    gb.append(nb.val)
+                else:
+                    nb = _Binding(
+                        val=v.name, kind=self.fresh("gk"),
+                        datatype=self.fresh("gd"), lang=self.fresh("gl"),
+                    )
+                    add_cols += [
+                        F.col(b.val).alias(nb.val),
+                        b.kind_col().alias(nb.kind),
+                        b.datatype_col().alias(nb.datatype),
+                        b.lang_col().alias(nb.lang),
+                    ]
+                    gb += [nb.val, nb.kind, nb.datatype, nb.lang]
+                key_binds[v.name] = nb
+            alias_of: dict[tuple, str] = {a.key(): a.alias for a in aggs}
+            agg_list = list(aggs)
+            for h in hav_aggs:
+                if h.key() not in alias_of:
+                    named = Agg(
+                        fn=h.fn, distinct=h.distinct, arg=h.arg,
+                        alias=self.fresh("hav"), sep=h.sep,
+                    )
+                    alias_of[h.key()] = named.alias
+                    agg_list.append(named)
+            agg_cols = [_agg_expr(a, binds).alias(a.alias) for a in agg_list]
+            wide = df.select("*", *add_cols)
+            out = (
+                wide.groupBy(*gb).agg(*agg_cols)
+                if gb else wide.agg(*agg_cols)
+            )
+            if q.having is not None:
+                out = out.filter(_having_col(q.having, alias_of, key_binds))
+            # rename the visible surface to fresh columns; unprojected
+            # group keys and HAVING-only aggregates drop here
+            sel: list[Column] = []
+            for v in plain:
+                nb, cols = self._fresh_quad(key_binds[v.name])
+                sel += cols
+                out_binds[v.name] = nb
+            for a in aggs:
+                nv, nk = self.fresh("av"), self.fresh("ak")
+                sel += [
+                    F.col(a.alias).alias(nv),
+                    F.lit("literal").alias(nk),
+                ]
+                out_binds[a.alias] = _Binding(val=nv, kind=nk)
+            if gvar and gvar not in out_binds:
+                nb, cols = self._fresh_quad(key_binds[gvar])
+                sel += cols
+                out_binds[gvar] = nb
+            out = out.select(*sel)
+            if distinct:
+                out = out.distinct()
+        else:
+            if q.projection is None:  # SELECT *
+                names = sorted(
+                    n for n in binds if not n.startswith("__path_")
+                )
+            else:
+                names = [v.name for v in plain]
+                missing = [n for n in names if n not in binds]
+                if missing:
+                    raise SparqlError(
+                        f"projected vars never bound: {missing}"
+                    )
+            if gvar and gvar not in names:
+                names.append(gvar)
+            sel = []
+            for n in names:
+                nb, cols = self._fresh_quad(binds[n])
+                sel += cols
+                out_binds[n] = nb
+            out = df.select(*sel)
+            if distinct:
+                out = out.distinct()
+
+        if q.order_by and (q.limit is not None or q.offset):
+            sort_cols = []
+            for v, asc in q.order_by:
+                if v.name not in out_binds:
+                    raise SparqlUnsupported(
+                        "ORDER BY vars must be projected in this subset"
+                    )
+                c = F.col(out_binds[v.name].val)
+                sort_cols.append(c.asc() if asc else c.desc())
+            out = out.sort(*sort_cols)
+        if q.offset:
+            out = out.offset(q.offset)
+        if q.limit is not None:
+            out = out.limit(q.limit)
+        return out, out_binds
+
+    def _fresh_quad(self, b: _Binding) -> tuple[_Binding, list[Column]]:
+        """Re-materialize a binding's term quad under fresh column names
+        (graph bindings stay a single binary doc_id column)."""
+        if b.is_graph:
+            nb = _Binding(val=self.fresh("qv"), is_graph=True)
+            return nb, [F.col(b.val).alias(nb.val)]
+        nb = _Binding(
+            val=self.fresh("qv"), kind=self.fresh("qk"),
+            datatype=self.fresh("qd"), lang=self.fresh("ql"),
+        )
+        return nb, [
+            F.col(b.val).alias(nb.val),
+            b.kind_col().alias(nb.kind),
+            b.datatype_col().alias(nb.datatype),
+            b.lang_col().alias(nb.lang),
+        ]
 
 
 def _expr_col(expr: object, binds: dict[str, _Binding]) -> Column:
@@ -2164,6 +2403,21 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
     ids), or a single boolean ``ask`` column for ASK.
     """
     q = parse_sparql(query_text)
+    if (
+        q.form == "select"
+        and len(q.pattern) == 1
+        and isinstance(q.pattern[0], SubSelect)
+        and not q.order_by
+    ):
+        # ORDER BY inside / slice outside — the reference pager shape
+        # (`fetch-triple-from-file-input-container.sparql`): with the
+        # sub-select as the WHOLE pattern, its solution sequence IS the
+        # outer one, so the inner order is observable through the outer
+        # LIMIT/OFFSET. Hoist the sort to the top level (where it also
+        # sorts the final, post-projection frame exactly once).
+        sq = q.pattern[0].query
+        if sq.order_by and sq.limit is None and not sq.offset:
+            q.order_by = list(sq.order_by)
     comp = _Compiler(triples)
     df, binds = comp.compile_pattern(q.pattern, graph=None)
     if df is None:

@@ -345,6 +345,44 @@ ex:S a sh:NodeShape ; sh:targetClass ex:Employee ; sh:sparql [
     }
 
 
+def test_subselect_aggregate_constraint(spark):
+    # r5: sub-SELECT joined the SPARQL subset, so a per-focus aggregate
+    # becomes expressible INSIDE sh:sparql: the aggregate lives in the
+    # nested query (per-solution semantics preserved — the outer query
+    # still emits one result per solution), e.g. "more than one manager"
+    profile = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Employee ; sh:sparql [
+  sh:message "multiple managers" ;
+  sh:select \"\"\"
+    PREFIX ex: <http://example.com/ns#>
+    SELECT $this WHERE {
+      { SELECT $this (COUNT(?m) AS ?n) WHERE { $this ex:managedBy ?m }
+        GROUP BY $this }
+      FILTER(?n > 1)
+    }\"\"\" ] .
+"""
+    shapes = parse_shapes_turtle(profile)
+    rows = _emp("a", "e1", ("m1", 5)) + _emp("c", "e3", ("m3", 1), ("m4", 3))
+    viols = _violations(spark, rows, shapes)
+    assert {(v[0], v[1], v[6]) for v in viols} == {
+        ("c", EX + "e3", "multiple managers"),
+    }
+
+
+def test_subselect_hiding_this_is_rejected():
+    # ?this referenced ONLY inside a sub-select that does not project it:
+    # SPARQL projection scope (18.2.2.8) hides it, so the constraint can
+    # never attach violations to a focus — reject at profile parse
+    _expect_parse_error(
+        'ex:S a sh:NodeShape ; sh:targetClass ex:T ; sh:sparql [ sh:select '
+        '"""SELECT ?v WHERE { { SELECT ?v WHERE { $this '
+        '<http://example.com/ns#p> ?v . } } }""" ] .',
+        r"\$this|\?this",
+    )
+
+
 # --- 3. composition with the probe machinery --------------------------------
 
 def test_sparql_inside_negated_subshape(spark):

@@ -189,7 +189,6 @@ def test_select_star_binds_all_vars(triples):
     "text",
     [
         "SELECT ?s WHERE { ?s ?p ?o . VALUES ?s { UNDEF } }",
-        "SELECT ?s WHERE { { SELECT ?s WHERE { ?s ?p ?o } } }",
         "DESCRIBE <http://x>",
         "SELECT (MEDIAN(?o) AS ?t) WHERE { ?s ?p ?o }",
         "SELECT (SUM(DISTINCT ?o) AS ?t) WHERE { ?s ?p ?o }",
@@ -871,4 +870,98 @@ def test_group_concat_and_sample(num_triples):
     with pytest.raises(SparqlError):
         parse_sparql(
             'SELECT (SUM(?o; SEPARATOR=",") AS ?x) WHERE { ?s ?p ?o }'
+        )
+
+
+# --- sub-SELECT (r5 wave 4) ---------------------------------------------------
+
+
+def test_subselect_aggregate_joins_outer_pattern(num_triples):
+    # the grouped sub-select's ?n rides into the outer BGP join; the
+    # outer ?o is a FRESH variable (the inner ?o is hidden — SPARQL
+    # 18.2.2.8 projection scope)
+    q = """PREFIX ex: <http://ex/>
+        SELECT ?s ?n ?o WHERE {
+          { SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ex:v ?o } GROUP BY ?s }
+          ?s ex:v ?o .
+          FILTER(?n > 1)
+        } ORDER BY ?o"""
+    assert rows(sparql_select(num_triples, q)) == [
+        ("http://ex/A", 2, "3"), ("http://ex/A", 2, "5"),
+    ]
+
+
+def test_subselect_scope_hides_unprojected_vars(num_triples):
+    # inner ?o (ex:v values) is unprojected -> invisible; the outer ?o
+    # binds lbl values independently. The non-DISTINCT inner select
+    # keeps multiset cardinality: A appears twice (two ex:v rows)
+    q = """PREFIX ex: <http://ex/>
+        SELECT ?s WHERE {
+          { SELECT ?s WHERE { ?s ex:v ?o } }
+          ?s ex:lbl ?o .
+        }"""
+    assert rows(sparql_select(num_triples, q)) == [
+        ("http://ex/A",), ("http://ex/A",),
+    ]
+
+
+def test_subselect_inside_graph_scopes_per_document(num_triples):
+    q = """SELECT ?g ?n WHERE {
+          GRAPH ?g { SELECT ?g (COUNT(*) AS ?n) WHERE { ?s ?p ?o }
+                     GROUP BY ?g }
+        } ORDER BY ?g"""
+    assert rows(sparql_select(num_triples, q)) == [("01", 4), ("02", 1)]
+
+
+def test_subselect_distinct_order_slice(num_triples):
+    # inner DISTINCT + ORDER + slice: the slice is ordered INSIDE; the
+    # outer sequence order is unspecified, so compare as a set
+    q = """PREFIX ex: <http://ex/>
+        SELECT ?o WHERE {
+          { SELECT DISTINCT ?o WHERE { ?s ex:v ?o }
+            ORDER BY ?o LIMIT 2 OFFSET 1 }
+        }"""
+    assert sorted(rows(sparql_select(num_triples, q))) == [("3",), ("5",)]
+
+
+def test_subselect_order_hoists_through_outer_slice(num_triples):
+    # the reference pager shape: ORDER BY inside, LIMIT outside — the
+    # inner sort must be observable through the outer slice
+    q = """PREFIX ex: <http://ex/>
+        SELECT ?o WHERE {
+          { SELECT ?o WHERE { ?s ex:v ?o } ORDER BY DESC(?o) }
+        } LIMIT 2"""
+    assert rows(sparql_select(num_triples, q)) == [("7",), ("5",)]
+
+
+def test_subselect_under_graph_var_groups_per_active_graph(num_triples):
+    # NO explicit ?g inside the sub-select: the active graph implicitly
+    # scopes the aggregate (SPARQL 13.3 — the group pattern, sub-queries
+    # included, evaluates once per named graph) and the graph binding
+    # propagates outward for the enclosing join. This is also what keeps
+    # sh:sparql sub-selects per-document (shacl pass 7)
+    q = """SELECT ?g ?n WHERE {
+          GRAPH ?g { { SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } } }
+        } ORDER BY ?g"""
+    assert rows(sparql_select(num_triples, q)) == [("01", 4), ("02", 1)]
+
+
+def test_subselect_slice_under_graph_var_rejected(num_triples):
+    # LIMIT under a graph VARIABLE would apply per active graph — out of
+    # the subset, must refuse loudly (constant-graph slices stay fine)
+    q = """SELECT ?g ?o WHERE {
+          GRAPH ?g { { SELECT ?o WHERE { ?s ?p ?o } LIMIT 1 } }
+        }"""
+    with pytest.raises(SparqlUnsupported):
+        sparql_select(num_triples, q)
+
+
+def test_subselect_must_be_whole_group(num_triples):
+    with pytest.raises(SparqlError):
+        parse_sparql(
+            "SELECT ?s WHERE { { SELECT ?s WHERE { ?s ?p ?o } ?s ?p2 ?o2 } }"
+        )
+    with pytest.raises(SparqlError):
+        parse_sparql(
+            "SELECT ?s WHERE { { ?s ?p ?o . SELECT ?s WHERE { ?s ?p ?o } } }"
         )

@@ -8,9 +8,8 @@ checkout (never copied into the repo — the reference text is the
 correctness contract here, like the golden Turtle migration) and
 rendered exactly the way the reference renders them: `%s` positional
 substitution for the String.format-style templates, `${name}` Freemarker
-parameters via `bind_template` for the rest. The one read template the
-subset refuses — the nested sub-SELECT pager — must refuse LOUDLY
-(SparqlUnsupported), never misparse.
+parameters via `bind_template` for the rest. As of r5 every read
+template runs — including the two nested sub-SELECT pagers, verbatim.
 
 The graph-name convention differs by design: the reference passes
 Virtuoso graph URIs; this engine's named graphs are documents
@@ -25,9 +24,7 @@ import os
 import pytest
 
 from harvesting_validator_spark.sparql import (
-    SparqlUnsupported,
     bind_template,
-    parse_sparql,
     sparql_select,
 )
 
@@ -157,13 +154,39 @@ def test_fetch_validation_graph_template(task_triples):
     assert [r["path"] for r in sparql_select(t, text).collect()] == [PATH1]
 
 
-def test_paged_fetch_template_refuses_loudly():
-    # the nested sub-SELECT pager is the documented out-of-subset
-    # exception (partition-parallel scans replace OFFSET paging,
-    # SURVEY §2.1) — it must raise, never misparse
+def test_paged_fetch_templates_run_verbatim(task_triples):
+    # r5: sub-SELECT joined the subset, so BOTH nested pagers now run
+    # verbatim with reference-style Freemarker parameters. ORDER BY
+    # inside / LIMIT-OFFSET outside: the inner sort is observable
+    # through the outer slice, hoisted to one top-level sort
+    # (sparql.py sub-select notes). Partition-parallel scans remain the
+    # engine-native replacement for OFFSET paging (SURVEY §2.1) — this
+    # proves the verbatim templates WORK, not that paging is the plan.
+    t, n = task_triples
     text = bind_template(
         tpl("fetch-triple-from-file-input-container.sparql"),
         {"container": CONTAINER, "limitSize": 10, "offsetNumber": 0},
     )
-    with pytest.raises(SparqlUnsupported):
-        parse_sparql(text)
+    df = sparql_select(t, text)
+    assert df.columns == ["path", "derivedFrom"]
+    assert [tuple(r) for r in df.collect()] == [(PATH1, REMOTE)]
+    past_end = bind_template(
+        tpl("fetch-triple-from-file-input-container.sparql"),
+        {"container": CONTAINER, "limitSize": 10, "offsetNumber": 1},
+    )
+    assert sparql_select(t, past_end).count() == 0
+
+    # page the full graph 6 rows at a time, exactly like the
+    # reference's streaming read loop: the pages concatenate to the
+    # complete ordered triple sequence, no overlap, no gap
+    pages: list[tuple] = []
+    for off in (0, 6, 12):
+        text = bind_template(
+            tpl("load-imported-triples-stream.sparql"),
+            {"graphUri": "urn:doc:01", "limitSize": 6, "offsetNumber": off},
+        )
+        rows = [tuple(r) for r in sparql_select(t, text).collect()]
+        assert len(rows) == (6 if off < 12 else n - 12)
+        pages.extend(rows)
+    assert len(pages) == n == len(set(pages))
+    assert pages == sorted(pages)
