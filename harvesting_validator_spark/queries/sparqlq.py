@@ -16,8 +16,10 @@ over an all-var pattern (predicates); ASK + isIRI (company ask);
 SPARQL over the CONSTRUCTED canonical graph (kg entities); CONSTRUCT
 derivation (employers); FILTER NOT EXISTS + MINUS negation (negation
 roster); closure paths ex:broader+ via the per-predicate reachability
-fixpoint (reachable rollup). A hash match certifies parser, compiler, and term semantics
-in one go.
+fixpoint (reachable rollup); HAVING + GROUP_CONCAT + SAMPLE (predicate
+digest); nested `{ SELECT ... }` aggregation with implicit per-graph
+scoping (multi-ssn audit). A hash match certifies parser, compiler, and
+term semantics in one go.
 """
 
 from __future__ import annotations
@@ -324,6 +326,40 @@ FROM idx WHERE mode IN (8, 9)
 )
 
 
+# --- sub-SELECT (r5 wave 5) ---------------------------------------------------
+# persons asserting MORE THAN ONE ssn, found with a nested aggregate:
+# the sub-select under GRAPH ?g implicitly groups per active graph
+# (SPARQL 13.3 — also the mechanism scoping sh:sparql sub-selects per
+# document), its projected ?s/?n join the enclosing typing pattern, and
+# the outer FILTER reads the aggregate. Closed form: only mode-8 docs
+# mint a second ssn triple on the same person, so n == 2 exactly there.
+_Q_MULTI_SSN = """
+PREFIX ex: <http://example.com/ns#>
+SELECT ?g ?s ?n WHERE {
+  GRAPH ?g {
+    { SELECT ?s (COUNT(?v) AS ?n) WHERE { ?s ex:ssn ?v } GROUP BY ?s }
+    ?s a ex:Person .
+  }
+  FILTER(?n >= 2)
+}
+"""
+
+
+def q_sparql_multi_ssn_audit(spark, sf_dir):
+    return sparql_select(_triples(spark, sf_dir), _Q_MULTI_SSN)
+
+
+O_MULTI_SSN = (
+    _ORACLE_BASE
+    + """
+SELECT doc_id AS g,
+       'http://example.com/ns#P' || i AS s,
+       CAST(2 AS BIGINT) AS n
+FROM idx WHERE mode = 8
+"""
+)
+
+
 QUERIES = {
     "sparql_person_roster": q_sparql_person_roster,
     "sparql_graph_sizes": q_sparql_graph_sizes,
@@ -334,6 +370,7 @@ QUERIES = {
     "sparql_negation_roster": q_sparql_negation_roster,
     "sparql_reachable_rollup": q_sparql_reachable_rollup,
     "sparql_predicate_digest": q_sparql_predicate_digest,
+    "sparql_multi_ssn_audit": q_sparql_multi_ssn_audit,
 }
 
 ORACLES = {
@@ -346,4 +383,5 @@ ORACLES = {
     "sparql_negation_roster": O_NEGATION_ROSTER,
     "sparql_reachable_rollup": O_REACHABLE,
     "sparql_predicate_digest": O_PREDICATE_DIGEST,
+    "sparql_multi_ssn_audit": O_MULTI_SSN,
 }
