@@ -48,11 +48,13 @@ plus the core of SPARQL 1.1 SELECT):
 * ``{ ... } UNION { ... }``
 * ``FILTER [NOT] EXISTS { ... }`` — a left_semi (resp. left_anti) join
   of the current solutions against the inner pattern on the shared
-  vars; supported as a STANDALONE filter only (inside a boolean
-  expression it would need per-row correlated evaluation), and the
-  inner pattern must share >=1 var with the outer (inside GRAPH the
-  graph var always is, so doc-scoped [NOT] EXISTS — incl. every
-  sh:sparql constraint — composes freely)
+  vars (inside GRAPH the graph var is always shared, so doc-scoped
+  [NOT] EXISTS — incl. every sh:sparql constraint — composes freely);
+  plus (r5 wave 5) ``[NOT] EXISTS`` as an OPERAND of a boolean
+  expression (``FILTER(?x > 5 || EXISTS {...})``) via a deduplicated
+  marker left join read as ``coalesce(flag, false)``, and var-disjoint
+  probes via a broadcast ``limit(1)`` any-match frame — never a
+  nested loop. EXISTS in BIND / HAVING position stays out
 * ``MINUS { ... }`` — left_anti join on the shared vars; with NO shared
   vars SPARQL MINUS removes nothing (disjoint binding domains), so it
   compiles to a no-op. Since our binding domains are static (every
@@ -94,8 +96,7 @@ plus the core of SPARQL 1.1 SELECT):
 
 Out of contract — raise ``SparqlUnsupported`` at parse time
 (degrade-don't-guess, same contract as the RDF parsers): closures of
-composite sub-paths, UNDEF,
-[NOT] EXISTS inside a boolean expression, var-disjoint EXISTS,
+composite sub-paths, UNDEF, [NOT] EXISTS in BIND / HAVING position,
 SERVICE, DESCRIBE, and SPARQL Update (the write side is
 the engine's sinks, COVERAGE.md §2.9).
 
@@ -250,6 +251,29 @@ class SubSelect:
     (SubSelect | GroupGraphPatternSub) '}')."""
 
     query: object  # Query (form == "select")
+
+
+@dataclass(frozen=True)
+class ExistsExpr:
+    """``[NOT] EXISTS { pattern }`` INSIDE a boolean expression (r5
+    wave 5) — unlike the standalone-FILTER form (a semi/anti join),
+    an expression operand needs a per-row boolean, so it compiles to a
+    MARKER left join: the inner pattern's solutions projected to the
+    shared variables, deduplicated, and left-joined with a TRUE flag;
+    the expression reads ``coalesce(flag, false)``. Var-disjoint
+    probes join a broadcast ``limit(1)`` any-match frame instead —
+    never a full nested-loop."""
+
+    pattern: tuple
+    negated: bool
+
+
+@dataclass(frozen=True)
+class _MarkerRef:
+    """Internal: a boolean column minted by the ExistsExpr rewrite."""
+
+    col: str
+    negated: bool
 
 
 @dataclass(frozen=True)
@@ -974,14 +998,13 @@ class _Parser:
         if self.accept_op("!"):
             return Not(self._expr_unary())
         k, v = self.peek()
-        if k == "KW" and v in ("exists", "not"):
-            # inside a boolean expression it would need per-row correlated
-            # evaluation; the standalone-FILTER form is a plain semi/anti
-            # join and covers the practical uses
-            raise SparqlUnsupported(
-                "[NOT] EXISTS is supported only as a standalone FILTER, "
-                "not inside a boolean expression"
-            )
+        if k == "KW" and v == "exists":
+            self.next()
+            return ExistsExpr(self._group_graph_pattern(), negated=False)
+        if k == "KW" and v == "not":
+            self.next()
+            self.expect_kw("exists")
+            return ExistsExpr(self._group_graph_pattern(), negated=True)
         if k == "OP" and v == "(":
             return self._expr_primary_paren()
         if k == "NAME" or (k == "KW" and v == "count"):
@@ -1049,6 +1072,17 @@ def uses_graph_clause(q: Query) -> bool:
     querying a doc_id-less frame (the canonical graph) reject such
     queries up front instead of dying mid-plan on the missing column."""
 
+    def expr_walk(e: object) -> bool:
+        if isinstance(e, ExistsExpr):
+            return walk(e.pattern)
+        if isinstance(e, (BoolOp, Cmp)):
+            return expr_walk(e.left) or expr_walk(e.right)
+        if isinstance(e, (Not, InList)):
+            return expr_walk(e.expr)
+        if isinstance(e, Call):
+            return any(expr_walk(a) for a in e.args)
+        return False
+
     def walk(elements: tuple) -> bool:
         for el in elements:
             if isinstance(el, Graph):
@@ -1058,6 +1092,8 @@ def uses_graph_clause(q: Query) -> bool:
             if isinstance(el, Union_) and (walk(el.left) or walk(el.right)):
                 return True
             if isinstance(el, SubSelect) and walk(el.query.pattern):
+                return True
+            if isinstance(el, Filter) and expr_walk(el.expr):
                 return True
         return False
 
@@ -1371,7 +1407,8 @@ class _Compiler:
             elif isinstance(el, Filter):
                 if df is None:
                     raise SparqlError("FILTER before any triple pattern")
-                df = df.filter(_expr_col(el.expr, binds))
+                expr, df = self._rewrite_exists(el.expr, df, binds, graph)
+                df = df.filter(_expr_col(expr, binds))
             elif isinstance(el, Optional_):
                 if df is None:
                     raise SparqlError("OPTIONAL before any triple pattern")
@@ -1395,19 +1432,23 @@ class _Compiler:
                     raise SparqlError("empty EXISTS pattern")
                 cond, shared = self._join_cond(binds, ibinds)
                 if cond is None:
-                    # a var-disjoint EXISTS would be a nested-loop probe
-                    # against the whole inner frame — same no-cartesian
-                    # discipline as disconnected groups. (Inside GRAPH —
-                    # incl. every sh:sparql constraint — the graph var is
-                    # always shared, so doc-scoped EXISTS never hits this.)
-                    raise SparqlUnsupported(
-                        "EXISTS sharing no variable with the outer pattern "
-                        "is out of the subset"
+                    # var-disjoint EXISTS (r5 wave 5): the probe result is
+                    # GLOBAL (one boolean for every solution), so it is a
+                    # broadcast limit(1) any-match frame — never a
+                    # nested-loop against the whole inner frame. (Inside
+                    # GRAPH — incl. every sh:sparql constraint — the graph
+                    # var is always shared, so doc-scoped EXISTS never
+                    # hits this.)
+                    flag = self.fresh("exf")
+                    probe = inner.limit(1).select(F.lit(True).alias(flag))
+                    df = df.join(F.broadcast(probe), F.lit(True), "left")
+                    keep = F.col(flag).isNotNull()
+                    df = df.filter(~keep if el.negated else keep).drop(flag)
+                else:
+                    df = df.join(
+                        inner, on=cond,
+                        how="left_anti" if el.negated else "left_semi",
                     )
-                df = df.join(
-                    inner, on=cond,
-                    how="left_anti" if el.negated else "left_semi",
-                )
                 # semi/anti joins keep only the left side's columns; binds
                 # are unchanged (EXISTS never projects bindings outward)
             elif isinstance(el, Minus):
@@ -1983,6 +2024,61 @@ class _Compiler:
             out = out.limit(q.limit)
         return out, out_binds
 
+    def _rewrite_exists(
+        self, expr: object, df: DataFrame, binds: dict[str, _Binding],
+        graph: object,
+    ) -> tuple[object, DataFrame]:
+        """Replace every ``ExistsExpr`` in a FILTER expression with a
+        ``_MarkerRef`` to a boolean column materialized by a marker
+        join (see ExistsExpr). The walk threads the frame through, so
+        several EXISTS operands in one expression each get their own
+        marker column on the same frame."""
+        if isinstance(expr, ExistsExpr):
+            inner, ibinds = self.compile_pattern(expr.pattern, graph)
+            if inner is None:
+                raise SparqlError("empty EXISTS pattern")
+            flag = self.fresh("exf")
+            cond, shared = self._join_cond(binds, ibinds)
+            if cond is None:
+                # global any-match probe, broadcast (see ExistsExpr)
+                probe = inner.limit(1).select(F.lit(True).alias(flag))
+                df = df.join(F.broadcast(probe), F.lit(True), "left")
+            else:
+                keep: list[str] = []
+                for v in shared:
+                    b = ibinds[v]
+                    keep += [
+                        c for c in (b.val, b.kind, b.datatype, b.lang) if c
+                    ]
+                # distinct on the full shared term quads => at most one
+                # match per outer row, never a row multiplication
+                probe = inner.select(*keep).distinct().withColumn(
+                    flag, F.lit(True)
+                )
+                df = df.join(probe, on=cond, how="left").drop(*keep)
+            return _MarkerRef(flag, expr.negated), df
+        if isinstance(expr, BoolOp):
+            left, df = self._rewrite_exists(expr.left, df, binds, graph)
+            right, df = self._rewrite_exists(expr.right, df, binds, graph)
+            return BoolOp(expr.op, left, right), df
+        if isinstance(expr, Not):
+            inner_e, df = self._rewrite_exists(expr.expr, df, binds, graph)
+            return Not(inner_e), df
+        if isinstance(expr, Cmp):
+            left, df = self._rewrite_exists(expr.left, df, binds, graph)
+            right, df = self._rewrite_exists(expr.right, df, binds, graph)
+            return Cmp(expr.op, left, right), df
+        if isinstance(expr, Call):
+            args = []
+            for a in expr.args:
+                a, df = self._rewrite_exists(a, df, binds, graph)
+                args.append(a)
+            return Call(expr.name, tuple(args)), df
+        if isinstance(expr, InList):
+            inner_e, df = self._rewrite_exists(expr.expr, df, binds, graph)
+            return InList(inner_e, expr.terms, expr.negated), df
+        return expr, df
+
     def _fresh_quad(self, b: _Binding) -> tuple[_Binding, list[Column]]:
         """Re-materialize a binding's term quad under fresh column names
         (graph bindings stay a single binary doc_id column)."""
@@ -2036,6 +2132,15 @@ def _expr_col(expr: object, binds: dict[str, _Binding]) -> Column:
         return ~conds if expr.negated else conds
     if isinstance(expr, Call):
         return _call_col(expr, binds)
+    if isinstance(expr, _MarkerRef):
+        # minted by the ExistsExpr rewrite: null marker == no match
+        c = F.coalesce(F.col(expr.col), F.lit(False))
+        return ~c if expr.negated else c
+    if isinstance(expr, ExistsExpr):
+        raise SparqlUnsupported(
+            "[NOT] EXISTS is supported in FILTER expressions only, not "
+            "in BIND / HAVING position"
+        )
     if isinstance(expr, Var):
         b = _lookup(expr, binds)
         # effective boolean value of a bare var: xsd:boolean "true"
@@ -2166,6 +2271,11 @@ def _value_col(term: object, binds: dict[str, _Binding], numeric: bool) -> Colum
         c = F.lit(term.value)
     elif isinstance(term, Call):
         c = _call_col(term, binds)
+    elif isinstance(term, ExistsExpr):
+        raise SparqlUnsupported(
+            "[NOT] EXISTS is supported in FILTER expressions only, not "
+            "in BIND / HAVING position"
+        )
     else:
         raise SparqlError(f"cannot evaluate {term!r} as a value")
     if numeric:

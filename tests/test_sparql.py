@@ -193,9 +193,6 @@ def test_select_star_binds_all_vars(triples):
         "SELECT (MEDIAN(?o) AS ?t) WHERE { ?s ?p ?o }",
         "SELECT (SUM(DISTINCT ?o) AS ?t) WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { ?s (<http://x>/<http://y>)* ?o }",  # composite closure
-        # EXISTS inside a boolean expression (standalone FILTER only)
-        'SELECT ?s WHERE { ?s ?p ?o . '
-        'FILTER(EXISTS { ?s a ?t } || ?o = "x") }',
         "SELECT ?s WHERE { SERVICE <http://x> { ?s ?p ?o } }",
     ],
 )
@@ -247,15 +244,6 @@ def test_not_exists_scopes_per_document_inside_graph(triples):
              FILTER NOT EXISTS { ?who ex:age ?a . } } } ORDER BY ?who""",
     ))
     assert got == [("http://ex/Alice",)]
-
-
-def test_var_disjoint_exists_raises(triples):
-    with pytest.raises(SparqlUnsupported, match="sharing no variable"):
-        sparql_select(
-            triples,
-            "SELECT ?s WHERE { ?s ?p ?o . "
-            "FILTER EXISTS { ?x <http://ex/age> ?y . } }",
-        )
 
 
 def test_disconnected_pattern_raises(triples):
@@ -954,6 +942,100 @@ def test_subselect_slice_under_graph_var_rejected(num_triples):
         }"""
     with pytest.raises(SparqlUnsupported):
         sparql_select(num_triples, q)
+
+
+# --- EXISTS in expression position / var-disjoint EXISTS (r5 wave 5) ---------
+
+
+def test_exists_as_boolean_operand(triples):
+    # AND of two probes: only Alice has both worksFor and label
+    q = """PREFIX ex: <http://ex/>
+        SELECT ?p WHERE {
+          ?p a ex:Person .
+          FILTER(EXISTS { ?p ex:worksFor ?c } && EXISTS { ?p ex:label ?l })
+        }"""
+    assert rows(sparql_select(triples, q)) == [("http://ex/Alice",)]
+    # OR mixes a probe with a plain comparison: Bob via age, Alice via probe
+    q2 = """PREFIX ex: <http://ex/>
+        SELECT ?p WHERE {
+          ?p a ex:Person .
+          OPTIONAL { ?p ex:age ?age }
+          FILTER(?age > 40 || EXISTS { ?p ex:worksFor ?c })
+        } ORDER BY ?p"""
+    assert rows(sparql_select(triples, q2)) == [
+        ("http://ex/Alice",), ("http://ex/Bob",),
+    ]
+
+
+def test_not_exists_in_expression(triples):
+    q = """PREFIX ex: <http://ex/>
+        SELECT ?p WHERE {
+          ?p a ex:Person .
+          FILTER(NOT EXISTS { ?p ex:worksFor ?c }
+                 && EXISTS { ?p ex:age ?a })
+        }"""
+    assert rows(sparql_select(triples, q)) == [("http://ex/Bob",)]
+
+
+def test_exists_marker_never_multiplies_rows(triples):
+    # Alice matches the probe on FOUR inner rows; the deduplicated
+    # marker join must keep her a single solution
+    q = """PREFIX ex: <http://ex/>
+        SELECT ?p WHERE {
+          ?p a ex:Person . FILTER((EXISTS { ?p ?q ?o2 }))
+        } ORDER BY ?p"""
+    assert rows(sparql_select(triples, q)) == [
+        ("http://ex/Alice",), ("http://ex/Bob",),
+    ]
+
+
+def test_exists_expression_scoped_inside_graph(triples):
+    # per-document correlation: the probes share the graph var, so each
+    # person is probed within their OWN document
+    q = """PREFIX ex: <http://ex/>
+        SELECT ?g ?p WHERE {
+          GRAPH ?g { ?p a ex:Person .
+            FILTER(EXISTS { ?p ex:worksFor ?c }
+                   || EXISTS { ?p ex:knows ?k })
+          }
+        } ORDER BY ?g"""
+    assert rows(sparql_select(triples, q)) == [
+        ("01", "http://ex/Alice"), ("02", "http://ex/Bob"),
+    ]
+
+
+def test_var_disjoint_exists_broadcast_probe(triples):
+    # the probe shares NO variable: one global any-match answer
+    q = """PREFIX ex: <http://ex/>
+        SELECT ?s WHERE { ?s a ex:Company .
+                          FILTER EXISTS { ?x ex:age ?a } }"""
+    assert rows(sparql_select(triples, q)) == [("http://ex/Acme",)]
+    q2 = """PREFIX ex: <http://ex/>
+        SELECT ?s WHERE { ?s a ex:Company .
+                          FILTER EXISTS { ?x ex:missing ?a } }"""
+    assert rows(sparql_select(triples, q2)) == []
+    q3 = """PREFIX ex: <http://ex/>
+        SELECT ?s WHERE { ?s a ex:Company .
+                          FILTER NOT EXISTS { ?x ex:missing ?a } }"""
+    assert rows(sparql_select(triples, q3)) == [("http://ex/Acme",)]
+
+
+def test_exists_in_bind_position_rejected(triples):
+    q = """PREFIX ex: <http://ex/>
+        SELECT ?e WHERE { ?s ?p ?o .
+                          BIND(EXISTS { ?s ex:age ?a } AS ?e) }"""
+    with pytest.raises(SparqlUnsupported):
+        sparql_select(triples, q)
+
+
+def test_uses_graph_clause_sees_exists_expression():
+    from harvesting_validator_spark.sparql import uses_graph_clause
+
+    q = parse_sparql(
+        "SELECT ?s WHERE { ?s ?p ?o . "
+        "FILTER((EXISTS { GRAPH ?g { ?s ?p2 ?o2 } })) }"
+    )
+    assert uses_graph_clause(q)
 
 
 def test_subselect_must_be_whole_group(num_triples):
