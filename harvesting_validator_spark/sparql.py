@@ -82,7 +82,10 @@ plus the core of SPARQL 1.1 SELECT):
   other expression yields a plain literal in its lexical form
 * ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) .. }`` inline data,
   joined on the shared vars (at least one required — a disconnected
-  VALUES block would be a cartesian; ``UNDEF`` cells are out of subset)
+  VALUES block would be a cartesian); ``UNDEF`` cells (r5 wave 5) are
+  match-anything and bind nothing — the compatibility join (the VALUES
+  side is a broadcast constant handful of rows) treats kind-IS-NULL
+  cells as compatible with every solution
 * ``ORDER BY [ASC()/DESC()]``, ``LIMIT``, ``OFFSET``
 * ``{ SELECT ... }`` sub-queries (full SubSelect grammar incl. its own
   DISTINCT/GROUP BY/HAVING/slice), evaluated bottom-up with only the
@@ -96,7 +99,7 @@ plus the core of SPARQL 1.1 SELECT):
 
 Out of contract — raise ``SparqlUnsupported`` at parse time
 (degrade-don't-guess, same contract as the RDF parsers): closures of
-composite sub-paths, UNDEF, [NOT] EXISTS in BIND / HAVING position,
+composite sub-paths, [NOT] EXISTS in BIND / HAVING position,
 SERVICE, DESCRIBE, and SPARQL Update (the write side is
 the engine's sinks, COVERAGE.md §2.9).
 
@@ -902,8 +905,8 @@ class _Parser:
     def _values_cell(self):
         k, v = self.peek()
         if k == "NAME" and v.upper() == "UNDEF":
-            # UNDEF needs match-anything join semantics; out of subset
-            raise SparqlUnsupported("UNDEF in VALUES is out of the subset")
+            self.next()
+            return None  # unconstrained cell (r5 wave 5)
         t = self._term()
         if isinstance(t, Var):
             raise SparqlError("VALUES cells must be constants")
@@ -1693,8 +1696,10 @@ class _Compiler:
         """Inline solution table: one (val, kind, datatype, lang) column
         quad per var, joined into the pattern on the shared vars (the
         subset requires at least one — a disconnected VALUES block would
-        be a cartesian). UNDEF cells would need match-anything join
-        semantics; out of the subset."""
+        be a cartesian). An UNDEF cell (r5 wave 5) stores an all-NULL
+        quad — kind IS NULL marks it, since every defined cell pins
+        'iri'/'literal' — and the compatibility join treats it as
+        match-anything, binding nothing."""
         spark = self.triples.sparkSession
         binds: dict[str, _Binding] = {}
         cols: list[str] = []
@@ -1709,7 +1714,9 @@ class _Compiler:
         for row in el.rows:
             flat: list = []
             for cell in row:
-                if isinstance(cell, Iri):
+                if cell is None:  # UNDEF
+                    flat += [None, None, None, None]
+                elif isinstance(cell, Iri):
                     flat += [cell.value, "iri", None, None]
                 else:  # Lit — same RDF 1.1 normalization as the scans
                     dt = cell.datatype
@@ -1748,7 +1755,11 @@ class _Compiler:
                 & a.datatype_col().eqNullSafe(b.datatype_col())
                 & a.lang_col().eqNullSafe(b.lang_col())
             )
-            cond = cond & (F.col(a.val).isNull() | term_eq)
+            # compatible when the row's cell is UNDEF (kind IS NULL),
+            # the solution's var is unbound, or the terms are equal
+            cond = cond & (
+                b.kind_col().isNull() | F.col(a.val).isNull() | term_eq
+            )
         out = df.join(F.broadcast(vdf), on=cond, how="inner")
         merged = dict(binds)
         for v, b in vbinds.items():

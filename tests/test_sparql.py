@@ -188,7 +188,6 @@ def test_select_star_binds_all_vars(triples):
 @pytest.mark.parametrize(
     "text",
     [
-        "SELECT ?s WHERE { ?s ?p ?o . VALUES ?s { UNDEF } }",
         "DESCRIBE <http://x>",
         "SELECT (MEDIAN(?o) AS ?t) WHERE { ?s ?p ?o }",
         "SELECT (SUM(DISTINCT ?o) AS ?t) WHERE { ?s ?p ?o }",
@@ -505,6 +504,32 @@ def test_bind_template_reference_shape():
 
 
 # --- second review wave regressions --------------------------------------------
+
+
+def test_values_undef_cells(triples):
+    # UNDEF is match-anything and binds nothing (r5 wave 5): the first
+    # row constrains (?s ?v) fully, the second constrains only ?s —
+    # Alice matches via the UNDEF ?v cell with her own ssn value kept
+    q = """PREFIX ex: <http://ex/>
+           SELECT ?s ?v WHERE {
+             ?s ex:ssn ?v .
+             VALUES (?s ?v) {
+               (<http://ex/Bob> "123-45-6789")
+               (<http://ex/Alice> UNDEF)
+             }
+           } ORDER BY ?s"""
+    assert rows(sparql_select(triples, q)) == [
+        ("http://ex/Alice", "123-45-6789"),
+        ("http://ex/Bob", "123-45-6789"),
+    ]
+    # an all-UNDEF column constrains nothing: every solution survives
+    q2 = """PREFIX ex: <http://ex/>
+            SELECT ?p WHERE {
+              ?p a ex:Person . VALUES ?p { UNDEF }
+            } ORDER BY ?p"""
+    assert rows(sparql_select(triples, q2)) == [
+        ("http://ex/Alice",), ("http://ex/Bob",),
+    ]
 
 
 def test_values_join_compatibility_with_optional(triples):
