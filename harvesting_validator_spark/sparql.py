@@ -72,7 +72,10 @@ plus the core of SPARQL 1.1 SELECT):
   the same loop discipline as the SHACL engine's shape-side closure).
   Zero-step endpoints are the graph's resources; literal self-pairs
   are a documented simplification away from the spec's all-terms rule.
-  Closures of composite sub-paths (``(p/q)*``) stay out
+  (r5 wave 5) closure modifiers also apply to COMPOSITE sub-paths —
+  ``(p/q)+``, ``(^p|q)*`` — by compiling the one-hop step through the
+  regular machinery into the fixpoint's edge frame; nested closures
+  (``(p*)+``) stay out
 * ``CONSTRUCT { template } WHERE { ... }`` — rule-based triple
   derivation: each solution instantiates the template, invalid
   instantiations are skipped per spec, and the deduplicated result uses
@@ -98,8 +101,8 @@ plus the core of SPARQL 1.1 SELECT):
   the reference's `.sparql` files run with their parameters bound
 
 Out of contract — raise ``SparqlUnsupported`` at parse time
-(degrade-don't-guess, same contract as the RDF parsers): closures of
-composite sub-paths, [NOT] EXISTS in BIND / HAVING position,
+(degrade-don't-guess, same contract as the RDF parsers): nested
+closure modifiers (``(p*)+``), [NOT] EXISTS in BIND / HAVING position,
 SERVICE, DESCRIBE, and SPARQL Update (the write side is
 the engine's sinks, COVERAGE.md §2.9).
 
@@ -218,10 +221,32 @@ class ClosurePath:
     blank nodes appearing as subject or non-literal object) — literal
     self-pairs are a documented simplification away from the spec's
     all-terms rule (they only differ when both endpoints are unbound,
-    which anchored closure queries never are)."""
+    which anchored closure queries never are).
 
-    pred: str
+    r5 wave 5: ``pred`` may also be a TUPLE of desugared one-hop
+    pattern elements — the closure of a COMPOSITE sub-path like
+    ``(p/q)+`` or ``(^p|q)*`` — with ``src``/``dst`` naming the hop's
+    endpoint variables; the compiler builds the edge frame by compiling
+    that one hop through the regular machinery and runs the SAME
+    fixpoint over it. Nested closures (``(p*)+``) stay out."""
+
+    pred: object  # str (plain IRI step) | tuple (composite one-hop)
     op: str  # "*" | "+" | "?"
+    src: str | None = None  # composite form: hop endpoint var names
+    dst: str | None = None
+
+
+def _path_contains_closure(p: object) -> bool:
+    """True when a parsed path expression contains a closure modifier
+    at any depth (used to keep nested closures out of the subset)."""
+    if isinstance(p, ClosurePath):
+        return True
+    if isinstance(p, tuple) and len(p) == 2:
+        kind, payload = p
+        if kind == "inv":
+            return _path_contains_closure(payload)
+        return any(_path_contains_closure(x) for x in payload)
+    return False
 
 
 @dataclass(frozen=True)
@@ -812,15 +837,25 @@ class _Parser:
                 raise SparqlError(f"a path step must be an IRI, got {t!r}")
         k, v = self.peek()
         if k == "OP" and v in ("*", "+", "?"):
-            # closure modifier (r5 wave 3): supported over a SIMPLE IRI
-            # step only; closures of composite sub-paths stay out
-            if not isinstance(inner, Iri):
-                raise SparqlUnsupported(
-                    "closure modifiers (* + ?) apply to a plain IRI step "
-                    "only"
-                )
             self.next()
-            inner = ClosurePath(inner.value, v)
+            if isinstance(inner, Iri):
+                # plain IRI step (r5 wave 3): the fixpoint runs straight
+                # off the predicate-filtered scan
+                inner = ClosurePath(inner.value, v)
+            elif isinstance(inner, Var):
+                raise SparqlError("a variable cannot be a path step")
+            else:
+                # composite sub-path (r5 wave 5): desugar ONE hop here;
+                # the compiler builds the edge frame from it and runs
+                # the same path-doubling fixpoint
+                if _path_contains_closure(inner):
+                    raise SparqlUnsupported(
+                        "nested closure modifiers ((p*)+ and the like) "
+                        "are out of the subset"
+                    )
+                src, dst = self._fresh_path_var(), self._fresh_path_var()
+                elements = tuple(self._expand_path(src, inner, dst))
+                inner = ClosurePath(elements, v, src.name, dst.name)
             k, v = self.peek()
             if k == "OP" and v in ("*", "+", "?"):
                 raise SparqlUnsupported("stacked closure modifiers")
@@ -1204,7 +1239,7 @@ class _Compiler:
         the session; bench/driver loops sweep them via runtime.py."""
         scoped = graph is not None
         gkey = graph.value if isinstance(graph, Iri) else None
-        key = (cp.pred, cp.op, scoped, gkey)
+        key = (repr(cp.pred), cp.op, scoped, gkey)
         if key in self._closure_cache:
             return self._closure_cache[key]
         t = self.triples
@@ -1219,18 +1254,50 @@ class _Compiler:
                 == F.unhex(F.lit(gkey[len(DOC_GRAPH_PREFIX):]))
             )
         gcols = ["doc_id"] if scoped else []
-        base = (
-            t.filter(F.col("pred") == cp.pred)
-            .select(
-                *gcols,
-                F.col("subj").alias("src"),
-                F.col("obj_value").alias("dst"),
-                F.col("obj_kind").alias("dst_kind"),
-                F.col("obj_datatype").alias("dst_dt"),
-                F.col("obj_lang").alias("dst_lang"),
+        if isinstance(cp.pred, str):
+            base = (
+                t.filter(F.col("pred") == cp.pred)
+                .select(
+                    *gcols,
+                    F.col("subj").alias("src"),
+                    F.col("obj_value").alias("dst"),
+                    F.col("obj_kind").alias("dst_kind"),
+                    F.col("obj_datatype").alias("dst_dt"),
+                    F.col("obj_lang").alias("dst_lang"),
+                )
+                .distinct()
             )
-            .distinct()
-        )
+        else:
+            # composite one-hop step (r5 wave 5): compile the desugared
+            # elements through the regular machinery — sequence hops
+            # join, inverse hops swap, alternatives union — and project
+            # the hop's endpoints as the edge frame. The fixpoint below
+            # is step-agnostic. A graph VARIABLE threads through the
+            # hop compile so per-document closure discipline holds; a
+            # constant graph compiles against the same variable and
+            # filters, keeping doc_id available for the loop's keys.
+            gv = Var("__cg") if scoped else None
+            inner_df, ibinds = self.compile_pattern(cp.pred, gv)
+            if inner_df is None:
+                raise SparqlError("empty composite path step")
+            gsel: list[Column] = []
+            if scoped:
+                gb = ibinds["__cg"]
+                if gkey is not None:
+                    inner_df = inner_df.filter(
+                        F.col(gb.val)
+                        == F.unhex(F.lit(gkey[len(DOC_GRAPH_PREFIX):]))
+                    )
+                gsel = [F.col(gb.val).alias("doc_id")]
+            sb, ob = ibinds[cp.src], ibinds[cp.dst]
+            base = inner_df.select(
+                *gsel,
+                F.col(sb.val).alias("src"),
+                F.col(ob.val).alias("dst"),
+                ob.kind_col().alias("dst_kind"),
+                ob.datatype_col().alias("dst_dt"),
+                ob.lang_col().alias("dst_lang"),
+            ).distinct()
         ident = None
         if cp.op in ("*", "?"):
             derived_kind = F.when(

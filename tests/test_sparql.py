@@ -191,7 +191,7 @@ def test_select_star_binds_all_vars(triples):
         "DESCRIBE <http://x>",
         "SELECT (MEDIAN(?o) AS ?t) WHERE { ?s ?p ?o }",
         "SELECT (SUM(DISTINCT ?o) AS ?t) WHERE { ?s ?p ?o }",
-        "SELECT ?s WHERE { ?s (<http://x>/<http://y>)* ?o }",  # composite closure
+        "SELECT ?s WHERE { ?s (<http://x>*)+ ?o }",  # nested closure
         "SELECT ?s WHERE { SERVICE <http://x> { ?s ?p ?o } }",
     ],
 )
@@ -575,11 +575,17 @@ def test_closure_modifier_parse_and_guards():
     # simple-IRI closures are IN the subset (r5 wave 3)
     for op in ("*", "+", "?"):
         parse_sparql(f"SELECT ?x WHERE {{ ?x <http://x/p>{op} ?y }}")
-    # composite sub-path closures and stacked modifiers stay out
-    with pytest.raises(SparqlUnsupported):
-        parse_sparql("SELECT ?x WHERE { ?x (<http://x/p>|<http://x/q>)+ ?y }")
+    # composite sub-path closures parse too (r5 wave 5); stacked
+    # modifiers and nested closures stay out
+    parse_sparql("SELECT ?x WHERE { ?x (<http://x/p>|<http://x/q>)+ ?y }")
     with pytest.raises(SparqlUnsupported):
         parse_sparql("SELECT ?x WHERE { ?x <http://x/p>*+ ?y }")
+    with pytest.raises(SparqlUnsupported):
+        parse_sparql("SELECT ?x WHERE { ?x (<http://x/p>*)+ ?y }")
+    with pytest.raises(SparqlUnsupported):
+        parse_sparql(
+            "SELECT ?x WHERE { ?x (<http://x/p>/<http://x/q>*)+ ?y }"
+        )
 
 
 def test_parenthesized_var_path_step_rejected():
@@ -690,6 +696,30 @@ def test_inverse_closure_and_composition(chain_triples):
           "<http://ex/next>*/<http://ex/label> ?v . }")
     assert [r.v for r in sparql_select(chain_triples, q2).collect()] == [
         "start"
+    ]
+
+
+def test_composite_closure_paths(chain_triples):
+    # (r5 wave 5) closure of a sequence: two-hop strides from a land on
+    # c only (a->b->c; c+2 overruns the chain)
+    q = ("SELECT ?r WHERE { <http://ex/a> "
+         "(<http://ex/next>/<http://ex/next>)+ ?r . } ORDER BY ?r")
+    assert [r.r for r in sparql_select(chain_triples, q).collect()] == [
+        "http://ex/c"
+    ]
+    # the zero-step variant includes the anchor
+    q2 = ("SELECT ?r WHERE { <http://ex/a> "
+          "(<http://ex/next>/<http://ex/next>)* ?r . } ORDER BY ?r")
+    assert [r.r for r in sparql_select(chain_triples, q2).collect()] == [
+        "http://ex/a", "http://ex/c",
+    ]
+    # alternation with an inverse arm: undirected reachability from b —
+    # the whole doc-1 chain, b itself included (b->a->b); GRAPH scoping
+    # threads through the composite hop compile
+    q3 = ("SELECT ?r WHERE { GRAPH <urn:doc:01> { <http://ex/b> "
+          "(<http://ex/next>|^<http://ex/next>)+ ?r . } } ORDER BY ?r")
+    assert [r.r for r in sparql_select(chain_triples, q3).collect()] == [
+        "http://ex/a", "http://ex/b", "http://ex/c", "http://ex/d",
     ]
 
 
