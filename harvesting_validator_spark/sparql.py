@@ -81,6 +81,12 @@ plus the core of SPARQL 1.1 SELECT):
   instantiations are skipped per spec, and the deduplicated result uses
   the engine's triple schema (minus doc_id), so derived triples compose
   with `kg/graph.py` and can be queried again by `sparql_select`
+* ``DESCRIBE (VarOrIri+ | *) ['WHERE' {...}]`` (r5 wave 5) — the
+  per-document concise bounded description: every subject row of the
+  targets plus, transitively within the same document, the triples of
+  blank nodes reachable through object positions (nested structures
+  and RDF lists describe whole, via the same path-doubling fixpoint);
+  graph output in the triple schema, composable like CONSTRUCT
 * ``BIND(expr AS ?v)`` — a bare-var expr copies the source term, any
   other expression yields a plain literal in its lexical form
 * ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) .. }`` inline data,
@@ -103,7 +109,7 @@ plus the core of SPARQL 1.1 SELECT):
 Out of contract — raise ``SparqlUnsupported`` at parse time
 (degrade-don't-guess, same contract as the RDF parsers): nested
 closure modifiers (``(p*)+``), [NOT] EXISTS in BIND / HAVING position,
-SERVICE, DESCRIBE, and SPARQL Update (the write side is
+SERVICE, and SPARQL Update (the write side is
 the engine's sinks, COVERAGE.md §2.9).
 
 Semantics notes (documented simplifications, asserted by tests):
@@ -484,15 +490,18 @@ class _Parser:
             q = self._ask()
         elif self.accept_kw("construct"):
             q = self._construct()
+        elif self.accept_kw("describe"):
+            q = self._describe()
         else:
             k, v = self.peek()
-            if k == "KW" and v in ("describe", "insert", "delete"):
+            if k == "KW" and v in ("insert", "delete"):
                 raise SparqlUnsupported(
                     f"{v.upper()} is out of the supported subset "
-                    "(SELECT/ASK/CONSTRUCT only; updates are the "
-                    "engine's sinks)"
+                    "(SPARQL Update is the engine's sinks)"
                 )
-            raise SparqlError(f"expected SELECT, ASK or CONSTRUCT, got {v!r}")
+            raise SparqlError(
+                f"expected SELECT, ASK, CONSTRUCT or DESCRIBE, got {v!r}"
+            )
         if self.peek()[0] != "EOF":
             raise SparqlError(f"trailing tokens at {self.peek()[1]!r}")
         return q
@@ -548,6 +557,39 @@ class _Parser:
                 "ORDER BY / GROUP BY / HAVING do not apply to a "
                 "CONSTRUCT graph"
             )
+        return q
+
+    def _describe(self) -> Query:
+        """``DESCRIBE (VarOrIri+ | '*') ['WHERE'? { pattern }]`` (r5
+        wave 5) — returns an RDF graph describing the target resources.
+        The spec leaves the description's extent to implementations;
+        this engine returns the per-document CONCISE BOUNDED
+        DESCRIPTION: every triple whose subject is a target, plus —
+        transitively, within the same document — the triples of blank
+        nodes reachable through object positions (so nested bnode
+        structures and RDF lists describe whole). Solution modifiers
+        are not accepted (the output is an unordered graph)."""
+        q = Query(form="describe", projection=[])
+        if self.accept_op("*"):
+            q.projection = None  # every variable the pattern binds
+        else:
+            targets: list = []
+            while True:
+                k, v = self.peek()
+                if k == "VAR":
+                    self.next()
+                    targets.append(Var(v[1:]))
+                elif k in ("IRIREF", "PNAME"):
+                    targets.append(self._term())
+                else:
+                    break
+            if not targets:
+                raise SparqlError("empty DESCRIBE target list")
+            q.projection = targets
+        if self.accept_kw("where") or self.peek()[:2] == ("OP", "{"):
+            q.pattern = self._group_graph_pattern()
+        if q.projection is None and not q.pattern:
+            raise SparqlError("DESCRIBE * needs a WHERE pattern")
         return q
 
     _AGG_FNS = {"count", "sum", "min", "max", "avg", "group_concat",
@@ -2581,6 +2623,92 @@ def _construct_frame(
     )
 
 
+def _describe_frame(comp: "_Compiler", q: Query) -> DataFrame:
+    """Compile DESCRIBE into the per-document concise bounded
+    description (see _Parser._describe): target subject rows plus the
+    transitive blank-node sub-structure, per document.
+
+    Scale shape: the target set is a distinct node frame (tiny for
+    constant targets); the seed join is a semi join on subj; the bnode
+    closure REUSES the composite-closure fixpoint over the
+    obj_kind='bnode' edge slice (isblank pushes to the scan; path
+    doubling keeps long RDF lists O(log n) rounds) keyed by doc_id;
+    the output is one more doc-keyed semi join. Output schema == the
+    engine's triple frame minus doc_id (graph set semantics, like
+    CONSTRUCT), xsd:string normalized, so descriptions compose with
+    kg/graph.py and re-enter sparql_select."""
+    triples = comp.triples
+    nodes: DataFrame | None = None
+    if q.pattern:
+        df, binds = comp.compile_pattern(q.pattern, graph=None)
+        if df is None:
+            raise SparqlError("empty DESCRIBE pattern")
+        if q.projection is None:  # DESCRIBE *
+            names = sorted(n for n in binds if not n.startswith("__path_"))
+        else:
+            names = [t.name for t in q.projection if isinstance(t, Var)]
+            missing = [n for n in names if n not in binds]
+            if missing:
+                raise SparqlError(f"DESCRIBE vars never bound: {missing}")
+        for n in names:
+            b = binds[n]
+            if b.is_graph:
+                raise SparqlUnsupported("DESCRIBE of a graph variable")
+            one = df.filter(b.kind_col() != "literal").select(
+                F.col(b.val).alias("node")
+            )
+            nodes = one if nodes is None else nodes.unionByName(one)
+    const = [t.value for t in (q.projection or []) if isinstance(t, Iri)]
+    if const:
+        cdf = triples.sparkSession.createDataFrame(
+            [(c,) for c in const], "node string"
+        )
+        nodes = cdf if nodes is None else nodes.unionByName(cdf)
+    nodes = nodes.distinct()
+
+    # seeds: (doc, node) wherever a target has subject rows
+    seeds = (
+        triples.join(nodes, triples["subj"] == nodes["node"], "left_semi")
+        .select("doc_id", F.col("subj").alias("node"))
+        .distinct()
+    )
+    # transitive bnode reach, per document — the composite-closure
+    # fixpoint over the any-predicate/bnode-object hop
+    hop = (
+        TriplePattern(Var("__ds"), Var("__dp"), Var("__do")),
+        Filter(Call("isblank", (Var("__do"),))),
+    )
+    pairs = comp._closure_pairs(
+        ClosurePath(hop, "+", "__ds", "__do"), Var("__dg")
+    ).select(
+        F.col("doc_id").alias("p_doc"),
+        F.col("src").alias("p_src"),
+        F.col("dst").alias("p_dst"),
+    )
+    extra = seeds.join(
+        pairs,
+        (seeds["doc_id"] == pairs["p_doc"]) & (seeds["node"] == pairs["p_src"]),
+    ).select(F.col("p_doc").alias("doc_id"), F.col("p_dst").alias("node"))
+    desc = (
+        seeds.unionByName(extra)
+        .distinct()
+        .select(F.col("doc_id").alias("d_doc"), F.col("node").alias("d_node"))
+    )
+    out = triples.join(
+        desc,
+        (triples["doc_id"] == desc["d_doc"])
+        & (triples["subj"] == desc["d_node"]),
+        "left_semi",
+    )
+    return out.select(
+        "subj", "pred", "obj_value", "obj_kind",
+        F.when(
+            F.col("obj_datatype") == _XSD_STRING, F.lit(None).cast("string")
+        ).otherwise(F.col("obj_datatype")).alias("obj_datatype"),
+        F.lower(F.col("obj_lang")).alias("obj_lang"),
+    ).distinct()
+
+
 def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
     """Run a SPARQL SELECT/ASK (supported subset) over a triples frame.
 
@@ -2607,6 +2735,8 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
         if sq.order_by and sq.limit is None and not sq.offset:
             q.order_by = list(sq.order_by)
     comp = _Compiler(triples)
+    if q.form == "describe":
+        return _describe_frame(comp, q)
     df, binds = comp.compile_pattern(q.pattern, graph=None)
     if df is None:
         raise SparqlError("empty WHERE pattern")

@@ -188,7 +188,6 @@ def test_select_star_binds_all_vars(triples):
 @pytest.mark.parametrize(
     "text",
     [
-        "DESCRIBE <http://x>",
         "SELECT (MEDIAN(?o) AS ?t) WHERE { ?s ?p ?o }",
         "SELECT (SUM(DISTINCT ?o) AS ?t) WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { ?s (<http://x>*)+ ?o }",  # nested closure
@@ -997,6 +996,58 @@ def test_subselect_slice_under_graph_var_rejected(num_triples):
         }"""
     with pytest.raises(SparqlUnsupported):
         sparql_select(num_triples, q)
+
+
+# --- DESCRIBE (r5 wave 5) -----------------------------------------------------
+
+
+def test_describe_constant_iri(triples):
+    got = rows(sparql_select(triples, "DESCRIBE <http://ex/Alice>"))
+    assert len(got) == 4 and {r[0] for r in got} == {"http://ex/Alice"}
+    # lang tags survive; xsd:string would normalize (none here)
+    assert ("http://ex/Alice", "http://ex/label", "alice", "literal",
+            None, "en") in got
+
+
+def test_describe_var_with_where(triples):
+    q = """PREFIX ex: <http://ex/>
+           DESCRIBE ?c WHERE { ?p ex:worksFor ?c }"""
+    got = rows(sparql_select(triples, q))
+    assert {r[0] for r in got} == {"http://ex/Acme"} and len(got) == 2
+    # DESCRIBE * describes every pattern var (here: the company too)
+    q2 = """PREFIX ex: <http://ex/>
+            DESCRIBE * WHERE { ?c a ex:Company }"""
+    assert rows(sparql_select(triples, q2)) == got
+
+
+def test_describe_follows_bnode_structure(spark):
+    # CBD must include the nested bnode rows TRANSITIVELY, within the
+    # same document only (doc 2 reuses the _:a label with other content)
+    EX = "http://ex/"
+    rows_in = [
+        (b"\x01", EX + "P", EX + "addr", "_:a", "bnode", None, None),
+        (b"\x01", "_:a", EX + "street", "Main st", "literal", None, None),
+        (b"\x01", "_:a", EX + "geo", "_:g", "bnode", None, None),
+        (b"\x01", "_:g", EX + "lat", "51.0", "literal", None, None),
+        (b"\x01", EX + "Q", EX + "other", "_:q", "bnode", None, None),
+        (b"\x01", "_:q", EX + "x", "no", "literal", None, None),
+        (b"\x02", "_:a", EX + "street", "Other st", "literal", None, None),
+    ]
+    t = spark.createDataFrame(rows_in, _SCHEMA)
+    got = rows(sparql_select(t, "DESCRIBE <http://ex/P>"))
+    assert sorted(got) == sorted([
+        (EX + "P", EX + "addr", "_:a", "bnode", None, None),
+        ("_:a", EX + "street", "Main st", "literal", None, None),
+        ("_:a", EX + "geo", "_:g", "bnode", None, None),
+        ("_:g", EX + "lat", "51.0", "literal", None, None),
+    ])
+
+
+def test_describe_guards():
+    with pytest.raises(SparqlError):
+        parse_sparql("DESCRIBE")
+    with pytest.raises(SparqlError):
+        parse_sparql("DESCRIBE *")  # star needs a pattern
 
 
 # --- EXISTS in expression position / var-disjoint EXISTS (r5 wave 5) ---------
