@@ -360,6 +360,55 @@ FROM idx WHERE mode = 8
 )
 
 
+# --- DESCRIBE (r5 wave 5) -----------------------------------------------------
+# concise bounded description of every employed person: the WHERE binds
+# the targets, the description emits their full subject rows (the
+# corpus has no blank-node structures, so the CBD closure contributes
+# nothing — tests/test_sparql.py pins the transitive bnode case).
+# Closed form: mode-9 docs are exactly the employed persons, 4 triples
+# each (type, ssn, hobby, worksFor).
+_Q_DESCRIBE_EMPLOYED = """
+PREFIX ex: <http://example.com/ns#>
+DESCRIBE ?p WHERE { ?p ex:worksFor ?c }
+"""
+
+
+def q_sparql_describe_employed(spark, sf_dir):
+    return sparql_select(_triples(spark, sf_dir), _Q_DESCRIBE_EMPLOYED)
+
+
+O_DESCRIBE_EMPLOYED = (
+    _ORACLE_BASE
+    + """
+, m9 AS (
+  SELECT i,
+         printf('%03d-%02d-%04d', i % 1000, (i*7) % 100, (i*13) % 10000)
+           AS ssn_ok
+  FROM idx WHERE mode = 9
+)
+SELECT 'http://example.com/ns#P' || i AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       'http://example.com/ns#Person' AS obj_value, 'iri' AS obj_kind,
+       CAST(NULL AS VARCHAR) AS obj_datatype,
+       CAST(NULL AS VARCHAR) AS obj_lang
+FROM m9
+UNION ALL
+SELECT 'http://example.com/ns#P' || i, 'http://example.com/ns#ssn',
+       ssn_ok, 'literal', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM m9
+UNION ALL
+SELECT 'http://example.com/ns#P' || i, 'http://example.com/ns#hobby',
+       'x', 'literal', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM m9
+UNION ALL
+SELECT 'http://example.com/ns#P' || i, 'http://example.com/ns#worksFor',
+       'http://example.com/ns#NoSuchCompany', 'iri',
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM m9
+"""
+)
+
+
 QUERIES = {
     "sparql_person_roster": q_sparql_person_roster,
     "sparql_graph_sizes": q_sparql_graph_sizes,
@@ -371,6 +420,7 @@ QUERIES = {
     "sparql_reachable_rollup": q_sparql_reachable_rollup,
     "sparql_predicate_digest": q_sparql_predicate_digest,
     "sparql_multi_ssn_audit": q_sparql_multi_ssn_audit,
+    "sparql_describe_employed": q_sparql_describe_employed,
 }
 
 ORACLES = {
@@ -384,4 +434,5 @@ ORACLES = {
     "sparql_reachable_rollup": O_REACHABLE,
     "sparql_predicate_digest": O_PREDICATE_DIGEST,
     "sparql_multi_ssn_audit": O_MULTI_SSN,
+    "sparql_describe_employed": O_DESCRIBE_EMPLOYED,
 }
