@@ -31,9 +31,13 @@ plus the core of SPARQL 1.1 SELECT):
   (key-only HAVING == a WHERE filter — out of subset by design)
 * ``ASK``
 * basic graph patterns with ``;`` / ``,`` predicate-object lists
-* ``GRAPH ?var { ... }`` / ``GRAPH <urn:doc:HEX> { ... }`` — the engine's
+* ``GRAPH ?var { ... }`` / ``GRAPH <iri> { ... }`` — the engine's
   named graphs are documents: a graph var binds to the lowercase sha256
-  hex doc id (identical to the ids every other edge reports), and
+  hex doc id (identical to the ids every other edge reports); a constant
+  ``urn:doc:HEX`` IRI names that document directly, and (r5 wave 6) any
+  OTHER constant IRI names an external graph whose doc id is
+  sha256(iri) — symmetric with `sparql_update` writes, so graphs minted
+  by INSERT DATA are immediately readable by name — and
   patterns inside one GRAPH group additionally join on doc_id — which
   co-partitions with the pipeline's single doc_id exchange
   (`plans/pipeline.py`), so multi-pattern graph-scoped BGPs add NO new
@@ -106,11 +110,21 @@ plus the core of SPARQL 1.1 SELECT):
 * Freemarker-style ``${name}`` templates via :func:`bind_template` —
   the reference's `.sparql` files run with their parameters bound
 
+* SPARQL 1.1 UPDATE via :func:`sparql_update` (r5 wave 6) —
+  ``INSERT DATA`` / ``DELETE DATA`` (ground constant-graph quads),
+  ``DELETE {} INSERT {} WHERE {}`` (either template optional; the
+  ``DELETE WHERE`` shorthand), and ``;``-chained sequences — compiled
+  to anti-join (delete) / novelty-anti-join + union (insert) over the
+  quad frame; runs the reference's six WRITE templates verbatim, which
+  closes the full fifteen-template surface
+
 Out of contract — raise ``SparqlUnsupported`` at parse time
 (degrade-don't-guess, same contract as the RDF parsers): nested
 closure modifiers (``(p*)+``), [NOT] EXISTS in BIND / HAVING position,
-SERVICE, and SPARQL Update (the write side is
-the engine's sinks, COVERAGE.md §2.9).
+SERVICE, and on the update side WITH/USING dataset clauses, blank
+nodes in quads, default-graph (non-GRAPH-scoped) quads, and the
+graph-management forms LOAD/CLEAR/DROP/CREATE/MOVE/COPY/ADD (graph
+lifecycle is the warehouse/sinks layer, COVERAGE.md §2.9).
 
 Semantics notes (documented simplifications, asserted by tests):
 
@@ -134,6 +148,7 @@ CartesianProduct); aggregates are map-side-combined groupBys.
 
 from __future__ import annotations
 
+import hashlib
 import re
 from dataclasses import dataclass, field
 
@@ -143,6 +158,27 @@ from pyspark.sql import functions as F
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 DOC_GRAPH_PREFIX = "urn:doc:"  # GRAPH <urn:doc:HEX> names one document
+
+
+def graph_doc_id_bytes(iri: str) -> bytes:
+    """Constant graph IRI -> binary doc id, symmetric between reads
+    (GRAPH <iri> scoping) and writes (sparql_update quads).
+
+    ``urn:doc:HEX`` names a document directly (the hex id every edge
+    reports). Any OTHER IRI names an EXTERNAL graph — e.g. the
+    reference's task graph (`update-task-status.sparql`,
+    `append-task-*.sparql` write to Virtuoso graph URIs) — and maps to
+    sha256(iri): deterministic (the engine's id rule, never uuid), 32
+    bytes like a document id, collision-free in practice, and identical
+    on both the read and write side so an INSERT DATA into
+    <http://x/graphs/tasks> is immediately visible to GRAPH
+    <http://x/graphs/tasks> reads."""
+    if iri.startswith(DOC_GRAPH_PREFIX):
+        h = iri[len(DOC_GRAPH_PREFIX):]
+        if not re.fullmatch(r"[0-9a-fA-F]+", h or "") or len(h) % 2:
+            raise SparqlError(f"bad {DOC_GRAPH_PREFIX} hex id: {iri!r}")
+        return bytes.fromhex(h)
+    return hashlib.sha256(iri.encode("utf-8")).digest()
 
 
 class SparqlError(ValueError):
@@ -370,6 +406,31 @@ class Query:
     offset: int | None = None
 
 
+@dataclass(frozen=True)
+class QuadBlock:
+    """One ``GRAPH g { triples }`` group of an update's quad set. The
+    engine's graphs are documents, so update quads are always
+    graph-scoped (a bare default-graph triple raises)."""
+
+    graph: object  # Iri | Var (Var only in modify templates)
+    triples: tuple  # TriplePattern (ground for the DATA forms)
+
+
+@dataclass(frozen=True)
+class UpdateOp:
+    """One operation of a SPARQL 1.1 Update request (r5 wave 6).
+
+    kind == "insert_data" / "delete_data": ``insert`` / ``delete`` hold
+    ground QuadBlocks and ``pattern`` is empty. kind == "modify": the
+    ``DELETE {} INSERT {} WHERE {}`` form (either template may be
+    empty, ``DELETE WHERE`` desugars to delete == pattern)."""
+
+    kind: str  # "insert_data" | "delete_data" | "modify"
+    delete: tuple = ()  # QuadBlock*
+    insert: tuple = ()  # QuadBlock*
+    pattern: tuple = ()  # WHERE group (modify only)
+
+
 # --------------------------------------------------------------------------
 # Tokenizer
 # --------------------------------------------------------------------------
@@ -464,6 +525,31 @@ class _Parser:
 
     # -- grammar -----------------------------------------------------------
     def parse(self) -> Query:
+        self._prologue()
+
+        if self.accept_kw("select"):
+            q = self._select()
+        elif self.accept_kw("ask"):
+            q = self._ask()
+        elif self.accept_kw("construct"):
+            q = self._construct()
+        elif self.accept_kw("describe"):
+            q = self._describe()
+        else:
+            k, v = self.peek()
+            if k == "KW" and v in ("insert", "delete"):
+                raise SparqlUnsupported(
+                    f"{v.upper()} is an update — run it through "
+                    "sparql_update, not sparql_select"
+                )
+            raise SparqlError(
+                f"expected SELECT, ASK, CONSTRUCT or DESCRIBE, got {v!r}"
+            )
+        if self.peek()[0] != "EOF":
+            raise SparqlError(f"trailing tokens at {self.peek()[1]!r}")
+        return q
+
+    def _prologue(self) -> None:
         while self.accept_kw("prefix"):
             k, v = self.next()
             # "ex:" tokenizes as NAME "ex" + OP... simplest robust form:
@@ -484,27 +570,121 @@ class _Parser:
                 raise SparqlError(f"PREFIX needs an IRI, got {vv!r}")
             self.prefixes[name] = vv[1:-1]
 
-        if self.accept_kw("select"):
-            q = self._select()
-        elif self.accept_kw("ask"):
-            q = self._ask()
-        elif self.accept_kw("construct"):
-            q = self._construct()
-        elif self.accept_kw("describe"):
-            q = self._describe()
-        else:
-            k, v = self.peek()
-            if k == "KW" and v in ("insert", "delete"):
-                raise SparqlUnsupported(
-                    f"{v.upper()} is out of the supported subset "
-                    "(SPARQL Update is the engine's sinks)"
-                )
-            raise SparqlError(
-                f"expected SELECT, ASK, CONSTRUCT or DESCRIBE, got {v!r}"
-            )
+    # -- update grammar (r5 wave 6) ------------------------------------------
+    def parse_update(self) -> list[UpdateOp]:
+        """UpdateUnit ::= Prologue Update (';' Prologue? Update)* ';'? —
+        operations apply in sequence, each against the previous one's
+        result (SPARQL 1.1 Update §3)."""
+        self._prologue()
+        ops = [self._update_op()]
+        while self.accept_op(";"):
+            self._prologue()  # each op may carry its own prologue
+            if self.peek()[0] == "EOF":
+                break  # trailing ';'
+            ops.append(self._update_op())
         if self.peek()[0] != "EOF":
             raise SparqlError(f"trailing tokens at {self.peek()[1]!r}")
-        return q
+        return ops
+
+    def _accept_name(self, word: str) -> bool:
+        k, v = self.peek()
+        if k == "NAME" and v.lower() == word:
+            self.i += 1
+            return True
+        return False
+
+    _GRAPH_MGMT = ("load", "clear", "drop", "create", "move", "copy",
+                   "add", "with", "using")
+
+    def _update_op(self) -> UpdateOp:
+        k, v = self.peek()
+        if k == "NAME" and v.lower() in self._GRAPH_MGMT:
+            # graph-management forms and WITH/USING dataset clauses are
+            # out of the subset: the engine's graph store IS the quad
+            # frame — lifecycle belongs to the warehouse/sinks layer
+            raise SparqlUnsupported(
+                f"{v.upper()} is out of the update subset (graph "
+                "lifecycle is the engine's warehouse/sinks layer)"
+            )
+        if self.accept_kw("insert"):
+            if self._accept_name("data"):
+                return UpdateOp(
+                    "insert_data", insert=self._quad_blocks(ground=True)
+                )
+            insert = self._quad_blocks(ground=False)
+            self.expect_kw("where")
+            return UpdateOp(
+                "modify", insert=insert,
+                pattern=self._group_graph_pattern(),
+            )
+        self.expect_kw("delete")
+        if self._accept_name("data"):
+            return UpdateOp(
+                "delete_data", delete=self._quad_blocks(ground=True)
+            )
+        if self.accept_kw("where"):
+            # DELETE WHERE shorthand: the quad pattern is both the
+            # delete template and the WHERE pattern (Update §3.1.3.2)
+            quads = self._quad_blocks(ground=False)
+            pattern = tuple(Graph(qb.graph, qb.triples) for qb in quads)
+            return UpdateOp("modify", delete=quads, pattern=pattern)
+        delete = self._quad_blocks(ground=False)
+        insert: tuple = ()
+        if self.accept_kw("insert"):
+            insert = self._quad_blocks(ground=False)
+        self.expect_kw("where")
+        return UpdateOp(
+            "modify", delete=delete, insert=insert,
+            pattern=self._group_graph_pattern(),
+        )
+
+    def _quad_blocks(self, ground: bool) -> tuple:
+        """``{ (GRAPH VarOrIri { TriplesTemplate })+ }`` — the engine's
+        named graphs are documents, so update quads must be
+        graph-scoped; ground=True (the DATA forms) additionally rejects
+        variables anywhere (SPARQL Update §3.1.1: ground triples only;
+        blank nodes are out of the subset — fresh-bnode minting is
+        nondeterministic, against the engine's deterministic-id rule)."""
+        self.expect_op("{")
+        blocks: list[QuadBlock] = []
+        while not self.accept_op("}"):
+            if not self.accept_kw("graph"):
+                raise SparqlUnsupported(
+                    "update quads must be GRAPH-scoped (the engine has "
+                    "no default graph — its named graphs are documents)"
+                )
+            term = self._term()
+            if not isinstance(term, (Var, Iri)):
+                raise SparqlError("GRAPH needs a variable or IRI")
+            if ground and not isinstance(term, Iri):
+                raise SparqlError(
+                    "INSERT/DELETE DATA needs a constant graph IRI"
+                )
+            self.expect_op("{")
+            triples: list[TriplePattern] = []
+            while not self.accept_op("}"):
+                triples.extend(self._triples_block(template=True))
+                self.accept_op(".")
+            if not triples:
+                raise SparqlError("empty GRAPH block in update quads")
+            for tp in triples:
+                if ground and any(
+                    isinstance(t, Var) for t in (tp.s, tp.p, tp.o)
+                ):
+                    raise SparqlError(
+                        "INSERT/DELETE DATA must be ground (no variables)"
+                    )
+                if isinstance(tp.s, Lit):
+                    raise SparqlError("a literal cannot be a quad subject")
+                if isinstance(tp.p, Lit):
+                    raise SparqlError(
+                        "a literal cannot be a quad predicate"
+                    )
+            blocks.append(QuadBlock(term, tuple(triples)))
+            self.accept_op(".")
+        if not blocks:
+            raise SparqlError("empty update quad set")
+        return tuple(blocks)
 
     def _select(self) -> Query:
         q = Query(form="select", projection=None)
@@ -1181,6 +1361,10 @@ def uses_graph_clause(q: Query) -> bool:
 
 
 _TEMPLATE_RE = re.compile(r"\$\{\s*([A-Za-z_][A-Za-z0-9_.]*)\s*(\?[^}]*)?\}")
+_TEMPLATE_IF_RE = re.compile(
+    r"<#if\s+([A-Za-z_][A-Za-z0-9_.]*)\?has_content\s*>(.*?)</#if>",
+    re.S,
+)
 
 
 def bind_template(text: str, params: dict[str, object]) -> str:
@@ -1191,9 +1375,19 @@ def bind_template(text: str, params: dict[str, object]) -> str:
     formatter suffixes (``${limitSize?string.computer}``) are accepted
     and ignored — every value substitutes as ``str(value)``, raw, exactly
     like Freemarker's default (so quote/bracket the placeholder in the
-    template, not the value). A missing parameter raises KeyError; the
-    subsequent parse rejects any malformed result, so a bad substitution
-    can't silently change query semantics."""
+    template, not the value). ``<#if name?has_content>…</#if>`` blocks
+    (the one directive the reference's templates use,
+    `append-task-result-graph.sparql`) keep their body iff the parameter
+    is present and non-empty — Freemarker's has_content. A missing
+    ``${name}`` parameter raises KeyError; the subsequent parse rejects
+    any malformed result, so a bad substitution can't silently change
+    query semantics."""
+
+    def if_repl(m: re.Match) -> str:
+        val = params.get(m.group(1))
+        return m.group(2) if val not in (None, "") else ""
+
+    text = _TEMPLATE_IF_RE.sub(if_repl, text)
 
     def repl(m: re.Match) -> str:
         name = m.group(1)
@@ -1286,15 +1480,7 @@ class _Compiler:
             return self._closure_cache[key]
         t = self.triples
         if gkey is not None:
-            if not gkey.startswith(DOC_GRAPH_PREFIX):
-                raise SparqlUnsupported(
-                    f"graph IRIs are {DOC_GRAPH_PREFIX}<hex-doc-id>; got "
-                    f"{gkey!r}"
-                )
-            t = t.filter(
-                F.col("doc_id")
-                == F.unhex(F.lit(gkey[len(DOC_GRAPH_PREFIX):]))
-            )
+            t = t.filter(F.col("doc_id") == F.lit(graph_doc_id_bytes(gkey)))
         gcols = ["doc_id"] if scoped else []
         if isinstance(cp.pred, str):
             base = (
@@ -1327,8 +1513,7 @@ class _Compiler:
                 gb = ibinds["__cg"]
                 if gkey is not None:
                     inner_df = inner_df.filter(
-                        F.col(gb.val)
-                        == F.unhex(F.lit(gkey[len(DOC_GRAPH_PREFIX):]))
+                        F.col(gb.val) == F.lit(graph_doc_id_bytes(gkey))
                     )
                 gsel = [F.col(gb.val).alias("doc_id")]
             sb, ob = ibinds[cp.src], ibinds[cp.dst]
@@ -1622,14 +1807,8 @@ class _Compiler:
             else:
                 cond = cond & (F.col("obj_datatype") == tp.o.datatype)
         if isinstance(graph, Iri):
-            if not graph.value.startswith(DOC_GRAPH_PREFIX):
-                raise SparqlUnsupported(
-                    f"graph IRIs are {DOC_GRAPH_PREFIX}<hex-doc-id>; got "
-                    f"{graph.value!r}"
-                )
             cond = cond & (
-                F.col("doc_id")
-                == F.unhex(F.lit(graph.value[len(DOC_GRAPH_PREFIX):]))
+                F.col("doc_id") == F.lit(graph_doc_id_bytes(graph.value))
             )
         t = t.filter(cond)
 
@@ -2555,63 +2734,7 @@ def _construct_frame(
     solution set instantiates every template from the SAME rows (separate
     per-template scans could slice differently — an internally
     inconsistent derived graph)."""
-    structs = []
-    for tp in template:
-        cond = F.lit(True)
-
-        def var_bind(term):
-            b = _lookup(term, binds)
-            if b.is_graph:
-                raise SparqlUnsupported(
-                    "graph variables cannot appear in a CONSTRUCT template"
-                )
-            return b
-
-        if isinstance(tp.s, Var):
-            b = var_bind(tp.s)
-            sval = b.display_col()
-            cond = cond & sval.isNotNull() & (b.kind_col() != "literal")
-        elif isinstance(tp.s, Iri):
-            sval = F.lit(tp.s.value)
-        else:
-            raise SparqlError("a literal cannot be a template subject")
-
-        if isinstance(tp.p, Var):
-            b = var_bind(tp.p)
-            pval = b.display_col()
-            cond = cond & pval.isNotNull() & (b.kind_col() == "iri")
-        elif isinstance(tp.p, Iri):
-            pval = F.lit(tp.p.value)
-        else:
-            raise SparqlError("a literal cannot be a template predicate")
-
-        if isinstance(tp.o, Var):
-            b = var_bind(tp.o)
-            oval, okind = b.display_col(), b.kind_col()
-            odt, olang = b.datatype_col(), b.lang_col()
-            cond = cond & oval.isNotNull()
-        elif isinstance(tp.o, Iri):
-            oval, okind = F.lit(tp.o.value), F.lit("iri")
-            odt, olang = _TEMPLATE_NULL(), _TEMPLATE_NULL()
-        else:  # Lit — same RDF 1.1 canonical spelling as every binding
-            oval, okind = F.lit(tp.o.value), F.lit("literal")
-            dt = None if tp.o.datatype == _XSD_STRING else tp.o.datatype
-            odt = F.lit(dt).cast("string")
-            olang = (
-                F.lit(tp.o.lang.lower()) if tp.o.lang else _TEMPLATE_NULL()
-            )
-
-        structs.append(
-            F.struct(
-                sval.cast("string").alias("subj"),
-                pval.cast("string").alias("pred"),
-                oval.cast("string").alias("obj_value"),
-                okind.cast("string").alias("obj_kind"),
-                odt.cast("string").alias("obj_datatype"),
-                olang.cast("string").alias("obj_lang"),
-                cond.alias("__keep"),
-            )
-        )
+    structs = [_template_struct(tp, binds) for tp in template]
     out = (
         df.select(F.explode(F.array(*structs)).alias("__t"))
         .select("__t.*")
@@ -2621,6 +2744,259 @@ def _construct_frame(
     return out.dropDuplicates(
         ["subj", "pred", "obj_value", "obj_kind", "obj_datatype", "obj_lang"]
     )
+
+
+def _template_struct(
+    tp: TriplePattern,
+    binds: dict[str, _Binding],
+    extra: list[Column] | None = None,
+    pre_cond: Column | None = None,
+) -> Column:
+    """One template triple -> a struct column over the solution frame,
+    with a ``__keep`` flag implementing the spec's skip-invalid rule
+    (SPARQL 16.2 / Update §3.1.3: instantiations with an unbound var, a
+    literal subject, or a non-IRI predicate are dropped, not errors).
+    Shared by CONSTRUCT (`extra` empty) and update templates (`extra`
+    prepends the doc_id column, `pre_cond` its null guard)."""
+    cond = pre_cond if pre_cond is not None else F.lit(True)
+
+    def var_bind(term):
+        b = _lookup(term, binds)
+        if b.is_graph:
+            raise SparqlUnsupported(
+                "graph variables cannot appear in term position of a "
+                "template"
+            )
+        return b
+
+    if isinstance(tp.s, Var):
+        b = var_bind(tp.s)
+        sval = b.display_col()
+        cond = cond & sval.isNotNull() & (b.kind_col() != "literal")
+    elif isinstance(tp.s, Iri):
+        sval = F.lit(tp.s.value)
+    else:
+        raise SparqlError("a literal cannot be a template subject")
+
+    if isinstance(tp.p, Var):
+        b = var_bind(tp.p)
+        pval = b.display_col()
+        cond = cond & pval.isNotNull() & (b.kind_col() == "iri")
+    elif isinstance(tp.p, Iri):
+        pval = F.lit(tp.p.value)
+    else:
+        raise SparqlError("a literal cannot be a template predicate")
+
+    if isinstance(tp.o, Var):
+        b = var_bind(tp.o)
+        oval, okind = b.display_col(), b.kind_col()
+        odt, olang = b.datatype_col(), b.lang_col()
+        cond = cond & oval.isNotNull()
+    elif isinstance(tp.o, Iri):
+        oval, okind = F.lit(tp.o.value), F.lit("iri")
+        odt, olang = _TEMPLATE_NULL(), _TEMPLATE_NULL()
+    else:  # Lit — same RDF 1.1 canonical spelling as every binding
+        oval, okind = F.lit(tp.o.value), F.lit("literal")
+        dt = None if tp.o.datatype == _XSD_STRING else tp.o.datatype
+        odt = F.lit(dt).cast("string")
+        olang = (
+            F.lit(tp.o.lang.lower()) if tp.o.lang else _TEMPLATE_NULL()
+        )
+
+    return F.struct(
+        *(extra or []),
+        sval.cast("string").alias("subj"),
+        pval.cast("string").alias("pred"),
+        oval.cast("string").alias("obj_value"),
+        okind.cast("string").alias("obj_kind"),
+        odt.cast("string").alias("obj_datatype"),
+        olang.cast("string").alias("obj_lang"),
+        cond.alias("__keep"),
+    )
+
+
+_QUAD_COLS = [
+    "doc_id", "subj", "pred", "obj_value", "obj_kind", "obj_datatype",
+    "obj_lang",
+]
+# canonical quad form, the sources/rdf_parse.py TRIPLES_SCHEMA
+_QUAD_SCHEMA = (
+    "doc_id binary, subj string, pred string, obj_value string, "
+    "obj_kind string, obj_datatype string, obj_lang string"
+)
+
+
+def _quad_frame(
+    df: DataFrame, binds: dict[str, _Binding], blocks: tuple
+) -> DataFrame:
+    """Instantiate an update template's quad blocks per solution row —
+    `_construct_frame` plus the doc_id column (constant graph IRIs
+    resolve through `graph_doc_id_bytes`; a GRAPH ?var must be a graph
+    binding from the WHERE pattern and contributes its raw binary doc
+    id). One pass over the solution frame (array + explode): the WHERE
+    plan evaluates once per template side however many quads it has."""
+    structs: list[Column] = []
+    for qb in blocks:
+        if isinstance(qb.graph, Iri):
+            gval = F.lit(graph_doc_id_bytes(qb.graph.value))
+            gcond = F.lit(True)
+        else:
+            b = _lookup(qb.graph, binds)
+            if not b.is_graph:
+                raise SparqlError(
+                    "the GRAPH ?var of an update template must bind a "
+                    "graph in WHERE (use GRAPH ?var { ... } there)"
+                )
+            gval = F.col(b.val)
+            gcond = gval.isNotNull()
+        for tp in qb.triples:
+            structs.append(
+                _template_struct(
+                    tp, binds,
+                    extra=[gval.cast("binary").alias("doc_id")],
+                    pre_cond=gcond,
+                )
+            )
+    out = (
+        df.select(F.explode(F.array(*structs)).alias("__t"))
+        .select("__t.*")
+        .filter(F.col("__keep"))
+        .drop("__keep")
+    )
+    return out.dropDuplicates(_QUAD_COLS)
+
+
+def _const_quads(spark, blocks: tuple) -> DataFrame:
+    """Ground quad blocks (the DATA forms) -> a constant quad frame —
+    broadcast-sized by construction (literal query text)."""
+    rows: list[tuple] = []
+    for qb in blocks:
+        gid = graph_doc_id_bytes(qb.graph.value)
+        for tp in qb.triples:
+            if isinstance(tp.o, Iri):
+                oval, okind, odt, olang = tp.o.value, "iri", None, None
+            else:
+                oval, okind = tp.o.value, "literal"
+                odt = (
+                    None if tp.o.datatype in (None, _XSD_STRING)
+                    else tp.o.datatype
+                )
+                olang = tp.o.lang.lower() if tp.o.lang else None
+            rows.append((gid, tp.s.value, tp.p.value, oval, okind, odt,
+                         olang))
+    return spark.createDataFrame(
+        sorted(
+            set(rows),
+            key=lambda r: (r[0].hex(),) + tuple(c or "" for c in r[1:]),
+        ),
+        _QUAD_SCHEMA,
+    )
+
+
+def _canon_quads(df: DataFrame) -> DataFrame:
+    """Canonical quad form: RDF 1.1 xsd:string collapses to a NULL
+    datatype, lang tags lowercase — so quad equality (the delete match
+    and the insert novelty probe) is one null-safe column comparison."""
+    return df.select(
+        "doc_id", "subj", "pred", "obj_value", "obj_kind",
+        F.when(
+            F.col("obj_datatype") == _XSD_STRING, F.lit(None).cast("string")
+        ).otherwise(F.col("obj_datatype")).alias("obj_datatype"),
+        F.lower(F.col("obj_lang")).alias("obj_lang"),
+    )
+
+
+def _quad_match_cond(left: str, right: str) -> Column:
+    """Null-safe full-quad equality between two aliased canonical quad
+    frames. doc_id leads the key list so the hash keys Catalyst derives
+    are doc_id-prefixed — the corpus side reuses the pipeline's one
+    doc_id exchange (subset co-partitioning, plans/pipeline.py) instead
+    of reshuffling by the full quad."""
+    cond = F.lit(True)
+    for c in _QUAD_COLS:
+        cond = cond & F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
+    return cond
+
+
+def sparql_update(triples: DataFrame, query_text: str) -> DataFrame:
+    """Apply a SPARQL 1.1 Update request (supported subset) to a quad
+    frame and return the updated frame.
+
+    Reference analog: the reference's entire WRITE surface is SPARQL
+    Update — six of its fifteen bundled templates are INSERT DATA /
+    DELETE-INSERT-WHERE requests (`update-task-status.sparql`,
+    `append-task-*.sparql`, `write-ttl-file.sparql`, `insert-data.sparql`;
+    `SparqlQueryLoad.java` posts them to the store). With this entry
+    every reference template — reads AND writes — runs verbatim
+    (tests/test_sparql_reference_templates.py).
+
+    Supported: ``INSERT DATA`` / ``DELETE DATA`` (ground, constant-graph
+    quads; blank nodes out of the subset — fresh-bnode minting is
+    nondeterministic), ``DELETE {} INSERT {} WHERE {}`` with either
+    template optional, the ``DELETE WHERE`` shorthand, and ``;``-chained
+    operation sequences (each op sees its predecessor's result). Out:
+    WITH/USING dataset clauses and the graph-management forms
+    (LOAD/CLEAR/DROP/...) — graph lifecycle is the warehouse layer.
+
+    Semantics (Update §3.1.3): within one operation the WHERE pattern
+    evaluates once against the CURRENT store; the delete template's
+    instantiations are removed and the insert template's added, both
+    derived from that same pre-state evaluation. Instantiations with an
+    unbound variable are skipped, not errors (the `update-task-status`
+    template relies on this: its OPTIONAL dct:modified row deletes only
+    when one exists). Quads are always GRAPH-scoped; constant graph IRIs
+    resolve via `graph_doc_id_bytes` (urn:doc:HEX == that document, any
+    other IRI == the sha256-named external graph, symmetric with reads).
+
+    The returned frame has TRIPLES_SCHEMA in canonical form (xsd:string
+    datatype collapsed to NULL, lang lowercased). A graph store is a
+    SET: inserts add only quads not already present (novelty anti-join)
+    and deletes remove every copy of a matched quad; pre-existing
+    duplicate rows of untouched quads pass through unchanged (dedup them
+    with kg/graph.py if the corpus needs it — an update should not pay a
+    corpus-wide dropDuplicates the query didn't ask for).
+
+    Scale shape: DATA quads are constant broadcast frames; modify
+    templates instantiate from ONE evaluation of WHERE per side; both
+    the delete anti-join and the insert novelty probe key on the full
+    quad with doc_id leading, so the corpus side rides its existing
+    doc_id partitioning (subset co-partitioning) and only the
+    solution-sized side shuffles. Never a Cartesian product."""
+    ops = _Parser(query_text).parse_update()
+    spark = triples.sparkSession
+    g = _canon_quads(triples)
+    for op in ops:
+        if op.kind == "insert_data":
+            dels, ins = None, _const_quads(spark, op.insert)
+        elif op.kind == "delete_data":
+            dels, ins = _const_quads(spark, op.delete), None
+        else:
+            comp = _Compiler(g)
+            df, binds = comp.compile_pattern(op.pattern, graph=None)
+            if df is None:
+                raise SparqlError("empty update WHERE pattern")
+            dels = _quad_frame(df, binds, op.delete) if op.delete else None
+            ins = _quad_frame(df, binds, op.insert) if op.insert else None
+        if dels is not None:
+            g = (
+                g.alias("__g")
+                .join(
+                    _canon_quads(dels).alias("__d"),
+                    _quad_match_cond("__g", "__d"),
+                    "left_anti",
+                )
+            )
+        if ins is not None:
+            novel = (
+                _canon_quads(ins).alias("__i")
+                .join(
+                    g.alias("__g"),
+                    _quad_match_cond("__i", "__g"),
+                    "left_anti",
+                )
+            )
+            g = g.unionByName(novel)
+    return g
 
 
 def _describe_frame(comp: "_Compiler", q: Query) -> DataFrame:

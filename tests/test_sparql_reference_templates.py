@@ -8,8 +8,10 @@ checkout (never copied into the repo — the reference text is the
 correctness contract here, like the golden Turtle migration) and
 rendered exactly the way the reference renders them: `%s` positional
 substitution for the String.format-style templates, `${name}` Freemarker
-parameters via `bind_template` for the rest. As of r5 every read
-template runs — including the two nested sub-SELECT pagers, verbatim.
+parameters via `bind_template` for the rest. As of r5 ALL FIFTEEN
+bundled templates run — the nine reads (including the two nested
+sub-SELECT pagers) through `sparql_select`, and the six writes
+(INSERT DATA / DELETE-INSERT-WHERE) through `sparql_update`, verbatim.
 
 The graph-name convention differs by design: the reference passes
 Virtuoso graph URIs; this engine's named graphs are documents
@@ -26,6 +28,7 @@ import pytest
 from harvesting_validator_spark.sparql import (
     bind_template,
     sparql_select,
+    sparql_update,
 )
 
 TPL_DIR = "/root/reference/src/main/resources/sparql"
@@ -190,3 +193,184 @@ def test_paged_fetch_templates_run_verbatim(task_triples):
         pages.extend(rows)
     assert len(pages) == n == len(set(pages))
     assert pages == sorted(pages)
+
+
+# --- the six WRITE templates (SPARQL Update) --------------------------------
+#
+# Rendered exactly as the reference renders them (TaskHelper /
+# SparqlQueryLoad String.format or Freemarker), applied with
+# sparql_update. Graph parameters take arbitrary IRIs: the engine names
+# external graphs sha256(iri) (sparql.py graph_doc_id_bytes), symmetric
+# between writes and GRAPH <iri> reads — asserted below by reading every
+# write back through the graph it targeted.
+
+TASK_GRAPH = "http://mu.semte.ch/graphs/harvesting-tasks"
+OSLC = "http://open-services.net/ns/core#"
+NFO = "http://www.semanticdesktop.org/ontologies/2007/03/22/nfo#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def graph_quads(df, graph_iri):
+    import hashlib
+
+    gid = hashlib.sha256(graph_iri.encode()).digest()
+    return sorted(
+        (r.subj, r.pred, r.obj_value, r.obj_kind, r.obj_datatype)
+        for r in df.collect()
+        if r.doc_id == gid
+    )
+
+
+def test_update_task_status_template(task_triples):
+    t, n = task_triples
+    busy = "http://redpencil.data.gift/id/concept/JobStatus/busy"
+    now = "2021-03-19T17:00:00"
+    out = sparql_update(
+        t, tpl("update-task-status.sparql") % (busy, now, T1)
+    )
+    got = {
+        (r.pred, r.obj_value, r.obj_datatype)
+        for r in out.collect()
+        if r.subj == T1
+        and r.pred in (ADMS + "status", DCT + "modified")
+    }
+    # old status and old modified replaced by exactly the new pair
+    assert got == {
+        (ADMS + "status", busy, None),
+        (DCT + "modified", now, XSD + "dateTime"),
+    }
+    assert out.count() == n  # 2 deleted, 2 inserted
+
+
+def test_update_task_status_without_prior_modified(task_triples, spark):
+    # a task with no dct:modified: the OPTIONAL delete instantiation is
+    # skipped (Update §3.1.3) and the insert still lands both rows
+    t, _ = task_triples
+    bare = t.filter(t.pred != DCT + "modified")
+    busy = "http://redpencil.data.gift/id/concept/JobStatus/busy"
+    out = sparql_update(
+        bare, tpl("update-task-status.sparql") % (busy, "2021-03-19T17:00:00", T1)
+    )
+    assert out.count() == bare.count() + 1  # 1 deleted, 2 inserted
+
+
+def test_append_task_error_template(task_triples):
+    t, _ = task_triples
+    text = bind_template(
+        tpl("append-task-error.sparql"),
+        {
+            "task.graph": TASK_GRAPH,
+            "uri": "http://t/errors/e1",
+            "id": "id-err-1",
+            "message": "could not filter",
+            "task.task": T1,
+        },
+    )
+    out = sparql_update(t, text)
+    assert graph_quads(out, TASK_GRAPH) == [
+        ("http://t/errors/e1", MU + "uuid", "id-err-1", "literal", None),
+        ("http://t/errors/e1", OSLC + "message", "could not filter",
+         "literal", None),
+        ("http://t/errors/e1", RDF_TYPE, OSLC + "Error", "iri", None),
+        (T1, TASK + "error", "http://t/errors/e1", "iri", None),
+    ]
+
+
+def test_append_task_result_file_template(task_triples):
+    t, _ = task_triples
+    text = bind_template(
+        tpl("append-task-result-file.sparql"),
+        {
+            "task.graph": TASK_GRAPH,
+            "containerUri": "http://t/containers/r1",
+            "containerId": "id-cont-r1",
+            "fileUri": "http://t/files/out1",
+            "task.task": T1,
+        },
+    )
+    out = sparql_update(t, text)
+    got = graph_quads(out, TASK_GRAPH)
+    assert (T1, TASK + "resultsContainer", "http://t/containers/r1",
+            "iri", None) in got
+    assert ("http://t/containers/r1", TASK + "hasFile",
+            "http://t/files/out1", "iri", None) in got
+    assert len(got) == 4
+
+
+@pytest.mark.parametrize("with_validation", [True, False])
+def test_append_task_result_graph_template(task_triples, with_validation):
+    t, _ = task_triples
+    params = {
+        "task.graph": TASK_GRAPH,
+        "dataContainer.uri": "http://t/containers/g1",
+        "dataContainer.id": "id-cont-g1",
+        "dataContainer.graphUri": "http://t/graphs/result1",
+        "task.task": T1,
+    }
+    if with_validation:
+        params["dataContainer.validationGraphUri"] = "http://t/graphs/val1"
+    out = sparql_update(
+        t, bind_template(tpl("append-task-result-graph.sparql"), params)
+    )
+    got = graph_quads(out, TASK_GRAPH)
+    has_val = [q for q in got if q[1] == TASK + "hasValidationGraph"]
+    # the <#if dataContainer.validationGraphUri?has_content> branch
+    if with_validation:
+        assert has_val == [("http://t/containers/g1",
+                            TASK + "hasValidationGraph",
+                            "http://t/graphs/val1", "iri", None)]
+        assert len(got) == 5
+    else:
+        assert not has_val
+        assert len(got) == 4
+
+
+def test_write_ttl_file_template(task_triples):
+    t, _ = task_triples
+    graph = "http://mu.semte.ch/graphs/public"
+    text = bind_template(
+        tpl("write-ttl-file.sparql"),
+        {
+            "graph": graph,
+            "physicalFile": "share://out/f1.ttl",
+            "logicalFile": "http://t/files/out1",
+            "phyId": "id-phy-1",
+            "phyFilename": "f1.ttl",
+            "now": "2021-03-19T17:00:00",
+            "contentType": "text/turtle",
+            "fileSize": 12345,
+            "fileExtension": "ttl",
+            "loId": "id-lo-1",
+            "derivedFrom": REMOTE,
+            "logicalFileName": "filtered-triples.ttl",
+        },
+    )
+    out = sparql_update(t, text)
+    got = graph_quads(out, graph)
+    assert len(got) == 20  # 10 per file node
+    by_subj = {}
+    for q in got:
+        by_subj.setdefault(q[0], []).append(q)
+    assert set(by_subj) == {"share://out/f1.ttl", "http://t/files/out1"}
+    # ?string.computer renders the size; the typed literals carry their
+    # datatypes
+    assert ("share://out/f1.ttl", NFO + "fileSize", "12345", "literal",
+            XSD + "integer") in got
+    assert ("http://t/files/out1", DCT + "created", "2021-03-19T17:00:00",
+            "literal", XSD + "dateTime") in got
+    assert ("http://t/files/out1", PROV + "wasDerivedFrom", REMOTE,
+            "iri", None) in got
+
+
+def test_insert_data_template(task_triples):
+    t, _ = task_triples
+    graph = "http://t/graphs/result1"
+    body = (
+        f'<{FILE1}> <{DCT}title> "filtered output" .\n'
+        f'          <{FILE1}> a <{NFO}FileDataObject> .'
+    )
+    out = sparql_update(t, tpl("insert-data.sparql") % (graph, body))
+    assert graph_quads(out, graph) == [
+        (FILE1, DCT + "title", "filtered output", "literal", None),
+        (FILE1, RDF_TYPE, NFO + "FileDataObject", "iri", None),
+    ]
