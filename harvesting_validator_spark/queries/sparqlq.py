@@ -409,6 +409,73 @@ FROM m9
 )
 
 
+# --- SPARQL Update (r5 wave 6) ------------------------------------------------
+# the reference's write surface (update-task-status / append-task-* /
+# write-ttl-file / insert-data, SparqlQueryLoad.java) as a driver-checked
+# number: a DELETE/INSERT WHERE redaction pass over the corpus (mode-7
+# docs carry the corrupted trailing-X ssn) chained with an INSERT DATA
+# audit stamp into an external sha256-named graph, then a per-predicate
+# rollup of the UPDATED quad frame. The hash match certifies the whole
+# update path — parser, pre-state WHERE snapshot, full-quad delete
+# anti-join, novelty insert, graph minting — in one go.
+_U_REDACT = """
+PREFIX ex: <http://example.com/ns#>
+DELETE { GRAPH ?g { ?p ex:ssn ?ssn } }
+INSERT { GRAPH ?g { ?p ex:redacted "yes" } }
+WHERE  { GRAPH ?g { ?p ex:ssn ?ssn . FILTER regex(?ssn, "X$") } }
+;
+INSERT DATA {
+  GRAPH <http://example.com/graphs/audit> {
+    <http://example.com/ns#AuditLog> a ex:Audit ;
+      ex:policy "ssn-x-redaction"
+  }
+}
+"""
+
+
+def q_sparql_update_redaction(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from harvesting_validator_spark.sparql import sparql_update
+
+    out = sparql_update(_triples(spark, sf_dir), _U_REDACT)
+    return out.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_quads"),
+        F.countDistinct("doc_id").alias("n_graphs"),
+    )
+
+
+# closed form over the mode counts: every doc has a type row and (unless
+# redacted: mode 7) its ssn row(s); mode-8 docs add a second ssn; mode-9
+# docs add hobby + worksFor; redaction swaps c7 ssn rows for c7
+# ex:redacted rows; the audit stamp adds one type row (its own graph)
+# and the policy row
+O_UPDATE_REDACTION = (
+    _ORACLE_BASE
+    + """
+, m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN mode = 7 THEN 1 ELSE 0 END) AS BIGINT) AS c7,
+         CAST(sum(CASE WHEN mode = 8 THEN 1 ELSE 0 END) AS BIGINT) AS c8,
+         CAST(sum(CASE WHEN mode = 9 THEN 1 ELSE 0 END) AS BIGINT) AS c9
+  FROM idx
+)
+SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       n + 1 AS n_quads, n + 1 AS n_graphs FROM m
+UNION ALL
+SELECT 'http://example.com/ns#ssn', n - c7 + c8, n - c7 FROM m
+UNION ALL
+SELECT 'http://example.com/ns#redacted', c7, c7 FROM m
+UNION ALL
+SELECT 'http://example.com/ns#hobby', c9, c9 FROM m
+UNION ALL
+SELECT 'http://example.com/ns#worksFor', c9, c9 FROM m
+UNION ALL
+SELECT 'http://example.com/ns#policy', 1, 1 FROM m
+"""
+)
+
+
 QUERIES = {
     "sparql_person_roster": q_sparql_person_roster,
     "sparql_graph_sizes": q_sparql_graph_sizes,
@@ -421,6 +488,7 @@ QUERIES = {
     "sparql_predicate_digest": q_sparql_predicate_digest,
     "sparql_multi_ssn_audit": q_sparql_multi_ssn_audit,
     "sparql_describe_employed": q_sparql_describe_employed,
+    "sparql_update_redaction": q_sparql_update_redaction,
 }
 
 ORACLES = {
@@ -435,4 +503,5 @@ ORACLES = {
     "sparql_predicate_digest": O_PREDICATE_DIGEST,
     "sparql_multi_ssn_audit": O_MULTI_SSN,
     "sparql_describe_employed": O_DESCRIBE_EMPLOYED,
+    "sparql_update_redaction": O_UPDATE_REDACTION,
 }

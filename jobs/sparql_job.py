@@ -24,6 +24,13 @@ gate -> entity linking -> union-find -> deduplicated canonical graph)
 and queries THAT — harvest, validate, construct, and query in one
 spark-submit. ${name} template parameters bind with repeatable --param
 flags (the reference's Freemarker .sparql files run unchanged).
+
+--update treats the query as a SPARQL 1.1 UPDATE request (the
+reference's write surface: update-task-status / append-task-* /
+write-ttl-file / insert-data run unchanged) and applies it to the
+parsed quad frame via `sparql_update`; the UPDATED store writes to
+--output (required — an update's deliverable is the new store, not a
+row print), doc ids re-hexed at this driver edge like every other sink.
 """
 
 from __future__ import annotations
@@ -65,9 +72,22 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["minhash", "key"],
                     help="with --canonical: candidate blocking strategy "
                          "(default minhash)")
+    ap.add_argument("--update", action="store_true",
+                    help="treat the query as a SPARQL 1.1 UPDATE request "
+                         "and write the UPDATED quad store to --output "
+                         "(INSERT DATA / DELETE DATA / DELETE-INSERT-"
+                         "WHERE / ;-sequences — the reference's write "
+                         "templates run unchanged)")
     args = ap.parse_args(argv)
     if not args.canonical and (args.shapes or args.blocking):
         ap.error("--shapes/--blocking only apply with --canonical")
+    if args.update and args.canonical:
+        ap.error("--update applies to the provenance-carrying quad "
+                 "store; the canonical graph has no named graphs "
+                 "(use the raw triples without --canonical)")
+    if args.update and not args.output:
+        ap.error("--update needs --output: the deliverable is the "
+                 "updated store")
 
     from pyspark.sql import SparkSession
 
@@ -148,6 +168,19 @@ def main(argv: list[str] | None = None) -> int:
     parsed = parsed.persist()
     try:
         parsed.count()  # full-width materialization (CLAUDE.md invariant)
+        if args.update:
+            from harvesting_validator_spark.plans.pipeline import hex_doc_id
+            from harvesting_validator_spark.sparql import sparql_update
+
+            updated = hex_doc_id(sparql_update(triples, query_text))
+            n = _emit(spark, updated, args)
+            print(json.dumps({
+                "mode": "sparql-update",
+                "quads": n,
+                "parse_errors": errors.count(),
+                "output": args.output,
+            }))
+            return 0
         result = sparql_select(triples, query_text)
         n = _emit(spark, result, args)
         print(json.dumps({

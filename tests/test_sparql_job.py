@@ -96,3 +96,54 @@ def test_sparql_job_flag_validation(capsys):
             "--shapes", "/tmp/nope.ttl",
         ])
     capsys.readouterr()
+
+
+def test_sparql_job_update_mode(spark, tmp_path, capsys):
+    # the redaction shape: delete the mode-7 corrupted ssns, stamp each
+    # touched person, mint an external audit graph — then the UPDATED
+    # store (not a solution print) is the job's parquet deliverable
+    out = str(tmp_path / "updated")
+    summary, _ = _run(
+        capsys,
+        "--sources", "synthetic:40",
+        "--query",
+        "PREFIX ex: <http://example.com/ns#> "
+        'DELETE { GRAPH ?g { ?p ex:ssn ?ssn } } '
+        'INSERT { GRAPH ?g { ?p ex:redacted "yes" } } '
+        'WHERE { GRAPH ?g { ?p ex:ssn ?ssn . FILTER regex(?ssn, "X$") } } ; '
+        "INSERT DATA { GRAPH <http://g/audit> "
+        '{ <http://g/log> ex:policy "redact" } }',
+        "--update",
+        "--output", out,
+    )
+    # 40 docs: 2/3/4 triples for base/mode-8/mode-9 = 80+4+8 = 92 quads;
+    # redaction is count-neutral (4 deletes, 4 inserts); audit adds 1
+    assert summary["mode"] == "sparql-update"
+    assert summary["quads"] == 92 + 1
+    df = spark.read.parquet(out)
+    # doc ids re-hexed at the job edge, like every other sink
+    assert df.schema["doc_id"].dataType.simpleString() == "string"
+    assert df.filter(df.obj_value == "yes").count() == 4
+    assert not [r for r in df.collect() if r.obj_value.endswith("X")]
+
+
+def test_sparql_job_update_flag_validation(capsys):
+    import pytest as _pytest
+
+    # --update without --output: the updated store has nowhere to go
+    with _pytest.raises(SystemExit):
+        sparql_main([
+            "--sources", "synthetic:10",
+            "--query", 'INSERT DATA { GRAPH <http://g> { <s:a> <p:b> "v" } }',
+            "--update",
+        ])
+    capsys.readouterr()
+    # --update + --canonical: the canonical graph has no named graphs
+    with _pytest.raises(SystemExit):
+        sparql_main([
+            "--sources", "synthetic:10",
+            "--query", 'INSERT DATA { GRAPH <http://g> { <s:a> <p:b> "v" } }',
+            "--update", "--canonical",
+            "--output", "/tmp/nope",
+        ])
+    capsys.readouterr()
