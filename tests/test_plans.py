@@ -476,3 +476,23 @@ def test_sparql_values_broadcasts_constant_table(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan
     assert df.count() == 50  # all persons: unbound ?co is compatible
+
+
+def test_sparql_update_joins_stay_hash_based(spark, sf_dir):
+    """The update path's scale shape (sparql.py::sparql_update): the
+    full-quad delete anti-join and insert novelty probe are HASH joins
+    on the null-safe quad keys with doc_id leading — solution-sized
+    sides broadcast (corpus side untouched: zero extra exchange) or, past
+    the threshold, shuffle doc_id-first into the corpus partitioning.
+    Never a nested loop: a BNLJ here would be |corpus| x |delta|."""
+    from harvesting_validator_spark.queries import sparqlq
+
+    plan = _plan(sparqlq.q_sparql_update_redaction(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti, "update plan lost its anti-joins"
+    for line in anti:
+        assert "HashJoin" in line, f"non-hash anti-join: {line}"
+        # doc_id is the leading join key (subset co-partitioning)
+        assert line.find("doc_id") < line.find("subj")
