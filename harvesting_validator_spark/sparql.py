@@ -48,6 +48,16 @@ plus the core of SPARQL 1.1 SELECT):
   ``UCASE/LCASE/SUBSTR/CONCAT/REPLACE/STRBEFORE/STRAFTER`` (also usable
   in BIND; outputs are plain literals); comparisons against a numeric
   literal compare numerically (DECIMAL cast), everything else lexically
+* (r5 wave 7) ``ABS/ROUND/CEIL/FLOOR`` (DECIMAL evaluation; ROUND is
+  XPath half-toward-positive-infinity; ABS strips the sign lexically so
+  exact spellings survive), ``isNumeric`` (numeric datatype + valid
+  lexical form), ``sameTerm`` (null-safe value+kind+datatype+lang
+  identity), the hash builtins ``MD5/SHA1/SHA256/SHA384/SHA512`` (hex
+  simple literals, JVM-side), and the dateTime accessors
+  ``YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS/TZ`` — extracted from the
+  xsd:dateTime LEXICAL form by regexp (no session-timezone dependence;
+  malformed values go unbound, never wrong). ``NOW/RAND/UUID/STRUUID``
+  raise: nondeterministic, against the engine's deterministic-id rule
 * ``OPTIONAL { ... }`` (left outer join on the shared vars)
 * ``{ ... } UNION { ... }``
 * ``FILTER [NOT] EXISTS { ... }`` — a left_semi (resp. left_anti) join
@@ -1280,6 +1290,13 @@ class _Parser:
         "strbefore", "strafter",
         # conditional / language builtins (r5 wave 4)
         "if", "coalesce", "langmatches",
+        # numeric / term / hash / dateTime builtins (r5 wave 7)
+        "abs", "round", "ceil", "floor", "isnumeric", "sameterm",
+        "md5", "sha1", "sha256", "sha384", "sha512",
+        "year", "month", "day", "hours", "minutes", "seconds", "tz",
+        # named so the degrade message can say WHY they're out
+        "now", "rand", "uuid", "struuid", "strdt", "strlang",
+        "timezone",
     }
 
     def _call(self):
@@ -2713,6 +2730,106 @@ def _call_col(call: Call, binds: dict[str, _Binding]) -> Column:
         return bind0().kind_col() == "bnode"
     if name == "isliteral":
         return bind0().kind_col() == "literal"
+
+    # -- numeric builtins (r5 wave 7): evaluate in DECIMAL(38,12) like
+    # every other numeric comparison; ABS stays LEXICAL (strip the sign)
+    # so "2.50"^^xsd:decimal keeps its exact spelling, and
+    # ROUND/CEIL/FLOOR return scale-0 decimals so the string form is the
+    # canonical integer spelling ("3", never "3.000000000000")
+    if name == "abs":
+        return F.regexp_replace(val(0), r"^[+-]", "")
+    if name in ("round", "ceil", "floor"):
+        num = _value_col(args[0], binds, numeric=True)
+        if name == "ceil":
+            return F.ceil(num)
+        if name == "floor":
+            return F.floor(num)
+        # XPath fn:round: half rounds toward POSITIVE INFINITY —
+        # round(2.5)=3 AND round(-2.5)=-2 (banker's/half-up both differ)
+        return F.floor(num + F.lit(0.5).cast("decimal(2,1)"))
+    if name == "isnumeric":
+        # a literal with a numeric datatype AND a valid lexical form
+        b = bind0()
+        # coalesce: a NULL datatype (plain literal) must read as FALSE,
+        # not as an unbound error — isNumeric is a total test
+        return F.coalesce(
+            (b.kind_col() == "literal")
+            & b.datatype_col().isin(*sorted(_NUMERIC_DTS))
+            & b.display_col().rlike(r"^[+-]?(\d+(\.\d*)?|\.\d+)$"),
+            F.lit(False),
+        )
+    if name == "sameterm":
+        # exact term identity: value + kind + datatype + lang, null-safe
+        # (the scans already normalize xsd:string -> NULL datatype and
+        # lowercase lang tags, so RDF 1.1 same-term spellings agree)
+        if len(args) != 2:
+            raise SparqlError("sameTerm(a, b)")
+
+        def term_cols(a):
+            if isinstance(a, Var):
+                b = _lookup(a, binds)
+                return (b.display_col(), b.kind_col(), b.datatype_col(),
+                        b.lang_col())
+            if isinstance(a, Iri):
+                return (F.lit(a.value), F.lit("iri"), _TEMPLATE_NULL(),
+                        _TEMPLATE_NULL())
+            if isinstance(a, Lit):
+                dt = (None if a.datatype in (None, _XSD_STRING)
+                      else a.datatype)
+                return (F.lit(a.value), F.lit("literal"),
+                        F.lit(dt).cast("string"),
+                        F.lit(a.lang.lower() if a.lang else None)
+                        .cast("string"))
+            raise SparqlUnsupported(
+                "sameTerm arguments must be variables or constant terms"
+            )
+
+        cond = F.lit(True)
+        for lc, rc in zip(term_cols(args[0]), term_cols(args[1])):
+            cond = cond & lc.eqNullSafe(rc)
+        return cond
+
+    # -- hash builtins: hex digests as simple literals (SPARQL 17.4.4.x);
+    # deterministic, same family as the engine's sha2-everywhere id rule
+    if name == "md5":
+        return F.md5(val(0))
+    if name == "sha1":
+        return F.sha1(val(0))
+    if name in ("sha256", "sha384", "sha512"):
+        return F.sha2(val(0), int(name[3:]))
+
+    # -- dateTime accessors: extract from the xsd:dateTime LEXICAL form
+    # (regexp on the canonical 'YYYY-MM-DDTHH:MM:SS[.fff][Z|+HH:MM]'),
+    # never via to_timestamp — no session-timezone dependence, and a
+    # malformed value yields NULL (unbound), not a wrong number
+    if name in ("year", "month", "day", "hours", "minutes", "seconds",
+                "tz"):
+        pats = {
+            "year": r"^(-?\d{4,})-",
+            "month": r"^-?\d{4,}-(\d{2})-",
+            "day": r"^-?\d{4,}-\d{2}-(\d{2})T",
+            "hours": r"T(\d{2}):",
+            "minutes": r"T\d{2}:(\d{2}):",
+            "seconds": r"T\d{2}:\d{2}:(\d{2}(?:\.\d+)?)",
+            "tz": r"(Z|[+-]\d{2}:\d{2})$",
+        }
+        got = F.regexp_extract(val(0), pats[name], 1)
+        if name == "tz":
+            # TZ: the timezone as a simple literal, "" when absent
+            return got
+        # strip the zero-padding so the string form is the canonical
+        # integer/decimal spelling ("5", "5.5" — never "05")
+        return F.when(got != "", F.regexp_replace(got, r"^0(\d)", r"$1"))
+    if name in ("now", "rand", "uuid", "struuid"):
+        raise SparqlUnsupported(
+            f"{name.upper()} is nondeterministic — out of the subset by "
+            "the engine's deterministic-id rule (COVERAGE.md C4/C5: "
+            "timestamps live in the lineage table, ids are sha2)"
+        )
+    if name in ("strdt", "strlang", "timezone"):
+        raise SparqlUnsupported(
+            f"{name.upper()} is out of the supported subset"
+        )
     raise SparqlUnsupported(f"builtin {name!r}")  # pragma: no cover
 
 

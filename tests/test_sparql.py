@@ -1153,3 +1153,123 @@ def test_subselect_must_be_whole_group(num_triples):
         parse_sparql(
             "SELECT ?s WHERE { { ?s ?p ?o . SELECT ?s WHERE { ?s ?p ?o } } }"
         )
+
+
+# --- numeric / term / hash / dateTime builtins (r5 wave 7) -------------------
+
+
+@pytest.fixture(scope="module")
+def dt_triples(spark):
+    rows = [
+        (b"\x01", "http://ex/a", "http://ex/when", "2021-03-19T16:02:05",
+         "literal", XSD + "dateTime", None),
+        (b"\x01", "http://ex/a", "http://ex/amt", "-2.5", "literal",
+         XSD + "decimal", None),
+        (b"\x02", "http://ex/b", "http://ex/when",
+         "2020-12-01T09:30:59.5+02:00", "literal", XSD + "dateTime", None),
+        (b"\x02", "http://ex/b", "http://ex/amt", "2.5", "literal",
+         XSD + "decimal", None),
+        (b"\x03", "http://ex/c", "http://ex/when", "1999-01-02T00:00:00Z",
+         "literal", XSD + "dateTime", None),
+        (b"\x03", "http://ex/c", "http://ex/amt", "plain", "literal",
+         None, None),
+    ]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def test_numeric_builtins(dt_triples):
+    got = rows(sparql_select(dt_triples, """
+        SELECT ?s ?a ?r ?c ?f WHERE {
+          ?s <http://ex/amt> ?v . FILTER isNumeric(?v)
+          BIND(ABS(?v) AS ?a) BIND(ROUND(?v) AS ?r)
+          BIND(CEIL(?v) AS ?c) BIND(FLOOR(?v) AS ?f)
+        } ORDER BY ?s
+    """))
+    # XPath fn:round: half goes toward POSITIVE infinity on both signs
+    assert got == [
+        ("http://ex/a", "2.5", "-2", "-2", "-3"),
+        ("http://ex/b", "2.5", "3", "3", "2"),
+    ]
+
+
+def test_isnumeric_is_total(dt_triples):
+    # plain literals and dateTimes read FALSE (not unbound/error)
+    got = rows(sparql_select(dt_triples, """
+        SELECT ?s ?n WHERE {
+          ?s <http://ex/amt> ?v . BIND(isNumeric(?v) AS ?n)
+        } ORDER BY ?s
+    """))
+    assert got == [
+        ("http://ex/a", "true"), ("http://ex/b", "true"),
+        ("http://ex/c", "false"),
+    ]
+
+
+def test_sameterm_distinguishes_spellings(triples):
+    # Alice's plain ssn and Bob's xsd:string ssn are the SAME term
+    # (RDF 1.1 — the scans normalize the spelling); the lang-tagged
+    # label is NOT the same term as its plain spelling
+    got = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        SELECT ?x WHERE {
+          ?x ex:ssn ?a . FILTER sameTerm(?a, "123-45-6789")
+        } ORDER BY ?x
+    """))
+    assert got == [("http://ex/Alice",), ("http://ex/Bob",)]
+    got2 = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        SELECT ?x WHERE {
+          ?x ex:label ?l . FILTER sameTerm(?l, "alice")
+        }
+    """))
+    assert got2 == []  # "alice"@en != plain "alice"
+    got3 = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        SELECT ?x WHERE {
+          ?x ex:label ?l . FILTER sameTerm(?l, "alice"@en)
+        }
+    """))
+    assert got3 == [("http://ex/Alice",)]
+
+
+def test_hash_builtins(triples):
+    import hashlib
+
+    got = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        SELECT ?m ?s1 ?s2 WHERE {
+          ?x ex:ssn ?v . FILTER (?x = ex:Alice)
+          BIND(MD5(?v) AS ?m) BIND(SHA1(?v) AS ?s1)
+          BIND(SHA256(?v) AS ?s2)
+        }
+    """))
+    v = b"123-45-6789"
+    assert got == [(
+        hashlib.md5(v).hexdigest(), hashlib.sha1(v).hexdigest(),
+        hashlib.sha256(v).hexdigest(),
+    )]
+
+
+def test_datetime_accessors(dt_triples):
+    got = rows(sparql_select(dt_triples, """
+        SELECT ?s ?y ?mo ?d ?h ?mi ?sec ?tz WHERE {
+          ?s <http://ex/when> ?w .
+          BIND(YEAR(?w) AS ?y) BIND(MONTH(?w) AS ?mo)
+          BIND(DAY(?w) AS ?d) BIND(HOURS(?w) AS ?h)
+          BIND(MINUTES(?w) AS ?mi) BIND(SECONDS(?w) AS ?sec)
+          BIND(TZ(?w) AS ?tz)
+        } ORDER BY ?s
+    """))
+    assert got == [
+        ("http://ex/a", "2021", "3", "19", "16", "2", "5", ""),
+        ("http://ex/b", "2020", "12", "1", "9", "30", "59.5", "+02:00"),
+        ("http://ex/c", "1999", "1", "2", "0", "0", "0", "Z"),
+    ]
+
+
+@pytest.mark.parametrize("fn", ["NOW()", "RAND()", "UUID()", "STRUUID()"])
+def test_nondeterministic_builtins_raise(triples, fn):
+    with pytest.raises(SparqlUnsupported, match="deterministic"):
+        sparql_select(
+            triples, f"SELECT ?x WHERE {{ ?s ?p ?o BIND({fn} AS ?x) }}"
+        )
