@@ -476,6 +476,49 @@ SELECT 'http://example.com/ns#policy', 1, 1 FROM m
 )
 
 
+
+# --- hash builtin end-to-end (r5 wave 7) ---------------------------------------
+# BIND(SHA256(...)) through the full stack with a DuckDB sha256 mirror:
+# certifies the hash builtins produce byte-identical hex on both engines
+# (the same digest family as the engine's deterministic-id rule)
+_Q_HASHED_ROSTER = """
+PREFIX ex: <http://example.com/ns#>
+SELECT ?person ?h WHERE {
+  GRAPH ?g {
+    ?person a ex:Person ; ex:ssn ?ssn .
+    FILTER (!isNumeric(?ssn) && STRLEN(?ssn) >= 11)
+    BIND(SHA256(?ssn) AS ?h)
+  }
+}
+"""
+
+
+def q_sparql_hashed_roster(spark, sf_dir):
+    return sparql_select(_triples(spark, sf_dir), _Q_HASHED_ROSTER)
+
+
+# ssns are never numeric-typed (plain literals) and all spellings are
+# >= 11 chars, so the filter keeps every ssn row: one per doc plus the
+# mode-8 second ssn, hashed with the corpus spelling (mode-7 keeps its
+# trailing X)
+O_HASHED_ROSTER = (
+    _ORACLE_BASE
+    + """
+, base AS (
+  SELECT i, mode,
+         printf('%03d-%02d-%04d', i % 1000, (i*7) % 100, (i*13) % 10000) AS ssn_ok,
+         printf('%03d-%02d-%04d', (i+1) % 1000, (i*11) % 100, (i*17) % 10000) AS ssn2
+  FROM idx
+)
+SELECT 'http://example.com/ns#P' || i AS person,
+       sha256(CASE WHEN mode = 7 THEN ssn_ok || 'X' ELSE ssn_ok END) AS h
+FROM base
+UNION ALL
+SELECT 'http://example.com/ns#P' || i, sha256(ssn2) FROM base WHERE mode = 8
+"""
+)
+
+
 QUERIES = {
     "sparql_person_roster": q_sparql_person_roster,
     "sparql_graph_sizes": q_sparql_graph_sizes,
@@ -489,6 +532,7 @@ QUERIES = {
     "sparql_multi_ssn_audit": q_sparql_multi_ssn_audit,
     "sparql_describe_employed": q_sparql_describe_employed,
     "sparql_update_redaction": q_sparql_update_redaction,
+    "sparql_hashed_roster": q_sparql_hashed_roster,
 }
 
 ORACLES = {
@@ -504,4 +548,5 @@ ORACLES = {
     "sparql_multi_ssn_audit": O_MULTI_SSN,
     "sparql_describe_employed": O_DESCRIBE_EMPLOYED,
     "sparql_update_redaction": O_UPDATE_REDACTION,
+    "sparql_hashed_roster": O_HASHED_ROSTER,
 }
