@@ -89,7 +89,11 @@ plus the core of SPARQL 1.1 SELECT):
   (r5 wave 5) closure modifiers also apply to COMPOSITE sub-paths —
   ``(p/q)+``, ``(^p|q)*`` — by compiling the one-hop step through the
   regular machinery into the fixpoint's edge frame; nested closures
-  (``(p*)+``) stay out
+  (``(p*)+``) stay out. (r5 wave 7) negated property sets — ``!p``,
+  ``!a``, ``!(p1|^p2|...)``, ``!()`` — desugar per 18.2.2.4 into a
+  fresh-var hop filtered by ``NOT IN`` per direction (mixed sets UNION
+  the two directions); they compose with sequences, inverses, and the
+  closure fixpoint like any other step
 * ``CONSTRUCT { template } WHERE { ... }`` — rule-based triple
   derivation: each solution instantiates the template, invalid
   instantiations are skipped per spec, and the deduplicated result uses
@@ -297,6 +301,8 @@ def _path_contains_closure(p: object) -> bool:
         kind, payload = p
         if kind == "inv":
             return _path_contains_closure(payload)
+        if kind == "nps":  # payload is ((iri...), (iri...)) — no nesting
+            return False
         return any(_path_contains_closure(x) for x in payload)
     return False
 
@@ -1052,7 +1058,13 @@ class _Parser:
 
     def _path_elt(self):
         inverse = self.accept_op("^")
-        if self.accept_op("("):
+        if self.accept_op("!"):
+            # negated property set (r5 wave 7): !iri / !a / !^iri /
+            # !(iri|^iri|...) / !() — desugared per SPARQL 18.2.2.4 in
+            # _expand_path; '^!(...)' composes through the generic
+            # endpoint swap like every other inverse
+            inner = ("nps", self._negated_property_set())
+        elif self.accept_op("("):
             inner = self._path()
             self.expect_op(")")
         elif self.accept_kw("a"):
@@ -1100,6 +1112,36 @@ class _Parser:
         self._path_n = getattr(self, "_path_n", 0) + 1
         return Var(f"__path_{self._path_n}")
 
+    def _negated_property_set(self) -> tuple:
+        """PathNegatedPropertySet := PathOneInPropertySet |
+        '(' (PathOneInPropertySet ('|' ...)*)? ')';
+        PathOneInPropertySet := iri | 'a' | '^' (iri | 'a').
+        Returns (forward_iris, inverse_iris)."""
+        fwd: list[str] = []
+        inv: list[str] = []
+
+        def one() -> None:
+            tgt = inv if self.accept_op("^") else fwd
+            if self.accept_kw("a"):
+                tgt.append(RDF_TYPE)
+                return
+            t = self._term()
+            if not isinstance(t, Iri):
+                raise SparqlError(
+                    f"a negated property set needs IRIs, got {t!r}"
+                )
+            tgt.append(t.value)
+
+        if self.accept_op("("):
+            if not self.accept_op(")"):
+                one()
+                while self.accept_op("|"):
+                    one()
+                self.expect_op(")")
+        else:
+            one()
+        return tuple(fwd), tuple(inv)
+
     def _expand_path(self, s, path, o) -> list:
         """Desugar one (s, path, o) into pattern elements."""
         if isinstance(path, (Iri, Var, ClosurePath)):
@@ -1123,6 +1165,27 @@ class _Parser:
             for b in branches[2:]:
                 u = Union_((u,), b)
             return [u]
+        if kind == "nps":
+            # SPARQL 18.2.2.4: !(p...|^q...) splits by direction — a
+            # fresh-var triple pattern with a NOT IN filter per side;
+            # mixed sets UNION the two sides, and !() (empty set) is the
+            # unconstrained forward hop
+            fwd, inv = payload
+
+            def branch(subj, obj, excl) -> tuple:
+                pv = self._fresh_path_var()
+                els: list = [TriplePattern(subj, pv, obj)]
+                if excl:
+                    els.append(Filter(InList(
+                        pv, tuple(Iri(x) for x in excl), True
+                    )))
+                return tuple(els)
+
+            if inv and not fwd:
+                return list(branch(o, s, inv))
+            if not inv:
+                return list(branch(s, o, fwd))
+            return [Union_(branch(s, o, fwd), branch(o, s, inv))]
         raise SparqlError(f"unknown path form {kind!r}")  # pragma: no cover
 
     def _verb(self):

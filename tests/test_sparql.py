@@ -1273,3 +1273,76 @@ def test_nondeterministic_builtins_raise(triples, fn):
         sparql_select(
             triples, f"SELECT ?x WHERE {{ ?s ?p ?o BIND({fn} AS ?x) }}"
         )
+
+
+# --- negated property sets (r5 wave 7) ---------------------------------------
+
+
+def test_nps_forward(triples):
+    # everything EXCEPT the enumerated predicates: only worksFor remains
+    got = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        SELECT ?s ?o WHERE {
+          ?s !(ex:ssn|a|ex:label|ex:age|ex:knows) ?o
+        }
+    """))
+    assert got == [("http://ex/Alice", "http://ex/Acme")]
+
+
+def test_nps_bare_and_empty(triples):
+    # bare !a — every non-type edge of Bob
+    got = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        SELECT ?o WHERE { ex:Bob !a ?o } ORDER BY ?o
+    """))
+    assert [o for (o,) in got] == ["123-45-6789", "42", "_:b0"]
+    # !() — the unconstrained forward hop
+    got2 = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        SELECT ?o WHERE { ex:Acme !() ?o } ORDER BY ?o
+    """))
+    assert [o for (o,) in got2] == ["http://ex/Company", "http://ex/Person"]
+
+
+def test_nps_inverse_and_mixed(triples):
+    # inverse-only: who reaches Acme by anything but ex:label
+    got = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        SELECT ?s WHERE { ex:Acme !(^ex:label) ?s }
+    """))
+    assert got == [("http://ex/Alice",)]
+    # mixed: forward non-type edges of Person UNION inverse non-ssn
+    # reachers of Person — rdf:type arrives inverse, label text does not
+    # (kind discrimination: doc 3's label literal spells the IRI)
+    got2 = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        SELECT ?x WHERE { ex:Person !(a|^ex:label) ?x } ORDER BY ?x
+    """))
+    assert [x for (x,) in got2] == ["http://ex/Alice", "http://ex/Bob"]
+
+
+def test_nps_in_sequence_and_closure(triples):
+    # hop to an entity by anything but label/ssn/age/knows, then read
+    # its type — the worksFor edge is the only survivor
+    got = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        SELECT ?t WHERE {
+          ex:Alice !(ex:label|ex:ssn|ex:age|ex:knows|a)/a ?t
+        }
+    """))
+    assert got == [("http://ex/Company",)]
+    # closure over an NPS rides the composite-closure fixpoint
+    got2 = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        SELECT ?o WHERE { ex:Alice (!(ex:label|ex:ssn|a))+ ?o }
+    """))
+    assert got2 == [("http://ex/Acme",)]
+
+
+def test_nps_guards():
+    from harvesting_validator_spark.sparql import parse_sparql
+
+    with pytest.raises(SparqlError):
+        parse_sparql('SELECT ?o WHERE { ?s !("lit") ?o }')
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT ?o WHERE { ?s !(?v) ?o }")
