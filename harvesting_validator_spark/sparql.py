@@ -106,7 +106,10 @@ plus the core of SPARQL 1.1 SELECT):
   and RDF lists describe whole, via the same path-doubling fixpoint);
   graph output in the triple schema, composable like CONSTRUCT
 * ``BIND(expr AS ?v)`` — a bare-var expr copies the source term, any
-  other expression yields a plain literal in its lexical form
+  other expression yields a plain literal in its lexical form; the
+  literal constructors ``STRDT(lex, <dt>)`` / ``STRLANG(lex, "tag")``
+  (r5 wave 7, constant tags) build typed / lang-tagged terms that
+  join and filter exactly like scanned ones
 * ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) .. }`` inline data,
   joined on the shared vars (at least one required — a disconnected
   VALUES block would be a cartesian); ``UNDEF`` cells (r5 wave 5) are
@@ -2046,6 +2049,41 @@ class _Compiler:
             )
             merged[el.var] = _Binding(val=c, kind=ck, datatype=cd, lang=cl)
             return df, merged
+        # STRDT/STRLANG (r5 wave 7): the two literal CONSTRUCTORS —
+        # only legal directly in BIND, where the binding model has
+        # datatype/lang channels; the tag must be constant (a computed
+        # datatype would need per-row datatype columns everywhere)
+        if isinstance(el.expr, Call) and el.expr.name in (
+            "strdt", "strlang"
+        ):
+            if len(el.expr.args) != 2:
+                raise SparqlError(f"{el.expr.name}(lexical, tag)")
+            tag = el.expr.args[1]
+            val = _value_col(el.expr.args[0], binds, numeric=False)
+            cd, cl = self.fresh("bd"), self.fresh("bl")
+            if el.expr.name == "strdt":
+                if not isinstance(tag, Iri):
+                    raise SparqlUnsupported(
+                        "STRDT needs a constant datatype IRI"
+                    )
+                dtv = None if tag.value == _XSD_STRING else tag.value
+                dt_col = F.lit(dtv).cast("string")
+                lang_col = F.lit(None).cast("string")
+            else:
+                if not isinstance(tag, Lit) or not tag.value:
+                    raise SparqlUnsupported(
+                        "STRLANG needs a constant non-empty language tag"
+                    )
+                dt_col = F.lit(None).cast("string")
+                lang_col = F.lit(tag.value.lower()).cast("string")
+            df = (
+                df.withColumn(c, val.cast("string"))
+                .withColumn(ck, F.lit("literal"))
+                .withColumn(cd, dt_col)
+                .withColumn(cl, lang_col)
+            )
+            merged[el.var] = _Binding(val=c, kind=ck, datatype=cd, lang=cl)
+            return df, merged
         # computed literal: pin kind with an explicit constant column
         # (kind=None would derive bnode/iri from the value text).
         # Boolean expressions evaluate via the filter compiler — Spark's
@@ -2889,9 +2927,16 @@ def _call_col(call: Call, binds: dict[str, _Binding]) -> Column:
             "the engine's deterministic-id rule (COVERAGE.md C4/C5: "
             "timestamps live in the lineage table, ids are sha2)"
         )
-    if name in ("strdt", "strlang", "timezone"):
+    if name in ("strdt", "strlang"):
         raise SparqlUnsupported(
-            f"{name.upper()} is out of the supported subset"
+            f"{name.upper()} constructs a typed/lang literal and is "
+            "supported directly in BIND position only (the binding "
+            "model carries datatype/lang channels there)"
+        )
+    if name == "timezone":
+        raise SparqlUnsupported(
+            "TIMEZONE returns xsd:dayTimeDuration — out of the subset; "
+            "use TZ for the lexical zone"
         )
     raise SparqlUnsupported(f"builtin {name!r}")  # pragma: no cover
 

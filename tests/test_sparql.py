@@ -1346,3 +1346,56 @@ def test_nps_guards():
         parse_sparql('SELECT ?o WHERE { ?s !("lit") ?o }')
     with pytest.raises(SparqlError):
         parse_sparql("SELECT ?o WHERE { ?s !(?v) ?o }")
+
+
+# --- STRDT / STRLANG literal constructors (r5 wave 7) ------------------------
+
+
+def test_strdt_builds_typed_literal(triples):
+    # the constructed term is a first-class typed literal: numeric
+    # filters apply and sameTerm agrees with a SCANNED xsd:integer
+    got = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?dt ?big WHERE {
+          ?s ex:age ?a .
+          BIND(STRDT(str(?a), xsd:integer) AS ?t)
+          BIND(datatype(?t) AS ?dt)
+          BIND(?t > 40 AS ?big)
+          FILTER sameTerm(?t, ?a)
+        }
+    """))
+    assert got == [(XSD + "integer", "true")]
+
+
+def test_strlang_builds_lang_literal(triples):
+    got = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        SELECT ?l ?same WHERE {
+          ?s ex:label ?v . FILTER(lang(?v) = "en")
+          BIND(STRLANG("alice", "EN") AS ?t)
+          BIND(lang(?t) AS ?l)
+          BIND(sameTerm(?t, ?v) AS ?same)
+        }
+    """))
+    # tag lowercases like the scans; the constructed term IS "alice"@en
+    assert got == [("en", "true")]
+
+
+def test_strdt_strlang_guards(triples):
+    with pytest.raises(SparqlUnsupported, match="constant datatype"):
+        sparql_select(triples, """
+            SELECT ?t WHERE { ?s ?p ?o BIND(STRDT("x", ?o) AS ?t) }
+        """)
+    with pytest.raises(SparqlUnsupported, match="language tag"):
+        sparql_select(triples, """
+            SELECT ?t WHERE { ?s ?p ?o BIND(STRLANG("x", "") AS ?t) }
+        """)
+    # outside BIND the constructors raise (no datatype channel there)
+    with pytest.raises(SparqlUnsupported, match="BIND position"):
+        sparql_select(triples, """
+            PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+            SELECT ?s WHERE {
+              ?s ?p ?o FILTER(?o = STRDT("42", xsd:integer))
+            }
+        """)
