@@ -519,6 +519,38 @@ SELECT 'http://example.com/ns#P' || i, sha256(ssn2) FROM base WHERE mode = 8
 )
 
 
+
+# --- negated property set end-to-end (r5 wave 7) -------------------------------
+# GRAPH-scoped !(...) through the full stack: the NPS desugars to a
+# fresh-var hop + NOT IN (18.2.2.4) inside the doc-scoped BGP, so the
+# hash match certifies both the negation semantics and that the fresh
+# path var stays hidden from the projection
+_Q_NPS_EDGES = """
+PREFIX ex: <http://example.com/ns#>
+SELECT ?g ?s ?o WHERE {
+  GRAPH ?g { ?s !(ex:ssn|a|ex:hobby) ?o }
+}
+"""
+
+
+def q_sparql_nps_edges(spark, sf_dir):
+    return sparql_select(_triples(spark, sf_dir), _Q_NPS_EDGES)
+
+
+# the corpus' only predicates are rdf:type, ex:ssn, ex:hobby, and
+# ex:worksFor — negating the first three leaves exactly the mode-9
+# worksFor edges
+O_NPS_EDGES = (
+    _ORACLE_BASE
+    + """
+SELECT doc_id AS g,
+       'http://example.com/ns#P' || i AS s,
+       'http://example.com/ns#NoSuchCompany' AS o
+FROM idx WHERE mode = 9
+"""
+)
+
+
 QUERIES = {
     "sparql_person_roster": q_sparql_person_roster,
     "sparql_graph_sizes": q_sparql_graph_sizes,
@@ -533,6 +565,7 @@ QUERIES = {
     "sparql_describe_employed": q_sparql_describe_employed,
     "sparql_update_redaction": q_sparql_update_redaction,
     "sparql_hashed_roster": q_sparql_hashed_roster,
+    "sparql_nps_edges": q_sparql_nps_edges,
 }
 
 ORACLES = {
@@ -549,4 +582,5 @@ ORACLES = {
     "sparql_describe_employed": O_DESCRIBE_EMPLOYED,
     "sparql_update_redaction": O_UPDATE_REDACTION,
     "sparql_hashed_roster": O_HASHED_ROSTER,
+    "sparql_nps_edges": O_NPS_EDGES,
 }
