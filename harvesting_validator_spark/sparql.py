@@ -571,17 +571,16 @@ class _Parser:
     def _prologue(self) -> None:
         while self.accept_kw("prefix"):
             k, v = self.next()
-            # "ex:" tokenizes as NAME "ex" + OP... simplest robust form:
-            # accept either PNAME-with-empty-local (not matched by our
-            # regex) or NAME ":"; also bare ":" default prefix
+            # "ex:" tokenizes as NAME "ex" + OP ":"; the DEFAULT prefix
+            # declaration "PREFIX : <iri>" is a bare OP ":" (r5 wave 7 —
+            # stored under "" and resolved by _term's ':local' branch)
             if k == "NAME":
                 name = v
-                # consume the ':' that follows (tokenized inside OP set? no
-                # — ':' alone is not in OP; PNAME requires a local part).
-                # Re-tokenize manually: look at raw op token
                 kk, vv = self.next()
                 if not (kk == "OP" and vv == ":") and vv != ":":
                     raise SparqlError(f"bad PREFIX declaration near {vv!r}")
+            elif k == "OP" and v == ":":
+                name = ""
             else:
                 raise SparqlError(f"bad PREFIX declaration near {v!r}")
             kk, vv = self.next()
@@ -778,7 +777,7 @@ class _Parser:
                 if k == "VAR":
                     self.next()
                     targets.append(Var(v[1:]))
-                elif k in ("IRIREF", "PNAME"):
+                elif k in ("IRIREF", "PNAME") or (k, v) == ("OP", ":"):
                     targets.append(self._term())
                 else:
                     break
@@ -1024,7 +1023,7 @@ class _Parser:
             if not (
                 k in ("VAR", "IRIREF", "PNAME")
                 or (k == "KW" and v == "a")
-                or (k == "OP" and v in ("^", "("))
+                or (k == "OP" and v in ("^", "(", "!", ":"))
             ):
                 break
         return out
@@ -1256,6 +1255,27 @@ class _Parser:
             if pfx not in self.prefixes:
                 raise SparqlError(f"undeclared prefix {pfx!r}")
             return Iri(self.prefixes[pfx] + local)
+        if k == "OP" and v == ":":
+            # default-prefix pname ':local' (tokenized as OP ':' + NAME
+            # — the PNAME regex requires prefix chars). Subset limits,
+            # each with a clear error: the local must be a plain NAME
+            # (a keyword-shaped local would have been lowercased by the
+            # tokenizer, silently corrupting the IRI) and bare ':'
+            # (empty local) stays out.
+            if "" not in self.prefixes:
+                raise SparqlError("undeclared default prefix ':'")
+            kk, vv = self.peek()
+            if kk == "NAME":
+                self.next()
+                return Iri(self.prefixes[""] + vv)
+            if kk == "KW":
+                raise SparqlError(
+                    f"default-prefix local {vv!r} collides with a "
+                    "keyword — use a named prefix for it"
+                )
+            raise SparqlError(
+                "default prefix ':' needs a simple NAME local part"
+            )
         if k == "STRING":
             value = _unescape(v[1:-1])
             kk, vv = self.peek()
@@ -1511,9 +1531,13 @@ class _Binding:
             return F.col(self.kind)
         if self.is_graph:
             return F.lit("iri")
+        # NULL value => UNBOUND (an OPTIONAL left join can null a
+        # subject/predicate-position var too): the kind must be NULL,
+        # not 'iri' — else isIRI(?unbound) reads true and type-test
+        # filters keep rows the spec drops
         return F.when(
             F.col(self.val).startswith("_:"), F.lit("bnode")
-        ).otherwise(F.lit("iri"))
+        ).when(F.col(self.val).isNotNull(), F.lit("iri"))
 
     def datatype_col(self) -> Column:
         return F.col(self.datatype) if self.datatype else F.lit(None).cast("string")
@@ -1781,9 +1805,36 @@ class _Compiler:
     ) -> tuple[DataFrame | None, dict[str, _Binding]]:
         df: DataFrame | None = None
         binds: dict[str, _Binding] = {}
+        # a VALUES block FIRST in the group is deferred past the
+        # group's leading plain-join elements (Join is commutative, so
+        # this is the same algebra) so it always merges through the
+        # COMPATIBILITY join — as the base frame, its UNDEF cells would
+        # join later patterns by strict equality and silently match
+        # nothing. Flushed before any order-sensitive element (FILTER /
+        # OPTIONAL / BIND / MINUS / EXISTS / sub-select) and at group
+        # end (a pure-VALUES group stays the inline table).
+        deferred: list = []
+
+        def flush() -> None:
+            nonlocal df, binds
+            for vdf, vbinds in deferred:
+                if df is None:
+                    df, binds = vdf, dict(vbinds)
+                else:
+                    df, binds = self._merge_values(df, binds, vdf, vbinds)
+            deferred.clear()
+
         for el in elements:
+            if isinstance(el, Values) and df is None:
+                deferred.append(self._values_frame(el))
+                continue
+            if deferred and not isinstance(
+                el, (TriplePattern, Graph, Union_)
+            ):
+                flush()
             if isinstance(el, TriplePattern):
                 df, binds = self._join_tp(df, binds, el, graph)
+                flush()
             elif isinstance(el, Filter):
                 if df is None:
                     raise SparqlError("FILTER before any triple pattern")
@@ -1844,6 +1895,7 @@ class _Compiler:
             elif isinstance(el, Graph):
                 inner, ibinds = self.compile_pattern(el.pattern, el.term)
                 df, binds = self._merge(df, binds, inner, ibinds, how="inner")
+                flush()
             elif isinstance(el, SubSelect):
                 sdf, sbinds = self._subselect(el.query, graph)
                 df, binds = self._merge(df, binds, sdf, sbinds, how="inner")
@@ -1852,8 +1904,10 @@ class _Compiler:
                 right, rb = self.compile_pattern(el.right, graph)
                 u, ub = self._union(left, lb, right, rb)
                 df, binds = self._merge(df, binds, u, ub, how="inner")
+                flush()
             else:  # pragma: no cover - parser only emits the above
                 raise SparqlError(f"unexpected pattern element {el!r}")
+        flush()
         return df, binds
 
     def _scan_tp(
@@ -2885,10 +2939,16 @@ def _call_col(call: Call, binds: dict[str, _Binding]) -> Column:
                 "sameTerm arguments must be variables or constant terms"
             )
 
+        lcols, rcols = term_cols(args[0]), term_cols(args[1])
         cond = F.lit(True)
-        for lc, rc in zip(term_cols(args[0]), term_cols(args[1])):
+        for lc, rc in zip(lcols, rcols):
             cond = cond & lc.eqNullSafe(rc)
-        return cond
+        # an UNBOUND argument (NULL value) is a type error, not a match:
+        # NULL out — FILTER drops the row, BIND leaves the var unbound
+        return F.when(
+            lcols[0].isNull() | rcols[0].isNull(),
+            F.lit(None).cast("boolean"),
+        ).otherwise(cond)
 
     # -- hash builtins: hex digests as simple literals (SPARQL 17.4.4.x);
     # deterministic, same family as the engine's sha2-everywhere id rule
@@ -3265,6 +3325,15 @@ def _describe_frame(comp: "_Compiler", q: Query) -> DataFrame:
             [(c,) for c in const], "node string"
         )
         nodes = cdf if nodes is None else nodes.unionByName(cdf)
+    if nodes is None:
+        # DESCRIBE ?x with no WHERE: the solution sequence is one empty
+        # solution, the target var is unbound, nothing is described —
+        # an EMPTY graph, not an error (SPARQL 16.4)
+        return triples.sparkSession.createDataFrame(
+            [],
+            "subj string, pred string, obj_value string, "
+            "obj_kind string, obj_datatype string, obj_lang string",
+        )
     nodes = nodes.distinct()
 
     # seeds: (doc, node) wherever a target has subject rows
@@ -3334,7 +3403,21 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
         # sorts the final, post-projection frame exactly once).
         sq = q.pattern[0].query
         if sq.order_by and sq.limit is None and not sq.offset:
-            q.order_by = list(sq.order_by)
+            # hoist only when the outer query can SHOW the order: every
+            # order var must survive the outer projection (a plain
+            # projected var, or SELECT * over the sub-select's vars).
+            # Otherwise the inner order is unobservable (the outer
+            # aggregate/projection destroys it) and the sort is simply
+            # dropped — hoisting would mis-raise "ORDER BY vars must be
+            # projected" on a valid query.
+            outer_names = (
+                None if q.projection is None
+                else {p.name for p in q.projection if isinstance(p, Var)}
+            )
+            if outer_names is None or all(
+                v.name in outer_names for v, _ in sq.order_by
+            ):
+                q.order_by = list(sq.order_by)
     comp = _Compiler(triples)
     if q.form == "describe":
         return _describe_frame(comp, q)
@@ -3393,6 +3476,11 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
             )
         q.distinct = True
     if aggs or hav_aggs:
+        if q.projection is None:
+            raise SparqlError(
+                "SELECT * cannot combine with aggregates/HAVING — "
+                "project the group keys explicitly"
+            )
         keys = q.group_by or plain
         if set(v.name for v in plain) - set(v.name for v in keys):
             raise SparqlError(
@@ -3417,6 +3505,18 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
         ]
         key_binds = {v.name: _lookup(v, binds) for v in keys}
         key_cols = [F.col(b.val).alias(n) for n, b in key_binds.items()]
+        # grouping is TERM-level, the same contract as _subselect:
+        # distinct terms sharing a lexical form ("a"@en vs "a"@fr,
+        # "5" vs "5"^^xsd:integer) stay distinct groups. The metadata
+        # key columns ride the same exchange and stay internal — the
+        # final projection never sees them.
+        for n, b in key_binds.items():
+            if not b.is_graph:
+                key_cols += [
+                    b.kind_col().alias(f"__gk_{n}"),
+                    b.datatype_col().alias(f"__gd_{n}"),
+                    b.lang_col().alias(f"__gl_{n}"),
+                ]
         out = (
             df.groupBy(*key_cols).agg(*agg_cols) if key_cols else df.agg(*agg_cols)
         )

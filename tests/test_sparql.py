@@ -1399,3 +1399,132 @@ def test_strdt_strlang_guards(triples):
               ?s ?p ?o FILTER(?o = STRDT("42", xsd:integer))
             }
         """)
+
+
+# --- r5 review-wave fixes -----------------------------------------------------
+
+
+def test_leading_values_undef_is_match_anything(triples):
+    # VALUES first in the group: as the base frame its UNDEF cells used
+    # to join later patterns by strict equality and match NOTHING; the
+    # deferral (Join commutativity) routes them through the
+    # compatibility join
+    got = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        SELECT ?s ?v WHERE {
+          VALUES ?v { UNDEF "42" }
+          ?s ex:age ?v
+        }
+    """))
+    # the UNDEF cell matches Bob's age row (plain "42" is a DIFFERENT
+    # term from "42"^^xsd:integer, so that cell correctly adds nothing);
+    # before the fix the whole query returned [] — UNDEF matched nothing
+    assert got == [("http://ex/Bob", "42")]
+    # and the same block with a matching typed cell yields both rows
+    got2 = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?s WHERE {
+          VALUES ?v { UNDEF "42"^^xsd:integer }
+          ?s ex:age ?v
+        }
+    """))
+    assert got2 == [("http://ex/Bob",), ("http://ex/Bob",)]
+
+
+def test_top_level_group_by_is_term_level(spark):
+    # "a"@en and "a"@fr are DIFFERENT terms: one group each, exactly
+    # like the sub-select path (its docstring contract)
+    t = spark.createDataFrame(
+        [
+            (b"\x01", "http://s1", "http://p", "a", "literal", None, "en"),
+            (b"\x01", "http://s2", "http://p", "a", "literal", None, "fr"),
+            (b"\x01", "http://s3", "http://p", "a", "literal", None, "en"),
+        ],
+        _SCHEMA,
+    )
+    got = rows(sparql_select(t, """
+        SELECT ?v (COUNT(*) AS ?c) WHERE { ?s <http://p> ?v }
+        GROUP BY ?v ORDER BY ?v
+    """))
+    assert sorted(c for _, c in got) == [1, 2]
+
+
+def test_inner_order_dropped_when_outer_cannot_show_it(triples):
+    # aggregating over an ordered sub-select: the order is unobservable
+    # — it must be DROPPED, not hoisted into an 'ORDER BY vars must be
+    # projected' error
+    got = rows(sparql_select(triples, """
+        SELECT (COUNT(?s) AS ?c) WHERE {
+          { SELECT ?s WHERE { ?s ?p ?o } ORDER BY ?s }
+        }
+    """))
+    assert got == [(10,)]
+
+
+def test_describe_unbound_var_is_empty_graph(triples):
+    df = sparql_select(triples, "DESCRIBE ?x")
+    assert df.count() == 0
+    assert df.columns == [
+        "subj", "pred", "obj_value", "obj_kind", "obj_datatype", "obj_lang",
+    ]
+
+
+def test_type_tests_on_optional_unbound_are_position_independent(triples):
+    # ?x binds in SUBJECT position inside the OPTIONAL: when the
+    # OPTIONAL fails, isIRI(?x) must be an error (row dropped), not
+    # true — the derived kind used to read 'iri' for NULL values
+    got = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        SELECT ?s WHERE {
+          ?s a ex:Person .
+          OPTIONAL { ?x ex:worksFor ?s }
+          FILTER isIRI(?x)
+        }
+    """))
+    assert got == []  # nobody works for a person
+    # sameTerm on an unbound arg is an error (drops), never a match
+    got2 = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        SELECT ?s WHERE {
+          ?s a ex:Person .
+          OPTIONAL { ?s ex:worksFor ?c }
+          FILTER sameTerm(?c, ?c)
+        }
+    """))
+    assert got2 == [("http://ex/Alice",)]  # only the bound one
+
+
+def test_select_star_with_having_raises_cleanly(triples):
+    with pytest.raises(SparqlError, match="SELECT \\*"):
+        sparql_select(
+            triples,
+            "SELECT * WHERE { ?s ?p ?o } GROUP BY ?s HAVING (COUNT(?o) > 1)",
+        )
+
+
+def test_default_prefix(triples):
+    got = rows(sparql_select(triples, """
+        PREFIX : <http://ex/>
+        SELECT ?s WHERE { ?s a :Person ; :ssn ?v ; :worksFor :Acme }
+    """))
+    assert got == [("http://ex/Alice",)]
+    with pytest.raises(SparqlError, match="undeclared default"):
+        sparql_select(triples, "SELECT ?o WHERE { :A ?p ?o }")
+    with pytest.raises(SparqlError, match="keyword"):
+        sparql_select(
+            triples,
+            "PREFIX : <http://ex/> SELECT ?o WHERE { :A :filter ?o }",
+        )
+
+
+def test_nps_after_semicolon(triples):
+    # the post-';' verb continuation accepts '!' (it used to break out
+    # and fail with "expected a term")
+    got = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        SELECT ?o WHERE {
+          ?s a ex:Person ; !(a|ex:ssn|ex:label|ex:knows|ex:age) ?o
+        }
+    """))
+    assert got == [("http://ex/Acme",)]
