@@ -547,13 +547,31 @@ def _path_value_frames(
             reach = base.localCheckpoint()
             held = persistent_rdd_ids(spark) - pre
             n = reach.count()
+            # size the loop's shuffles to the edge count (the house
+            # pattern for iterative plans — CLAUDE.md; same sizing as
+            # the query-side closure, sparql.py::_closure_pairs)
+            prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            loop_parts = max(8, min(int(prev_parts), n // 10000 + 4))
+            spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+            try:
+                return _closure_loop(reach, n, pre, held)
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+        def _closure_loop(reach, n, pre, held) -> DataFrame:
             for _ in range(16):  # paths up to length 2^16 per doc
                 ext = (
                     reach.alias("x")
                     .join(
                         reach.alias("y"),
                         (F.col("x.doc_id") == F.col("y.doc_id"))
-                        & (F.col("x.dst") == F.col("y.src")),
+                        & (F.col("x.dst") == F.col("y.src"))
+                        # a literal has no outgoing edges: never compose
+                        # THROUGH a literal dst (phantom reachability
+                        # when a literal's text equals a subject label);
+                        # literal dsts stay as FINAL endpoints — the
+                        # same guard the sequence-path intermediates use
+                        & (F.col("x.dst_kind") != "literal"),
                     )
                     .select(
                         F.col("x.doc_id").alias("doc_id"),
@@ -1218,8 +1236,13 @@ def validate(
         and p.qualified_shape in shapes.by_id
         and (p.qualified_min is not None or p.qualified_max is not None)
         for sib in {
+            # SHACL §4.5.3: the sibling set is the OTHER qualified
+            # shape VALUES minus this constraint's own — excluding by
+            # property identity would wrongly count a sibling property
+            # carrying the SAME shape as a disjointness competitor
             p2.qualified_shape for p2 in s.properties
-            if p2.qualified_shape and p2 is not p
+            if p2.qualified_shape
+            and p2.qualified_shape != p.qualified_shape
         }
         if sib in shapes.by_id
     })
@@ -1564,7 +1587,12 @@ def validate(
             m = _re.fullmatch(r"\{[?$](\w+)\}", part)
             b = binds.get(m.group(1)) if m else None
             if b is not None:
-                msg_pieces.append(b.display_col().cast("string"))
+                # per-row unbound (e.g. OPTIONAL) keeps the literal
+                # placeholder too — a bare NULL piece would
+                # concat-propagate and erase the WHOLE message
+                msg_pieces.append(F.coalesce(
+                    b.display_col().cast("string"), F.lit(part)
+                ))
             elif part:
                 msg_pieces.append(F.lit(part))
         msg_col = (

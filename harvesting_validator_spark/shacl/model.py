@@ -152,9 +152,12 @@ class SparqlConstraint:
 
     ``select`` holds the FINAL query text the compiler runs: sh:prefixes
     declarations inlined as a PREFIX prologue and the pre-bound ``$this``
-    rewritten to the plain variable ``?this`` (parse.py validates the
-    text against sparql.py's subset at profile-parse time, so a bad
-    constraint fails the run's startup, never mid-job)."""
+    rewritten to the plain variable ``?this``. parse.py validates the
+    text against sparql.py's GRAMMAR subset at profile-parse time, so a
+    syntactically bad constraint fails at profile load; the few
+    compile-only rejections (e.g. a sliced sub-select under the graph
+    variable) surface when ``validate()`` BUILDS its plan — still
+    before any data is processed, never mid-job."""
 
     source: str  # skolem-stable id of the constraint node (reporting)
     select: str

@@ -85,7 +85,13 @@ def _step_list(
         seen.add(cur)
         first = _value(by_subj, cur, RDF_FIRST)
         if first is None:
-            break
+            # a list node without rdf:first is a MALFORMED list:
+            # silently truncating would validate a shorter path than
+            # declared (degrade-don't-guess)
+            raise NotImplementedError(
+                f"malformed rdf:list inside {ctx}: node {cur!r} has no "
+                "rdf:first"
+            )
         if first.obj_kind == "bnode":
             inv = _value(by_subj, first.obj_value, SH + "inversePath")
             if inv is None or inv.obj_kind == "bnode":
@@ -94,6 +100,13 @@ def _step_list(
                     f"supported inside {ctx} (shacl/model.py)"
                 )
             steps.append((inv.obj_value, True))
+        elif first.obj_kind == "literal":
+            # a literal can never be a predicate: treating its text as
+            # one would silently match nothing
+            raise NotImplementedError(
+                f"literal {first.obj_value!r} is not a valid path step "
+                f"inside {ctx}"
+            )
         else:
             steps.append((first.obj_value, False))
         rest = _value(by_subj, cur, RDF_REST)

@@ -1677,7 +1677,15 @@ class _Compiler:
             spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
             try:
                 for _ in range(16):  # paths up to length 2^16
-                    cond = F.col("x.dst") == F.col("y.src")
+                    # a literal has no outgoing edges: never compose
+                    # THROUGH a literal dst, else a literal whose text
+                    # equals a subject's IRI/bnode label creates
+                    # phantom reachability (review-wave fix; literal
+                    # dsts stay as FINAL endpoints)
+                    cond = (
+                        (F.col("x.dst") == F.col("y.src"))
+                        & (F.col("x.dst_kind") != "literal")
+                    )
                     if scoped:
                         cond = cond & (
                             F.col("x.doc_id") == F.col("y.doc_id")

@@ -612,3 +612,46 @@ def test_undirected_alternative_counts_value_once(spark):
     assert got == {
         (EX + "e6", SH + "MaxCountConstraintComponent", UNDIRECTED, None),
     }
+
+
+# --- r5 review-wave fixes ------------------------------------------------------
+
+LIT_CLOSURE_PROFILE = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+
+ex:ChainShape a sh:NodeShape ;
+  sh:targetClass ex:Root ;
+  sh:property [ sh:path [ sh:oneOrMorePath ex:p ] ;
+                sh:maxCount 1 ] .
+"""
+
+
+def test_closure_never_composes_through_a_literal(spark):
+    # <a> ex:p "http://x" (a STRING holding a URL) and <http://x> ex:p
+    # <c>: textual dst==src matching used to add the phantom pair
+    # a -> c; a literal has no outgoing edges, so a reaches ONE value
+    # ("http://x") and maxCount 1 must hold
+    shapes = parse_shapes_turtle(LIT_CLOSURE_PROFILE)
+    docs = {
+        "d1": [
+            _t(EX + "a", RDF_TYPE, EX + "Root", kind="iri"),
+            _t(EX + "a", EX + "p", "http://x"),
+            _t("http://x", EX + "p", EX + "c", kind="iri"),
+        ],
+    }
+    got = _violations(spark, docs, shapes)
+    assert got == set()
+
+
+def test_step_list_literal_member_raises():
+    bad = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+
+ex:S a sh:NodeShape ;
+  sh:targetClass ex:T ;
+  sh:property [ sh:path ( ex:p "oops" ) ; sh:minCount 1 ] .
+"""
+    with pytest.raises(NotImplementedError, match="not a valid path step"):
+        parse_shapes_turtle(bad)

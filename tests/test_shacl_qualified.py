@@ -545,3 +545,53 @@ def test_qualified_disjoint_excludes_sibling_conforming_values(spark):
         (EX + "amb", SH + "QualifiedMinCountConstraintComponent"),
     }, got
     assert _viols_cc(spark, docs, overlap) == set()
+
+
+def test_disjoint_sibling_set_excludes_same_shape(spark):
+    # SHACL §4.5.3: the sibling set is the other qualified shape VALUES
+    # minus this constraint's own — two properties sharing ONE shape
+    # must not compete. Before the fix, the by-property-identity
+    # exclusion put DogShape in its own sibling set, every conforming
+    # pet was discounted as sibling-conforming, and a spurious
+    # QualifiedMinCount violation fired.
+    profile = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+
+ex:OwnerShape a sh:NodeShape ;
+  sh:targetClass ex:Owner ;
+  sh:property [ sh:path ex:pet ;
+                sh:qualifiedValueShape ex:DogShape2 ;
+                sh:qualifiedMinCount 1 ;
+                sh:qualifiedValueShapesDisjoint true ] ;
+  sh:property [ sh:path ex:backup ;
+                sh:qualifiedValueShape ex:DogShape2 ;
+                sh:qualifiedMinCount 1 ] .
+
+ex:DogShape2 a sh:NodeShape ;
+  sh:property [ sh:path ex:species ; sh:hasValue "dog" ;
+                sh:minCount 1 ] .
+"""
+    shapes = parse_shapes_turtle(profile)
+    docs = {
+        "d1": [
+            _t(EX + "o1", RDF_TYPE, EX + "Owner", kind="iri"),
+            _t(EX + "o1", EX + "pet", EX + "rex", kind="iri"),
+            _t(EX + "o1", EX + "backup", EX + "fido", kind="iri"),
+            _t(EX + "rex", EX + "species", "dog"),
+            _t(EX + "fido", EX + "species", "dog"),
+        ],
+    }
+    rows = [
+        (doc_id, t.subj, t.pred, t.obj_value, t.obj_kind,
+         t.obj_datatype, t.obj_lang)
+        for doc_id, ts in docs.items()
+        for t in ts
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj_value string, "
+        "obj_kind string, obj_datatype string, obj_lang string",
+    )
+    viol = validate(df, shapes, spark, cache_intermediate=False)
+    assert viol.count() == 0

@@ -408,3 +408,35 @@ ex:Sub a sh:NodeShape ; sh:sparql [
     assert {(v[0], v[1], v[5]) for v in viols} == {
         ("a", EX + "e1", SH + "NotConstraintComponent"),
     }
+
+
+def test_message_placeholder_unbound_per_row_keeps_text(spark):
+    # a placeholder var bound only inside OPTIONAL: rows where it is
+    # NULL keep the literal placeholder (concat must not NULL out the
+    # whole message)
+    profile = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Employee ;
+  sh:sparql [
+    sh:message "low manager {?value}, nick {?nick}" ;
+    sh:select \"\"\"
+      PREFIX ex: <http://example.com/ns#>
+      SELECT $this ?value ?nick WHERE {
+        $this ex:managedBy ?value .
+        ?value ex:level ?lvl .
+        OPTIONAL { ?value ex:nick ?nick }
+        FILTER(?lvl < 4)
+      }\"\"\" ] .
+"""
+    shapes = parse_shapes_turtle(profile)
+    rows = [
+        ("a", EX + "e1", RDF_TYPE, EX + "Employee", "iri", None, None),
+        ("a", EX + "e1", EX + "managedBy", EX + "m1", "iri", None, None),
+        ("a", EX + "m1", EX + "level", "2", "literal",
+         XSD + "integer", None),
+    ]
+    viols = _violations(spark, rows, shapes)
+    assert {v[6] for v in viols} == {
+        f"low manager {EX}m1, nick {{?nick}}",
+    }

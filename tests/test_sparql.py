@@ -1528,3 +1528,21 @@ def test_nps_after_semicolon(triples):
         }
     """))
     assert got == [("http://ex/Acme",)]
+
+
+def test_query_closure_never_composes_through_a_literal(spark):
+    # <a> :p "http://x" (string holding a URL) + <http://x> :p <c>:
+    # textual dst==src matching used to add the phantom pair a -> c
+    t = spark.createDataFrame(
+        [
+            (b"\x01", "http://e/a", "http://e/p", "http://x",
+             "literal", None, None),
+            (b"\x01", "http://x", "http://e/p", "http://e/c",
+             "iri", None, None),
+        ],
+        _SCHEMA,
+    )
+    got = rows(sparql_select(
+        t, "SELECT ?o WHERE { <http://e/a> <http://e/p>+ ?o }"
+    ))
+    assert got == [("http://x",)]  # the literal endpoint only, never c
