@@ -119,6 +119,12 @@ class IncrementalLedger:
         is harmless here (the ledger is consumed via anti-joins on
         doc_id and distinct batch_id sets)."""
         aside = self.processed_path + ".legacy_migrating"
+        # one-time per instance: after a pass finds neither legacy part
+        # files nor an aside dir, every further read()/mark() skips the
+        # driver-side directory listings entirely (a long-lived
+        # warehouse pays them against a possibly-remote object store)
+        if getattr(self, "_legacy_clean", False):
+            return
         if fs.exists(self.spark, self.processed_path):
             legacy = [
                 n for n in fs.listdir(self.spark, self.processed_path)
@@ -145,6 +151,7 @@ class IncrementalLedger:
                 .parquet(self.processed_path)
             )
             fs.delete(self.spark, aside, recursive=True)
+        self._legacy_clean = True
 
     def read_inflight(self) -> DataFrame:
         return self._read(self.inflight_path, "doc_id binary, batch_id string")
@@ -193,7 +200,15 @@ class IncrementalLedger:
             return sources.join(seen, "doc_id", "left_anti")
         wms = self.read_watermarks().collect()  # tiny: one row per run
         hw = max((r.high_watermark for r in wms), default=None)
-        covered = [r.run_id for r in wms if r.high_watermark < hw]
+        # cover a run by its NEWEST watermark: a re-submitted --run-id
+        # carries one row per commit, and covering it via an older row
+        # would prune the partition that dedupes the hw-valued docs its
+        # latest commit already processed (review-wave fix)
+        run_max: dict = {}
+        for r in wms:
+            if r.run_id not in run_max or r.high_watermark > run_max[r.run_id]:
+                run_max[r.run_id] = r.high_watermark
+        covered = [rid for rid, m in run_max.items() if m < hw]
         candidates = (
             sources
             if hw is None

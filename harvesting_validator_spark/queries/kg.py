@@ -663,6 +663,13 @@ def q_kg_recursive_verdicts(spark, sf_dir):
     shacl/compile.py _path_value_frames) end-to-end at the driver,
     closed-form by doc mode (i%6): see
     generate_recursive_path_sources."""
+    return hex_doc_id(_rec_run(spark, sf_dir).verdicts)
+
+
+def _rec_run(spark, sf_dir):
+    """Cached recursive-path validation run — the shared accessor for
+    this module and sparqlq's reachable rollup (reaching into the cache
+    with a hand-copied key tuple broke silently on key-shape changes)."""
     from harvesting_validator_spark.sources.synthetic import (
         REC_PATH_PROFILE,
         generate_recursive_path_sources,
@@ -674,7 +681,7 @@ def q_kg_recursive_verdicts(spark, sf_dir):
         sources = generate_recursive_path_sources(spark, n)
         with _sized_shuffle(spark, n):
             _RUN_CACHE[key] = run_validation(spark, sources, REC_PATH_PROFILE)
-    return hex_doc_id(_RUN_CACHE[key].verdicts)
+    return _RUN_CACHE[key]
 
 
 O_RECURSIVE_VERDICTS = """

@@ -259,14 +259,9 @@ SELECT ?g (COUNT(?anc) AS ?n_ancestors) WHERE {
 
 
 def q_sparql_reachable_rollup(spark, sf_dir):
-    from harvesting_validator_spark.queries.kg import (
-        _RUN_CACHE,
-        q_kg_recursive_verdicts,
-    )
+    from harvesting_validator_spark.queries.kg import _rec_run
 
-    q_kg_recursive_verdicts(spark, sf_dir)  # populate the shared cache
-    triples = _RUN_CACHE[(id(spark), sf_dir, "recpath")].triples
-    return sparql_select(triples, _Q_REACHABLE)
+    return sparql_select(_rec_run(spark, sf_dir).triples, _Q_REACHABLE)
 
 
 O_REACHABLE = """

@@ -113,6 +113,18 @@ def main(argv: list[str] | None = None) -> int:
             params[name] = value
         query_text = bind_template(query_text, params)
 
+    # fail FAST on bad query text in EVERY mode — the corpus parse below
+    # is the expensive step, and a syntax error must not cost it (the
+    # --canonical branch additionally rejects GRAPH clauses below)
+    if args.update:
+        from harvesting_validator_spark.sparql import _Parser
+
+        _Parser(query_text).parse_update()
+    else:
+        from harvesting_validator_spark.sparql import parse_sparql
+
+        parse_sparql(query_text)
+
     if args.sources.startswith("synthetic:"):
         sources = generate_sources(spark, int(args.sources.split(":", 1)[1]))
     else:

@@ -75,11 +75,31 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--follow", action="store_true",
                     help="with --stream: keep the query running instead "
                          "of trigger(availableNow) drain-and-exit")
+    ap.add_argument("--drain-timeout", type=int, default=3600,
+                    help="with --stream (no --follow): seconds to wait "
+                         "for the availableNow drain before stopping "
+                         "the query and failing (default 3600)")
     args = ap.parse_args(argv)
 
     if args.stream and args.sources.startswith("synthetic:"):
         ap.error("--stream needs a landing directory, not synthetic:N "
                  "(write the corpus to parquet first)")
+    if args.stream:
+        # the stream branch runs ONLY the incremental canonicalizer —
+        # silently accepting batch-mode flags would let an operator
+        # believe SHACL gating/kg/incremental semantics applied
+        for flag, val in (
+            ("--shapes", args.shapes), ("--kg", args.kg),
+            ("--strict", args.strict), ("--incremental", args.incremental),
+            ("--run-id", args.run_id), ("--catalog", args.catalog),
+            ("--watermark-col", args.watermark_col),
+        ):
+            if val:
+                ap.error(f"{flag} does not apply with --stream (the "
+                         "stream branch runs the incremental "
+                         "canonicalizer only; validate in batch mode)")
+    elif args.checkpoint or args.follow:
+        ap.error("--checkpoint/--follow only apply with --stream")
 
     from pyspark.sql import SparkSession
 
@@ -98,17 +118,16 @@ def main(argv: list[str] | None = None) -> int:
             canonicalize_stream,
         )
         from harvesting_validator_spark.streaming.micro_batch import (
-            SOURCE_SCHEMA,
+            stream_sources,
         )
 
         checkpoint = args.checkpoint or fs.join(
             args.warehouse, "_stream_checkpoint"
         )
-        stream = (
-            spark.readStream.schema(SOURCE_SCHEMA)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(args.sources)
-        )
+        # the library's file source (16 files/trigger): each micro-batch
+        # pays one union-find fold + mapping rewrite, so bigger batches
+        # amortize it — per-file batching multiplied that overhead ~16x
+        stream = stream_sources(spark, args.sources)
         query = canonicalize_stream(
             stream, args.warehouse, checkpoint,
             available_now=not args.follow,
@@ -116,8 +135,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.follow:
             query.awaitTermination()
             return 0
-        if not query.awaitTermination(600):
-            print(json.dumps({"mode": "stream", "error": "drain timeout"}))
+        if not query.awaitTermination(args.drain_timeout):
+            query.stop()  # stop cleanly before exiting, not mid-batch
+            print(json.dumps({
+                "mode": "stream",
+                "error": f"drain timeout after {args.drain_timeout}s "
+                         "(resume with the same --checkpoint)",
+            }))
             return 1
         mapping_path = fs.join(args.warehouse, "_stream_mapping")
         if fs.exists(spark, mapping_path):

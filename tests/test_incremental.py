@@ -221,6 +221,38 @@ def test_watermark_boundary_append_is_not_lost(spark, tmp_path):
     assert got == {"c"}, "boundary-valued append must not be lost"
 
 
+def test_resubmitted_run_id_covered_by_newest_watermark(spark, tmp_path):
+    """Review-wave fix: a run_id with MULTIPLE watermark rows (nightly
+    re-submission with a fixed --run-id) must be covered by its NEWEST
+    watermark — covering it via an older row would prune the ledger
+    partition that dedupes the hw-valued docs its latest commit already
+    processed, reprocessing them every subsequent batch."""
+    from harvesting_validator_spark.incremental import IncrementalLedger
+
+    wh = str(tmp_path / "wh")
+    ledger = IncrementalLedger(spark, wh)
+    # night 1 and night 2 run under the SAME run id
+    ledger.mark(
+        spark.createDataFrame([("a",)], "doc_id string"), "nightly"
+    )
+    ledger.record_watermark("nightly", 1.0)
+    ledger.mark(
+        spark.createDataFrame([("b",)], "doc_id string"), "nightly"
+    )
+    ledger.record_watermark("nightly", 2.0)
+    # night 3 presents the full corpus: "b" sits AT the global hw and
+    # must dedupe through the nightly partition (not be reprocessed)
+    corpus = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 2.0)],
+        "doc_id string, ingested_at double",
+    )
+    got = {
+        r.doc_id
+        for r in ledger.new_docs(corpus, watermark_col="ingested_at").collect()
+    }
+    assert got == {"c"}, "hw-valued docs of the re-submitted run leaked"
+
+
 def test_legacy_unpartitioned_ledger_migrates(spark, tmp_path):
     """ADVICE r4 #4: a processed ledger written by the pre-r4 code
     (unpartitioned part files at the root, hex-string doc_id) is
