@@ -81,7 +81,13 @@ def _step_list(
     steps: list[tuple[str, bool]] = []
     cur = head
     seen: set[str] = set()
-    while cur and cur != RDF_NIL and cur not in seen:
+    while cur and cur != RDF_NIL:
+        if cur in seen:
+            # a cyclic rdf:rest chain is as malformed as a missing
+            # rdf:first — truncating it would validate a shorter path
+            raise NotImplementedError(
+                f"cyclic rdf:list inside {ctx}: node {cur!r} repeats"
+            )
         seen.add(cur)
         first = _value(by_subj, cur, RDF_FIRST)
         if first is None:
@@ -110,7 +116,14 @@ def _step_list(
         else:
             steps.append((first.obj_value, False))
         rest = _value(by_subj, cur, RDF_REST)
-        cur = rest.obj_value if rest is not None else RDF_NIL
+        if rest is None:
+            # a list node without rdf:rest is malformed, not a quiet
+            # end-of-list — same contract as the missing-rdf:first case
+            raise NotImplementedError(
+                f"malformed rdf:list inside {ctx}: node {cur!r} has no "
+                "rdf:rest"
+            )
+        cur = rest.obj_value
     return steps
 
 

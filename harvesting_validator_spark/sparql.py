@@ -1813,14 +1813,17 @@ class _Compiler:
     ) -> tuple[DataFrame | None, dict[str, _Binding]]:
         df: DataFrame | None = None
         binds: dict[str, _Binding] = {}
-        # a VALUES block FIRST in the group is deferred past the
-        # group's leading plain-join elements (Join is commutative, so
-        # this is the same algebra) so it always merges through the
-        # COMPATIBILITY join — as the base frame, its UNDEF cells would
-        # join later patterns by strict equality and silently match
-        # nothing. Flushed before any order-sensitive element (FILTER /
-        # OPTIONAL / BIND / MINUS / EXISTS / sub-select) and at group
-        # end (a pure-VALUES group stays the inline table).
+        # a VALUES block FIRST in the group is deferred past ALL the
+        # group's consecutive plain-join elements (triple patterns,
+        # GRAPH, UNION, sub-selects — Join is commutative, so this is
+        # the same algebra) so it always merges through the
+        # COMPATIBILITY join with every shared var in scope — as the
+        # base frame, its UNDEF cells would join later patterns by
+        # strict equality and silently match nothing, and flushing
+        # after the FIRST join would strict-join vars bound only by
+        # LATER patterns. Flushed only before an order-sensitive
+        # element (FILTER / OPTIONAL / BIND / MINUS / EXISTS) and at
+        # group end (a pure-VALUES group stays the inline table).
         deferred: list = []
 
         def flush() -> None:
@@ -1837,12 +1840,11 @@ class _Compiler:
                 deferred.append(self._values_frame(el))
                 continue
             if deferred and not isinstance(
-                el, (TriplePattern, Graph, Union_)
+                el, (TriplePattern, Graph, Union_, SubSelect)
             ):
                 flush()
             if isinstance(el, TriplePattern):
                 df, binds = self._join_tp(df, binds, el, graph)
-                flush()
             elif isinstance(el, Filter):
                 if df is None:
                     raise SparqlError("FILTER before any triple pattern")
@@ -1903,7 +1905,6 @@ class _Compiler:
             elif isinstance(el, Graph):
                 inner, ibinds = self.compile_pattern(el.pattern, el.term)
                 df, binds = self._merge(df, binds, inner, ibinds, how="inner")
-                flush()
             elif isinstance(el, SubSelect):
                 sdf, sbinds = self._subselect(el.query, graph)
                 df, binds = self._merge(df, binds, sdf, sbinds, how="inner")
@@ -1912,7 +1913,6 @@ class _Compiler:
                 right, rb = self.compile_pattern(el.right, graph)
                 u, ub = self._union(left, lb, right, rb)
                 df, binds = self._merge(df, binds, u, ub, how="inner")
-                flush()
             else:  # pragma: no cover - parser only emits the above
                 raise SparqlError(f"unexpected pattern element {el!r}")
         flush()
@@ -3555,9 +3555,29 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
             if missing:
                 raise SparqlError(f"projected vars never bound: {missing}")
         sel_binds = [(n, binds[n]) for n in names if n in binds]
-        out = df.select(*[F.col(b.val).alias(n) for n, b in sel_binds])
-        if q.distinct:
-            out = out.distinct()
+        sel_cols = [F.col(b.val).alias(n) for n, b in sel_binds]
+        if q.distinct and q.group_by:
+            # key-only GROUP BY rewrites to DISTINCT — at TERM level,
+            # the same contract as the aggregate branch and _subselect
+            # ("a"@en / "a"@fr are two groups): dedupe with the
+            # kind/datatype/lang keys in scope, then drop them
+            meta = []
+            for n, b in sel_binds:
+                if not b.is_graph:
+                    meta += [
+                        b.kind_col().alias(f"__gk_{n}"),
+                        b.datatype_col().alias(f"__gd_{n}"),
+                        b.lang_col().alias(f"__gl_{n}"),
+                    ]
+            out = (
+                df.select(*sel_cols, *meta)
+                .distinct()
+                .select(*[n for n, _ in sel_binds])
+            )
+        else:
+            out = df.select(*sel_cols)
+            if q.distinct:
+                out = out.distinct()
         out = out.select(
             *[
                 (F.lower(F.hex(n)) if b.is_graph else F.col(n)).alias(n)

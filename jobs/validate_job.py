@@ -88,13 +88,16 @@ def main(argv: list[str] | None = None) -> int:
         # the stream branch runs ONLY the incremental canonicalizer —
         # silently accepting batch-mode flags would let an operator
         # believe SHACL gating/kg/incremental semantics applied
-        for flag, val in (
-            ("--shapes", args.shapes), ("--kg", args.kg),
-            ("--strict", args.strict), ("--incremental", args.incremental),
-            ("--run-id", args.run_id), ("--catalog", args.catalog),
-            ("--watermark-col", args.watermark_col),
+        for flag, name in (
+            ("--shapes", "shapes"), ("--kg", "kg"),
+            ("--strict", "strict"), ("--incremental", "incremental"),
+            ("--run-id", "run_id"), ("--catalog", "catalog"),
+            ("--watermark-col", "watermark_col"),
         ):
-            if val:
+            # reject only EXPLICITLY-passed flags: --strict's default
+            # reads the STRICT_MODE_FILTERING env, and an environment
+            # that exports it must not make --stream unusable
+            if getattr(args, name) != ap.get_default(name):
                 ap.error(f"{flag} does not apply with --stream (the "
                          "stream branch runs the incremental "
                          "canonicalizer only; validate in batch mode)")

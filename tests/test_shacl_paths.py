@@ -655,3 +655,26 @@ ex:S a sh:NodeShape ;
 """
     with pytest.raises(NotImplementedError, match="not a valid path step"):
         parse_shapes_turtle(bad)
+
+
+def test_malformed_path_lists_raise():
+    # cyclic rdf:rest chain and a rest-less node are malformed lists,
+    # not quiet ends: truncating either validates a shorter path
+    cyc = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.com/ns#> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+
+ex:S a sh:NodeShape ;
+  sh:targetClass ex:T ;
+  sh:property [ sh:path _:l ; sh:minCount 1 ] .
+_:l rdf:first ex:p1 ; rdf:rest _:l .
+"""
+    with pytest.raises(NotImplementedError, match="cyclic rdf:list"):
+        parse_shapes_turtle(cyc)
+    norest = cyc.replace(
+        "_:l rdf:first ex:p1 ; rdf:rest _:l .",
+        "_:l rdf:first ex:p1 .",
+    )
+    with pytest.raises(NotImplementedError, match="no\\s+rdf:rest"):
+        parse_shapes_turtle(norest)

@@ -1546,3 +1546,47 @@ def test_query_closure_never_composes_through_a_literal(spark):
         t, "SELECT ?o WHERE { <http://e/a> <http://e/p>+ ?o }"
     ))
     assert got == [("http://x",)]  # the literal endpoint only, never c
+
+
+def test_leading_values_defers_past_all_join_elements(triples):
+    # vars bound by LATER triple patterns: the deferred VALUES must
+    # flush after ALL consecutive join elements, not after the first —
+    # an early flush strict-joined ?t (bound only by TP2) and dropped
+    # the UNDEF row
+    got = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        SELECT ?s ?c ?t WHERE {
+          VALUES (?c ?t) { (ex:Acme UNDEF) }
+          ?s ex:worksFor ?c .
+          ?c a ?t
+        }
+    """))
+    assert got == [("http://ex/Alice", "http://ex/Acme", "http://ex/Company")]
+
+
+def test_leading_values_compatibility_with_subselect(triples):
+    # VALUES before a sub-select: the sub-select is a join too, so the
+    # VALUES defers past it and UNDEF stays match-anything
+    got = rows(sparql_select(triples, """
+        PREFIX ex: <http://ex/>
+        SELECT ?s WHERE {
+          VALUES ?s { UNDEF ex:Nope }
+          { SELECT ?s WHERE { ?s a ex:Person } }
+        } ORDER BY ?s
+    """))
+    assert got == [("http://ex/Alice",), ("http://ex/Bob",)]
+
+
+def test_key_only_group_by_is_term_level(spark):
+    t = spark.createDataFrame(
+        [
+            (b"\x01", "http://s1", "http://p", "a", "literal", None, "en"),
+            (b"\x01", "http://s2", "http://p", "a", "literal", None, "fr"),
+        ],
+        _SCHEMA,
+    )
+    got = rows(sparql_select(
+        t, "SELECT ?v WHERE { ?s <http://p> ?v } GROUP BY ?v"
+    ))
+    # two TERMS, two groups — even though both display as "a"
+    assert got == [("a",), ("a",)]
