@@ -293,39 +293,242 @@ WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 
 
 # --- LSH-verified near-dup pairs: blocking + verify composed -------------------------
+# bitmap fast path covers corpora whose distinct token-hash vocabulary fits
+# 4 x 64-bit words; larger vocabularies fall back to array_intersect
+_LSH_VOCAB_WORDS_MAX = 4
+# r6: the class table is persisted per invocation (it feeds 7 plan branches);
+# the previous invocation's cache is released here so repeated calls in one
+# session hold at most one resident copy (bench.py additionally sweeps via
+# release_new_rdds between queries).
+_LSH_CLS_CACHE: list = []
+
+
+def _token_classes(spark, sf_dir):
+    """Token-set equivalence classes of the documents corpus (r6, guide
+    §2.3/§8: decide on lightweight proxies, expand to heavy rows last).
+
+    Docs sharing the exact (string) token SET share their minhash
+    signature, their band hashes AND their Jaccard against any other doc —
+    so blocking + verification is a function of the class pair, not the
+    doc pair. On the bench corpus this cuts raw band collisions 3x
+    (2.33G -> 0.78G at sf1.0) and Jaccard evaluations ~2.2x, and lets the
+    >=0.7 filter run BEFORE the doc-pair expansion. One 1-row-per-doc
+    shuffle (the groupBy) replaces nothing — the old plan had none — but
+    every downstream cost now scales with |classes|, not |docs|."""
+    d = tbl(spark, sf_dir, "documents")
+    ts = F.array_sort(F.array_distinct(tokens()))
+    cls = (
+        d.select("doc_id", ts.alias("ts"))
+        .groupBy("ts")
+        .agg(
+            F.min("doc_id").alias("class_id"),
+            F.collect_list("doc_id").alias("members"),
+        )
+    )
+
+    def mh(s: int):
+        prefix = f"{s}:"
+        return F.array_min(
+            F.transform(
+                F.col("ts"),
+                lambda t: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(prefix), t)), 1, 8), 16, 10
+                ).cast("bigint"),
+            )
+        ).alias(f"mh{s}")
+
+    ti = F.array_distinct(F.transform(F.col("ts"), md5_int))
+    return cls.select(
+        "class_id", "members", ti.alias("ti"),
+        *[mh(s) for s in range(N_HASHES)],
+    ).withColumn("n_toks", F.size("ti"))
+
+
+def _bitmap_vocab(cls):
+    """Bounded dictionary probe for the bitmap fast path. Two metadata-
+    sized actions: an HLL estimate first (map-side partial agg — cheap at
+    any corpus size, and the scale guard: a web-scale vocabulary never
+    reaches the exact pass), then an exact distinct capped at 257 rows.
+    Exactness never rests on the HLL estimate — if the capped distinct
+    overflows the word budget the caller falls back to array_intersect.
+    Returns the sorted token-hash vocabulary, or None."""
+    cap = 64 * _LSH_VOCAB_WORDS_MAX
+    exploded = cls.select(F.explode("ti").alias("t"))
+    approx = exploded.agg(F.approx_count_distinct("t").alias("c")).collect()[0]["c"]
+    if approx > cap + 64:  # HLL error margin; only a hint, never a proof
+        return None
+    vals = [r["t"] for r in exploded.distinct().limit(cap + 1).collect()]
+    if len(vals) > cap:
+        return None
+    return sorted(vals)
+
+
+def _bitmap_words(vocab):
+    """Literal tok_hash -> single-bit-word maps, one per 64-bit word."""
+    n_words = max(1, -(-len(vocab) // 64))
+    maps = []
+    for w in range(n_words):
+        ents = []
+        for i, tok in enumerate(vocab):
+            if i // 64 != w:
+                continue
+            v = 1 << (i % 64)
+            if v >= 2**63:
+                v -= 2**64  # sign-wrap into a BIGINT
+            ents += [F.lit(tok), F.lit(v)]
+        maps.append(F.create_map(*ents))
+    return maps
+
+
 def q_lsh_verified_pairs(spark, sf_dir):
     """The scale path: Jaccard computed ONLY on LSH candidates (the
     all-pairs quadratic scan never happens).
 
-    Plan notes: candidates ARE deduplicated before verification — on this
-    near-dup-dense corpus a pair collides in ~4 bands, and computing the
-    ~40-element array intersect 4x (measured 232s) costs far more than the
-    candidate dedup shuffle (31s total). Token sets attach with NO forced
-    broadcast: the token table is the full documents corpus, which at
-    10^12-doc scale dwarfs any driver heap — a forced F.broadcast here
-    would OOM the driver. Statistics/AQE pick broadcast when the table is
-    actually small (it is at bench sf) and fall back to a shuffled join on
-    doc_id when it is not; guarded by tests/test_plans.py."""
-    pairs = q_minhash_lsh_pairs(spark, sf_dir)
-    # int-hashed token sets: array_intersect over bigints is ~30% faster
-    # than over strings (measured 25.5s -> 18.1s at sf0.1); both engines
-    # derive the same md5 ints, so jaccard values stay hash-consistent
-    d = tbl(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.array_distinct(F.transform(tokens(), md5_int)).alias("toks"),
-    ).withColumn("n_toks", F.size("toks"))
-    j = (
-        pairs.join(d.alias("da"), pairs.doc_a == F.col("da.doc_id"))
-        .join(d.alias("db"), pairs.doc_b == F.col("db.doc_id"))
+    r6 rewrite (measured 180.8s -> ~17s at sf1.0, plan evidence in
+    plans/r06/): the old per-DOC-pair verify attached ~40-element int
+    arrays to every candidate pair and ran one hash-set array_intersect
+    per pair (~1.05G pairs at sf1.0, ~5us each — the whole suite's
+    dominant cost). Now:
+
+    1. Docs collapse to token-set equivalence classes (_token_classes):
+       blocking and Jaccard are class-pair functions, so raw band
+       collisions drop 3x and each Jaccard is computed once per class
+       pair instead of once per doc pair.
+    2. When the corpus' distinct token-hash vocabulary fits 256 values
+       (probed by _bitmap_vocab with two metadata-sized actions — the
+       documented sanctioned collect class), token sets dictionary-encode
+       into <=4 BIGINT words and |A∩B| = sum of bit_count(wa & wb):
+       pure whole-stage-codegen arithmetic, no per-pair allocation
+       (guide §2.3 "narrower types", §4.2 moved into Catalyst). The
+       dictionary is exact over md5-int token values, so bitmap
+       intersections equal int-set intersections bit-for-bit; md5-int
+       collisions behave identically to the oracle's int-set semantics.
+       Larger vocabularies keep the array_intersect fallback on the
+       class-level plan (still ~3x fewer intersects than r5).
+    3. The band self-join carries only (class_id, band_id, bh1, bh2) —
+       slim enough that statistics/AQE keep it broadcast at bench sf
+       (never forced: at 10^12-doc scale it degrades to a shuffled join,
+       guarded by tests/test_plans.py). Class metadata and member lists
+       attach by class_id AFTER the join. `<=` on class_id emits the
+       diagonal (intra-class) pairs through the same pipeline — band 0
+       survives the first-shared-band filter, Jaccard reduces to n/n =
+       1.0 — avoiding a Union branch (a union above this pipeline
+       measured 7x slower than the fused single pipeline: the count no
+       longer fuses into the probe stage).
+    4. The >=0.7 filter runs on class pairs BEFORE expansion; only
+       passing pairs explode member x member into doc pairs (the
+       (ca != cb) | (da < db) filter orders diagonal pairs exactly
+       once; singleton diagonals vanish there).
+
+    The class table is persisted (it feeds 7 plan branches; InMemory
+    stats also give AQE true sizes for the broadcast decisions); the
+    previous invocation's cache is released via _LSH_CLS_CACHE."""
+    cls = _token_classes(spark, sf_dir)
+    while _LSH_CLS_CACHE:
+        try:
+            _LSH_CLS_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    cls = cls.persist()
+    _LSH_CLS_CACHE.append(cls)
+    # full-width materialization before any column-pruned reader (house
+    # invariant: first-scan column pruning breaks later full-width reads)
+    cls.count()
+    vocab = _bitmap_vocab(cls)
+    if vocab is not None:
+        words = _bitmap_words(vocab)
+        n_words = len(words)
+
+        def word_col(w: int):
+            m = words[w]
+            return F.aggregate(
+                "ti",
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc.bitwiseOR(
+                    F.coalesce(F.element_at(m, x), F.lit(0).cast("bigint"))
+                ),
+            ).alias(f"w{w}")
+
+        cls = cls.select(*cls.columns, *[word_col(w) for w in range(n_words)])
+        verify_cols = [f"w{w}" for w in range(n_words)]
+    else:
+        n_words = 0
+        verify_cols = ["ti"]
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.col(f"mh{2 * b}").alias("bh1"),
+                F.col(f"mh{2 * b + 1}").alias("bh2"),
+            )
+            for b in range(N_BANDS)
+        ]
     )
-    # |union| = |a| + |b| - |intersect| over distinct sets: the per-pair
-    # array_union build (~40% of pair work across 5M pairs) becomes two
-    # per-DOC size columns + arithmetic
-    inter = F.size(F.array_intersect(F.col("da.toks"), F.col("db.toks")))
-    uni = F.col("da.n_toks") + F.col("db.n_toks") - inter
+    e = cls.select("class_id", F.explode(bands).alias("band")).select(
+        "class_id", "band.band_id", "band.bh1", "band.bh2"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    raw = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.bh1") == F.col("b.bh1"))
+        & (F.col("a.bh2") == F.col("b.bh2"))
+        & (F.col("a.class_id") <= F.col("b.class_id")),
+    ).select(
+        F.col("a.class_id").alias("ca"),
+        F.col("b.class_id").alias("cb"),
+        F.col("a.band_id").alias("band_id"),
+    )
+
+    meta = cls.select(
+        "class_id", "n_toks", *verify_cols,
+        *[f"mh{i}" for i in range(2 * (N_BANDS - 1))],
+    )
+    j = raw.join(meta.alias("ma"), F.col("ca") == F.col("ma.class_id")).join(
+        meta.alias("mb"), F.col("cb") == F.col("mb.class_id")
+    )
+    earlier = F.lit(False)
+    for bp in range(N_BANDS - 1):
+        earlier = earlier | (
+            (F.col("band_id") > bp)
+            & (F.col(f"ma.mh{2 * bp}") == F.col(f"mb.mh{2 * bp}"))
+            & (F.col(f"ma.mh{2 * bp + 1}") == F.col(f"mb.mh{2 * bp + 1}"))
+        )
+    j = j.filter(~earlier)
+    if n_words:
+        inter = sum(
+            (
+                F.bit_count(F.col(f"ma.w{w}").bitwiseAND(F.col(f"mb.w{w}")))
+                for w in range(n_words)
+            ),
+            F.lit(0),
+        ).cast("bigint")
+    else:
+        inter = F.size(F.array_intersect(F.col("ma.ti"), F.col("mb.ti"))).cast(
+            "bigint"
+        )
+    uni = F.col("ma.n_toks") + F.col("mb.n_toks") - inter
     jac = dround(inter.cast("double") / uni, 6)
-    return j.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= 0.7
+    cp = j.select("ca", "cb", jac.alias("jaccard")).filter(F.col("jaccard") >= 0.7)
+
+    mem = cls.select("class_id", "members")
+    return (
+        cp.join(mem.alias("xa"), F.col("ca") == F.col("xa.class_id"))
+        .join(mem.alias("xb"), F.col("cb") == F.col("xb.class_id"))
+        .select(
+            "ca", "cb",
+            F.explode(F.col("xa.members")).alias("da"),
+            F.col("xb.members").alias("mbs"),
+            "jaccard",
+        )
+        .select("ca", "cb", "da", F.explode("mbs").alias("db"), "jaccard")
+        .filter((F.col("ca") != F.col("cb")) | (F.col("da") < F.col("db")))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
     )
 
 
