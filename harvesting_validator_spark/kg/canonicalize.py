@@ -67,9 +67,19 @@ def connected_components(
     )
     spark = edges.sparkSession
     pre_ids = persistent_rdd_ids(spark)
+    # r6: symmetrize via ONE explode instead of a union of two selects —
+    # Catalyst does no common-subexpression elimination across union
+    # branches, so the union recomputed the edge source (typically the
+    # full blocking + Arrow pair-scoring pipeline) once per direction
+    # (profiled at sf1.0: the duplicated branch was the single hottest
+    # stage of kg_canonical_graph)
+    both = F.array(
+        F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
+        F.struct(F.col("dst").alias("a"), F.col("src").alias("b")),
+    )
     und0 = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        edges.select(F.explode(both).alias("e"))
+        .select("e.a", "e.b")
         .distinct()
         # materialize ONCE: every iteration joins against the edge list,
         # which usually sits on an expensive upstream (LSH blocking +

@@ -23,24 +23,31 @@ uses.
 
 from __future__ import annotations
 
-import hashlib
-import os
-import tempfile
-
 from pyspark.sql import functions as F
 
 from harvesting_validator_spark.queries.common import epoch_us, tbl
-from harvesting_validator_spark.runtime import track_bucketed_table
 
 PR_ITERS = 5
 PR_SCALE = 1_000_000  # rank fixed-point scale
 PR_BASE = 150_000  # 0.15 * SCALE
 INCIDENT_WINDOW_US = 600 * 1_000_000  # 10 min
 
+# r6: the loop-invariant edge cache of the most recent pagerank invocation;
+# released on the next call (bench.py additionally sweeps via
+# release_new_rdds between queries)
+_PR_EDGE_CACHE: list = []
+
 
 def _edges(spark, sf_dir):
     """Symmetrized customer<->supplier edge list ('c<k>' / 's<k>' node
-    ids keep the key spaces disjoint). Distinct per direction."""
+    ids keep the key spaces disjoint). Distinct per direction.
+
+    r6: both directions come from ONE explode over the distinct pair set
+    instead of a union of two selects — Catalyst performs no common-
+    subexpression elimination across union branches, so the r5 shape
+    recomputed the orders ⋈ lineitem join + distinct once per branch
+    (profiled at sf1.0: two 6M-row lineitem scans and two 12M-row
+    distinct exchanges where one of each suffices)."""
     o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pair = (
@@ -51,9 +58,11 @@ def _edges(spark, sf_dir):
         )
         .distinct()
     )
-    fwd = pair.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    rev = pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    return fwd.unionByName(rev)
+    both = F.array(
+        F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+        F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+    )
+    return pair.select(F.explode(both).alias("e")).select("e.src", "e.dst")
 
 
 _EDGE_SQL = """
@@ -111,50 +120,112 @@ def q_pagerank_bipartite(spark, sf_dir):
     # neutral (old min 21.9s / new 22.6s) — the graph there is too small
     # for K×|E| shuffle mass to dominate; the change buys the per-round
     # byte complexity and drops the resident localCheckpoint storage.
-    e = _edges(spark, sf_dir)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = e.join(deg, "src").select("src", "dst", "outdeg")
-    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    tag = hashlib.sha256(str(sf_dir).encode()).hexdigest()[:12]
-    name = f"pr_edges_b_{tag}_{os.getpid()}"
-    path = os.path.join(
-        tempfile.gettempdir(), "hv_spark_bucketed", name
+    #
+    # r6 (guide §2.3/§2.4/§3.1), plan evidence in plans/r06/:
+    # 1. Edge rows carry NO outdeg: the per-edge contribution
+    #    (rank*85) div (100*outdeg) is a function of the SOURCE NODE, so
+    #    it is computed once per node on the O(|V|) rank vector, and the
+    #    materialized edge table narrows to (src, dst). That removes both
+    #    the degree self-join (which recomputed the whole edge pipeline —
+    #    no CSE across branches) and 12M per-round divisions at sf1.0.
+    # 2. Degrees come from an IN-PLACE groupBy on the loop key: the graph
+    #    is symmetrized, so indeg == outdeg and either key works.
+    # 3. The loop-invariant edge table is repartition(loop_key).persist()
+    #    — the library-safe layout-preserving cache (InMemoryTableScan
+    #    advertises HashPartitioning; house invariant list) — instead of
+    #    a bucketed parquet scratch table: drops the |E|-sized write +
+    #    catalog machinery and rounds re-scan columnar memory.
+    # 4. The loop shape is chosen from a MEASURED bound on |V|: the node
+    #    space is a subset of customers ∪ suppliers, whose parquet row
+    #    counts are metadata-only reads. If the bound says the rank
+    #    vector fits well under the broadcast threshold, edges partition
+    #    by DST and each round joins a size-checked broadcast of the
+    #    ranks — the contribution groupBy(dst) aggregates IN PLACE and
+    #    the per-round shuffle drops from O(|E|) contribution rows
+    #    (12M/round at sf1.0) to the O(|V|) broadcast build. Otherwise
+    #    (the 100-TB shape) the r5 plan is kept: edges partition by SRC,
+    #    stay in place for the join, and only the rank vector shuffles.
+    #    A runtime statistic with a documented fallback, not a hint
+    #    tuned to one scale.
+    # 5. The loop runs on BIGINT node ids (custkey*2 / suppkey*2+1 — a
+    #    bijection into disjoint even/odd spaces, guide §2.3 "narrower
+    #    types"): every probe, aggregation and cached edge row hashes a
+    #    long instead of a 'c<k>'/'s<k>' string; the public string ids
+    #    are rebuilt only on the final O(|V|) rank vector, bit-identical.
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
     )
-    (
-        ed.repartition(n_buckets, "src")
-        .write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(n_buckets, "src")
-        .sortBy("src")
-        .option("path", path)
-        .saveAsTable(name)
+    both = F.array(
+        F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+        F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
     )
-    # scratch-table hygiene (VERDICT r4 what's-wrong #1): the catalog
-    # entry + parquet dir are session-scoped scratch — register them so
-    # the bench sweep / caller drops both once the ranks are materialized
-    # (runtime.release_bucketed_tables), instead of accumulating one
-    # |E|-sized /tmp dir per (sf_dir, pid).
-    track_bucketed_table(spark, name, path)
-    edb = spark.table(name)
-    # r0 from the bucketed table (src-clustered -> aggregates in place)
-    ranks = edb.select("src").distinct().select(
-        "src", F.lit(PR_SCALE).cast("bigint").alias("rank")
+    e = pair.select(F.explode(both).alias("e")).select("e.src", "e.dst")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bcast_threshold = int(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        .lower().rstrip("b")
+    )
+    n_bound = (
+        tbl(spark, sf_dir, "customer").count()
+        + tbl(spark, sf_dir, "supplier").count()
+    )
+    # ~64B per built hash-relation row (string node id + bigint + overhead)
+    broadcast_ranks = n_bound * 64 <= bcast_threshold
+    loop_key = "dst" if broadcast_ranks else "src"
+    # release the previous invocation's cache BEFORE persisting: the two
+    # plans are identical for a repeated (session, sf_dir) call, so a
+    # persist-then-release order would no-op the new persist ("already
+    # cached") and then drop the shared cache entry out from under it
+    while _PR_EDGE_CACHE:
+        try:
+            _PR_EDGE_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    edb = e.repartition(n_parts, loop_key).persist()
+    _PR_EDGE_CACHE.append(edb)
+    edb.count()  # materialize full-width before column-pruned readers
+    # in-place on the loop key; indeg == outdeg on the symmetrized graph
+    deg = edb.groupBy(loop_key).agg(F.count(F.lit(1)).alias("outdeg")).select(
+        F.col(loop_key).alias("node"), "outdeg"
+    )
+    ranks = deg.select(
+        F.col("node").alias("src"),
+        F.lit(PR_SCALE).cast("bigint").alias("rank"),
+        "outdeg",
     )
     for _ in range(PR_ITERS):
+        # per-NODE contribution value; edges only look it up and sum
+        r = ranks.select(
+            "src", F.expr("(rank * 85) div (100 * outdeg)").alias("c")
+        )
+        rb = F.broadcast(r) if broadcast_ranks else r
         contrib = (
-            edb.join(ranks, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr(f"(rank * 85) div (100 * outdeg)").alias("c"),
-            )
-            .groupBy("node")
+            edb.join(rb, "src")
+            .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = contrib.select(
-            F.col("node").alias("src"),
+        # re-attach outdeg for the next round: contrib is partitioned by
+        # dst and deg by the loop key — in the broadcast path both are
+        # dst (aligned join, no exchange); in the fallback path both
+        # sides are hash-partitioned on their join key (dst vs node=src),
+        # so neither re-shuffles
+        ranks = contrib.join(deg, contrib.dst == deg.node).select(
+            F.col("dst").alias("src"),
             (F.lit(PR_BASE).cast("bigint") + F.col("in_mass")).alias("rank"),
+            "outdeg",
         )
-    return ranks.select(F.col("src").alias("node"), "rank")
+    node_str = F.when(
+        F.col("src") % 2 == 0,
+        F.concat(F.lit("c"), F.expr("src div 2").cast("string")),
+    ).otherwise(F.concat(F.lit("s"), F.expr("src div 2").cast("string")))
+    return ranks.select(node_str.alias("node"), "rank")
 
 
 def _pr_unrolled_sql():

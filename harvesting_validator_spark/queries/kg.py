@@ -684,6 +684,60 @@ def _rec_run(spark, sf_dir):
     return _RUN_CACHE[key]
 
 
+class _TriplesOnlyRun:
+    """Parse-only stand-in for a ValidationRun: exposes ``triples`` and
+    the ``cleanup()`` contract the bench's cache sweeps rely on."""
+
+    def __init__(self, triples, persisted):
+        self.triples = triples
+        self._persisted = persisted
+
+    def cleanup(self) -> None:
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def _rec_triples(spark, sf_dir):
+    """Parsed triples of the recursive-path corpus WITHOUT running the
+    SHACL validation (r6, guide §1.2 "don't compute things you throw
+    away"): sparql_reachable_rollup reads ONLY ``run.triples``, yet the
+    shared ``_rec_run`` accessor eagerly materializes the whole
+    REC_PATH_PROFILE closure validation (``violations.count()`` —
+    measured ~20s at sf1.0) before handing the triples over. The
+    SPARQL-side query plans are identical either way (same parse kernel,
+    same single doc_id exchange); only the untouched validation branch
+    disappears. ``kg_recursive_verdicts`` still builds the full run via
+    ``_rec_run``; when that run is already cached its triples are
+    reused here instead of re-parsing."""
+    full = _RUN_CACHE.get((id(spark), sf_dir, "recpath"))
+    if full is not None:
+        return full.triples
+    key = (id(spark), sf_dir, "recpath-triples")
+    if key not in _RUN_CACHE:
+        from harvesting_validator_spark.plans.pipeline import add_doc_id
+        from harvesting_validator_spark.sources.rdf_parse import (
+            parse_sources_to_triples,
+        )
+        from harvesting_validator_spark.sources.synthetic import (
+            generate_recursive_path_sources,
+        )
+
+        n = _corpus_n(spark, sf_dir)
+        sources = generate_recursive_path_sources(spark, n)
+        with _sized_shuffle(spark, n):
+            triples = parse_sources_to_triples(
+                add_doc_id(sources), repartition_by_doc=True
+            ).persist()
+            # full-width materialization before the query's many
+            # column-pruned scans (house persist invariant)
+            triples.count()
+        _RUN_CACHE[key] = _TriplesOnlyRun(triples, [triples])
+    return _RUN_CACHE[key].triples
+
+
 O_RECURSIVE_VERDICTS = """
 WITH idx AS (
   SELECT doc_id AS i,

@@ -259,9 +259,11 @@ SELECT ?g (COUNT(?anc) AS ?n_ancestors) WHERE {
 
 
 def q_sparql_reachable_rollup(spark, sf_dir):
-    from harvesting_validator_spark.queries.kg import _rec_run
+    # r6: triples-only accessor — this query never touches the validation
+    # branch, so the REC-profile SHACL closure run is not materialized
+    from harvesting_validator_spark.queries.kg import _rec_triples
 
-    return sparql_select(_rec_run(spark, sf_dir).triples, _Q_REACHABLE)
+    return sparql_select(_rec_triples(spark, sf_dir), _Q_REACHABLE)
 
 
 O_REACHABLE = """

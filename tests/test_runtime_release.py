@@ -68,36 +68,32 @@ def test_kg_run_cleanup_returns_storage_to_baseline(spark):
 
 
 def test_bench_style_sweep_after_pagerank(spark, sf_dir):
-    """The pagerank edge list now lives in a bucketed table, not a
-    localCheckpoint, so the query leaves NO resident executor storage —
-    and the bucketed scratch table itself (session-catalog entry + /tmp
-    parquet dir) must return to baseline once the bench-style
-    release_bucketed_tables sweep runs (VERDICT r4 what's-wrong #1)."""
-    import os
-
-    from harvesting_validator_spark.queries.graphops import q_pagerank_bipartite
-    from harvesting_validator_spark.runtime import (
-        _BUCKETED_TABLES,
-        release_bucketed_tables,
+    """r6: the pagerank edge list lives in a layout-preserving persisted
+    repartition (no bucketed scratch table, no catalog entry, no /tmp
+    dir). One invocation leaves exactly ONE resident cache (the edge
+    table backing the returned DataFrame); a second invocation releases
+    the first via the module handle; the bench-style release_new_rdds
+    sweep returns storage to baseline."""
+    from harvesting_validator_spark.queries.graphops import (
+        _PR_EDGE_CACHE,
+        q_pagerank_bipartite,
     )
 
-    # earlier tests in the shared session may have run bucketed-table
-    # queries (the oracle-tail gate runs graphops) without sweeping —
-    # sweep first so the baseline snapshot is clean
-    release_bucketed_tables(spark)
+    # earlier tests in the shared session (test_plans runs pagerank too)
+    # may have left a live edge cache: drain it BEFORE snapshotting, else
+    # this test's invocation releases an id that is part of `base`
+    while _PR_EDGE_CACHE:
+        _PR_EDGE_CACHE.pop().unpersist(blocking=True)
     base = _storage_ids(spark)
     base_tables = {t.name for t in spark.catalog.listTables()}
     assert q_pagerank_bipartite(spark, sf_dir).count() > 0
-    assert _storage_ids(spark) == base, "expected no resident storage"
-
-    tracked = dict(_BUCKETED_TABLES.get(id(spark), {}))
-    assert tracked, "pagerank did not register its bucketed scratch table"
-    name, path = next(iter(tracked.items()))
-    assert os.path.isdir(path)
-    assert name in {t.name for t in spark.catalog.listTables()}
-
-    assert release_bucketed_tables(spark) == len(tracked)
+    resident = _storage_ids(spark) - base
+    assert len(resident) == 1, f"expected the edge cache only, got {resident}"
     assert {t.name for t in spark.catalog.listTables()} == base_tables
-    assert not os.path.exists(path)
-    # idempotent: a second sweep has nothing to do
-    assert release_bucketed_tables(spark) == 0
+
+    # a second invocation must hand off the cache, not accumulate
+    assert q_pagerank_bipartite(spark, sf_dir).count() > 0
+    release_new_rdds(spark, base, blocking=True)
+    assert _storage_ids(spark) == base
+    assert len(_PR_EDGE_CACHE) == 1  # handle for the (now-released) last run
+    _PR_EDGE_CACHE.clear()
