@@ -144,7 +144,14 @@ def run_kg_construction(
     ).persist()
     persisted.append(triples)
 
-    mentions = extract_mentions(triples)
+    # r6: mentions feed three consumers (the blocking chain, the
+    # canonical-mapping's all-entities side, and the run's own export);
+    # without a persist each consumer re-runs the two-scan pivot over
+    # triples (profiled ~1.6s per recompute at sf1.0). Eager counts here
+    # measured neutral (the first consuming job materializes either
+    # cache just as well), so materialization stays lazy.
+    mentions = extract_mentions(triples).persist()
+    persisted.append(mentions)
     if blocking == "key":
         candidates = block_candidates_by_key(mentions)
     else:

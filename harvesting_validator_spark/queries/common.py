@@ -33,6 +33,36 @@ def tokens(col="text") -> "F.Column":
     return F.split(F.col(col), " ")
 
 
+def spread_scan(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> DataFrame:
+    """Parallelism guard for CPU-heavy pipelines rooted at a small-file
+    scan (r6, generalized from the r3 lsh-candidates guard): the file
+    source plans ~(bytes / maxPartitionBytes) splits, so a few-MB bench
+    parquet serializes a quadratic or per-row-expensive downstream onto
+    1-2 tasks (AQE partition coalescing is off, session.py). Spread the
+    scan across default parallelism when the planner would under-split;
+    at corpus scale the scan already has >= that many splits and this
+    no-ops. Split count is estimated from the same inputs the planner
+    uses — never df.rdd.getNumPartitions (house invariant: that runs a
+    full plan analysis + RDD conversion per call)."""
+    import re as _re
+
+    from harvesting_validator_spark import fs as _fs
+
+    mpb_raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    m = _re.match(r"(\d+)([bkmg]?)", mpb_raw.lower())
+    mpb = int(m.group(1)) * {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20,
+                             "g": 1 << 30}[m.group(2)]
+    try:
+        scan_bytes = _fs.tree_size(spark, f"{sf_dir}/{name}.parquet")
+    except Exception:
+        scan_bytes = 0
+    scan_parts = max(1, -(-scan_bytes // mpb)) if scan_bytes else 1
+    want = spark.sparkContext.defaultParallelism
+    if scan_parts < want:
+        return df.repartition(want)
+    return df
+
+
 def epoch_us(col="ts") -> "F.Column":
     """Epoch microseconds for a parquet TIMESTAMP_NTZ column. The session
     timezone is pinned to UTC (session.py), so NTZ -> TIMESTAMP is a

@@ -619,13 +619,16 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     keeps the operator observable)."""
     from pyspark.sql.window import Window
 
+    from harvesting_validator_spark.queries.common import spread_scan
     from harvesting_validator_spark.queries.similarity import (
         _as_double,
         _bucket_col,
         _cosine,
     )
 
-    e = tbl(spark, sf_dir, "embeddings").select(
+    e = spread_scan(
+        spark, sf_dir, "embeddings", tbl(spark, sf_dir, "embeddings")
+    ).select(
         "vec_id", _as_double("embedding").alias("v")
     ).withColumn("bucket", _bucket_col(F.col("v")))
     a, b = e.alias("a"), e.alias("b")

@@ -18,43 +18,73 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from harvesting_validator_spark.queries.common import dround, tbl
+from harvesting_validator_spark.queries.common import dround, spread_scan, tbl
 
 N_QUERIES = 8
 TOP_K = 5
+DIM = 64  # embeddings table width (the oracle's range(1, 65) hardcodes it)
 
 
 def _as_double(col):
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
+def _ltr_sum(terms):
+    """Left-to-right chained addition — the exact fp order of the r5
+    ``F.aggregate`` fold and of DuckDB's list functions, as codegen
+    arithmetic instead of an interpreted higher-order function."""
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    return s
+
+
+def _dot(a, b):
+    return _ltr_sum(
+        [F.element_at(a, i) * F.element_at(b, i) for i in range(1, DIM + 1)]
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        _ltr_sum(
+            [F.element_at(a, i) * F.element_at(a, i) for i in range(1, DIM + 1)]
+        )
+    )
+
+
 def _cosine(a, b):
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    na = F.sqrt(
-        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
-    )
-    nb = F.sqrt(
-        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
-    )
-    return dot / (na * nb)
+    """r6: unrolled element_at arithmetic (guide §4.1 — higher-order
+    lambdas like aggregate/zip_with run interpreted per row; the r5 fold
+    cost ~10x the arithmetic on the 400k-pair brute-force scan). The
+    chained adds keep the fold's left-to-right order, so every double is
+    bit-identical to the r5 expression and to DuckDB's list_sum."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact top-k: the correctness baseline every ANN variant
-    is measured against."""
-    e = tbl(spark, sf_dir, "embeddings").select(
+    is measured against. r6: norms attach per VECTOR before the cross
+    join (one norm per corpus row instead of one per (query, row) pair);
+    the division q_norm * v_norm multiplies the same doubles the fused
+    expression produced, so cos stays bit-identical."""
+    e = spread_scan(
+        spark, sf_dir, "embeddings", tbl(spark, sf_dir, "embeddings")
+    ).select(
         "vec_id", _as_double("embedding").alias("v")
-    )
+    ).withColumn("nrm", _norm(F.col("v")))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     pairs = F.broadcast(q).crossJoin(e).filter(F.col("q_id") != F.col("vec_id"))
     scored = pairs.select(
         "q_id",
         F.col("vec_id").alias("neighbor_id"),
-        dround(_cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+        dround(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -90,7 +120,9 @@ QUALIFY rank <= {TOP_K}
 def q_cosine_topk_ivf(spark, sf_dir):
     """IVF-style: restrict each query's scan to its own coarse cell
     (label) — equi-join on the cell id instead of a cross join."""
-    e = tbl(spark, sf_dir, "embeddings").select(
+    e = spread_scan(
+        spark, sf_dir, "embeddings", tbl(spark, sf_dir, "embeddings")
+    ).select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(

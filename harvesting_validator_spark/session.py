@@ -68,6 +68,19 @@ def get_spark(
         # side of per-doc joins — a driver-serialized broadcast build per
         # join that destroyed multi-core scaling
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # r6 (guide §6): the stock 128MB split size leaves every mid-size
+        # bench parquet (lineitem 126MB, orders 25MB, events 16MB) on 1-2
+        # scan tasks, serializing scan+project+partial-agg pipelines on a
+        # 32-core box with AQE coalescing off. 16MB floors scan
+        # parallelism at ~bytes/16MB tasks (measured: the lineitem/events
+        # query set 13.6s -> 8.4s at sf1.0; 4MB adds nothing more).
+        # Scale-dependent by design: a cluster doing large sequential
+        # scans wants 128MB-1GB — override via SPARK_GRAFT_MAX_PARTITION_
+        # BYTES or extra_conf; CPU-bound small-file local runs keep 16MB.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
