@@ -344,19 +344,25 @@ def _token_classes(spark, sf_dir):
     ).withColumn("n_toks", F.size("ti"))
 
 
-def _bitmap_vocab(cls):
-    """Bounded dictionary probe for the bitmap fast path. Two metadata-
-    sized actions: an HLL estimate first (map-side partial agg — cheap at
-    any corpus size, and the scale guard: a web-scale vocabulary never
-    reaches the exact pass), then an exact distinct capped at 257 rows.
-    Exactness never rests on the HLL estimate — if the capped distinct
-    overflows the word budget the caller falls back to array_intersect.
-    Returns the sorted token-hash vocabulary, or None."""
+def _bitmap_vocab(cls, n_classes: int | None = None):
+    """Bounded dictionary probe for the bitmap fast path. At most two
+    metadata-sized actions: an HLL estimate first (map-side partial agg
+    — cheap at any corpus size, and the scale guard: a web-scale
+    vocabulary never reaches the exact pass), then an exact distinct
+    capped at 257 rows. When the caller already knows the class count is
+    small (the persist count), the exact pass alone is cheaper than
+    HLL + exact, so the estimate is skipped. Exactness never rests on
+    the HLL estimate — if the capped distinct overflows the word budget
+    the caller falls back to array_intersect. Returns the sorted
+    token-hash vocabulary, or None."""
     cap = 64 * _LSH_VOCAB_WORDS_MAX
     exploded = cls.select(F.explode("ti").alias("t"))
-    approx = exploded.agg(F.approx_count_distinct("t").alias("c")).collect()[0]["c"]
-    if approx > cap + 64:  # HLL error margin; only a hint, never a proof
-        return None
+    if n_classes is None or n_classes > 1_000_000:
+        approx = (
+            exploded.agg(F.approx_count_distinct("t").alias("c")).collect()[0]["c"]
+        )
+        if approx > cap + 64:  # HLL error margin; only a hint, never a proof
+            return None
     vals = [r["t"] for r in exploded.distinct().limit(cap + 1).collect()]
     if len(vals) > cap:
         return None
@@ -433,8 +439,8 @@ def q_lsh_verified_pairs(spark, sf_dir):
     _LSH_CLS_CACHE.append(cls)
     # full-width materialization before any column-pruned reader (house
     # invariant: first-scan column pruning breaks later full-width reads)
-    cls.count()
-    vocab = _bitmap_vocab(cls)
+    n_classes = cls.count()
+    vocab = _bitmap_vocab(cls, n_classes)
     if vocab is not None:
         words = _bitmap_words(vocab)
         n_words = len(words)
