@@ -516,7 +516,30 @@ def q_lsh_verified_pairs(spark, sf_dir):
         )
     uni = F.col("ma.n_toks") + F.col("mb.n_toks") - inter
     jac = dround(inter.cast("double") / uni, 6)
-    cp = j.select("ca", "cb", jac.alias("jaccard")).filter(F.col("jaccard") >= 0.7)
+    if n_words:
+        # integer-exact >= 0.7 pre-filter (bitmap path only): Spark's
+        # round() allocates a BigDecimal per evaluation, and the filter
+        # otherwise pays it on EVERY surviving band collision. With
+        # round-half-up to 6 places, round(i/u,6) >= 0.7  <=>  i/u >=
+        # 0.6999995  <=>  10^7*i >= 6999995*u — exact in integers, and
+        # the double division cannot straddle the boundary because u <=
+        # 2*256 here, so i/u is never within 1e-6 of 0.6999995 without
+        # being >= 0.7 exactly (nearest fraction with denominator <= 512
+        # sits >= ~3.8e-6 away). The projected jaccard column keeps the
+        # identical round() expression, now computed only on survivors;
+        # NULLs (absent masks) drop under both predicates. The
+        # array_intersect fallback keeps the plain rounded filter (u is
+        # unbounded there).
+        keep = (inter * F.lit(10_000_000).cast("bigint")) >= (
+            F.lit(6_999_995).cast("bigint") * uni
+        )
+        cp = j.filter(keep).select("ca", "cb", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= 0.7
+        )
+    else:
+        cp = j.select("ca", "cb", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= 0.7
+        )
 
     mem = cls.select("class_id", "members")
     return (

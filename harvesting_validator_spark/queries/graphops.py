@@ -167,11 +167,16 @@ def q_pagerank_bipartite(spark, sf_dir):
         F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
     )
     e = pair.select(F.explode(both).alias("e")).select("e.src", "e.dst")
+    import re as _re
+
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    bcast_threshold = int(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        .lower().rstrip("b")
-    )
+    thr_raw = spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760"
+    ).lower()
+    m = _re.match(r"(-?\d+)([bkmg]?)", thr_raw)
+    bcast_threshold = int(m.group(1)) * {
+        "": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30
+    }[m.group(2)]
     n_bound = (
         tbl(spark, sf_dir, "customer").count()
         + tbl(spark, sf_dir, "supplier").count()
