@@ -147,11 +147,13 @@ def run_kg_construction(
     # r6: mentions feed three consumers (the blocking chain, the
     # canonical-mapping's all-entities side, and the run's own export);
     # without a persist each consumer re-runs the two-scan pivot over
-    # triples (profiled ~1.6s per recompute at sf1.0). Eager counts here
-    # measured neutral (the first consuming job materializes either
-    # cache just as well), so materialization stays lazy.
+    # triples (profiled ~1.6s per recompute at sf1.0). The full-width
+    # count honors the house persist invariant — every in-pipeline
+    # consumer is column-pruned, and a pruned first scan does not
+    # reliably serve later full-width readers (run.mentions export).
     mentions = extract_mentions(triples).persist()
     persisted.append(mentions)
+    mentions.count()
     if blocking == "key":
         candidates = block_candidates_by_key(mentions)
     else:

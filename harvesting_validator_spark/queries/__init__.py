@@ -80,7 +80,8 @@ _R6_WINDOW = (
     + list(graphops.QUERIES)
     + ["json_props_rollup", "daily_rolling_events", "doc_length_histogram"]
 )
-assert len(_R6_WINDOW) == 50, f"window is {len(_R6_WINDOW)} slots, want 50"
+if len(_R6_WINDOW) != 50:  # driver-visible guard — must survive python -O
+    raise ValueError(f"driver window is {len(_R6_WINDOW)} slots, want 50")
 
 ALL_QUERIES = {n: _BY_NAME_QUERIES[n] for n in _R6_WINDOW}
 ALL_QUERIES.update(

@@ -43,7 +43,10 @@ def spread_scan(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> D
     at corpus scale the scan already has >= that many splits and this
     no-ops. Split count is estimated from the same inputs the planner
     uses — never df.rdd.getNumPartitions (house invariant: that runs a
-    full plan analysis + RDD conversion per call)."""
+    full plan analysis + RDD conversion per call). FAILS CLOSED: when
+    the size probe errors (exotic filesystems), the guard is skipped —
+    an unconditional repartition would full-shuffle a corpus-scale scan
+    exactly where the docstring promises a no-op."""
     import re as _re
 
     from harvesting_validator_spark import fs as _fs
@@ -55,12 +58,20 @@ def spread_scan(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> D
     try:
         scan_bytes = _fs.tree_size(spark, f"{sf_dir}/{name}.parquet")
     except Exception:
-        scan_bytes = 0
-    scan_parts = max(1, -(-scan_bytes // mpb)) if scan_bytes else 1
+        return df
+    if not scan_bytes:
+        return df
+    scan_parts = max(1, -(-scan_bytes // mpb))
     want = spark.sparkContext.defaultParallelism
     if scan_parts < want:
         return df.repartition(want)
     return df
+
+
+def spread_tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """tbl() + spread_scan in one call so the sizing probe and the scan
+    can never name different tables."""
+    return spread_scan(spark, sf_dir, name, tbl(spark, sf_dir, name))
 
 
 def epoch_us(col="ts") -> "F.Column":

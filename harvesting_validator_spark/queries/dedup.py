@@ -13,8 +13,6 @@ the LSH candidates (minhash_lsh_pairs) + verify-on-candidates
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import functions as F
 
 from harvesting_validator_spark.queries.common import dround, md5_int, tbl, tokens
@@ -40,25 +38,29 @@ FROM documents GROUP BY sha256(text)
 
 
 # --- minhash signatures (columnar, shuffle-free) ---------------------------------
-def _minhash_cols():
-    """mh_s = min over distinct tokens of md5int(s:tok); plain array ops.
+def _mh_over(toks, s: int):
+    """mh_s over an arbitrary token-array column: min over tokens of
+    md5int(s:tok). ONE definition shared by the doc-level signatures and
+    the r6 class-level signatures — the two MUST stay hash-consistent
+    for the class rewrite's equivalence to hold, so the formula lives in
+    exactly one place.
 
     NB: constants must be closed over via a factory — a two-argument
     lambda passed to F.transform is interpreted as (element, index)."""
+    prefix = f"{s}:"
+    return F.array_min(
+        F.transform(
+            toks,
+            lambda t: F.conv(
+                F.substring(F.md5(F.concat(F.lit(prefix), t)), 1, 8), 16, 10
+            ).cast("bigint"),
+        )
+    ).alias(f"mh{s}")
+
+
+def _minhash_cols():
     toks = F.array_distinct(tokens())
-
-    def mh(s: int):
-        prefix = f"{s}:"
-        return F.array_min(
-            F.transform(
-                toks,
-                lambda t: F.conv(
-                    F.substring(F.md5(F.concat(F.lit(prefix), t)), 1, 8), 16, 10
-                ).cast("bigint"),
-            )
-        ).alias(f"mh{s}")
-
-    return [mh(s) for s in range(N_HASHES)]
+    return [_mh_over(toks, s) for s in range(N_HASHES)]
 
 
 _MH_SQL = ",\n       ".join(
@@ -128,24 +130,12 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     # quadratic pair work ran near-serial (measured 39-47s). Spreading
     # the tiny signature table (1 row/doc) across default parallelism
     # restores full-width probing for ~nothing; at corpus scale the scan
-    # already has >= that many splits and this branch never fires.
-    # split-count estimate from the same inputs the file-source planner
-    # uses (total bytes / maxPartitionBytes) — NOT df.rdd.getNumPartitions,
-    # which runs full plan analysis + RDD conversion per call
-    from harvesting_validator_spark import fs as _fs
+    # already has >= that many splits and this no-ops (r6: the inline
+    # sizing logic moved to the shared spread_scan helper, which also
+    # fails CLOSED when the size probe errors)
+    from harvesting_validator_spark.queries.common import spread_scan
 
-    mpb_raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    m = re.match(r"(\d+)([bkmg]?)", mpb_raw.lower())
-    mpb = int(m.group(1)) * {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20,
-                             "g": 1 << 30}[m.group(2)]
-    try:
-        scan_bytes = _fs.tree_size(spark, f"{sf_dir}/documents.parquet")
-    except Exception:
-        scan_bytes = 0
-    scan_parts = max(1, -(-scan_bytes // mpb)) if scan_bytes else 1
-    want = spark.sparkContext.defaultParallelism
-    if scan_parts < want:
-        sig = sig.repartition(want)
+    sig = spread_scan(spark, sf_dir, "documents", sig)
     # one row per (doc, band) carrying the FULL signature: the first-band
     # test below is then plain unrolled bigint comparisons that stay
     # inside whole-stage codegen (a slice/zip_with/exists formulation of
@@ -326,21 +316,10 @@ def _token_classes(spark, sf_dir):
         )
     )
 
-    def mh(s: int):
-        prefix = f"{s}:"
-        return F.array_min(
-            F.transform(
-                F.col("ts"),
-                lambda t: F.conv(
-                    F.substring(F.md5(F.concat(F.lit(prefix), t)), 1, 8), 16, 10
-                ).cast("bigint"),
-            )
-        ).alias(f"mh{s}")
-
     ti = F.array_distinct(F.transform(F.col("ts"), md5_int))
     return cls.select(
         "class_id", "members", ti.alias("ti"),
-        *[mh(s) for s in range(N_HASHES)],
+        *[_mh_over(F.col("ts"), s) for s in range(N_HASHES)],
     ).withColumn("n_toks", F.size("ti"))
 
 
@@ -429,14 +408,9 @@ def q_lsh_verified_pairs(spark, sf_dir):
     The class table is persisted (it feeds 7 plan branches; InMemory
     stats also give AQE true sizes for the broadcast decisions); the
     previous invocation's cache is released via _LSH_CLS_CACHE."""
-    cls = _token_classes(spark, sf_dir)
-    while _LSH_CLS_CACHE:
-        try:
-            _LSH_CLS_CACHE.pop().unpersist()
-        except Exception:
-            pass
-    cls = cls.persist()
-    _LSH_CLS_CACHE.append(cls)
+    from harvesting_validator_spark.runtime import swap_persisted
+
+    cls = swap_persisted(_LSH_CLS_CACHE, _token_classes(spark, sf_dir))
     # full-width materialization before any column-pruned reader (house
     # invariant: first-scan column pruning breaks later full-width reads)
     n_classes = cls.count()
@@ -648,16 +622,14 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     keeps the operator observable)."""
     from pyspark.sql.window import Window
 
-    from harvesting_validator_spark.queries.common import spread_scan
+    from harvesting_validator_spark.queries.common import spread_tbl
     from harvesting_validator_spark.queries.similarity import (
         _as_double,
         _bucket_col,
         _cosine,
     )
 
-    e = spread_scan(
-        spark, sf_dir, "embeddings", tbl(spark, sf_dir, "embeddings")
-    ).select(
+    e = spread_tbl(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     ).withColumn("bucket", _bucket_col(F.col("v")))
     a, b = e.alias("a"), e.alias("b")

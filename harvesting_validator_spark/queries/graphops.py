@@ -184,17 +184,9 @@ def q_pagerank_bipartite(spark, sf_dir):
     # ~64B per built hash-relation row (string node id + bigint + overhead)
     broadcast_ranks = n_bound * 64 <= bcast_threshold
     loop_key = "dst" if broadcast_ranks else "src"
-    # release the previous invocation's cache BEFORE persisting: the two
-    # plans are identical for a repeated (session, sf_dir) call, so a
-    # persist-then-release order would no-op the new persist ("already
-    # cached") and then drop the shared cache entry out from under it
-    while _PR_EDGE_CACHE:
-        try:
-            _PR_EDGE_CACHE.pop().unpersist()
-        except Exception:
-            pass
-    edb = e.repartition(n_parts, loop_key).persist()
-    _PR_EDGE_CACHE.append(edb)
+    from harvesting_validator_spark.runtime import swap_persisted
+
+    edb = swap_persisted(_PR_EDGE_CACHE, e.repartition(n_parts, loop_key))
     edb.count()  # materialize full-width before column-pruned readers
     # in-place on the loop key; indeg == outdeg on the symmetrized graph
     deg = edb.groupBy(loop_key).agg(F.count(F.lit(1)).alias("outdeg")).select(

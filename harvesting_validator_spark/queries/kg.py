@@ -681,6 +681,13 @@ def _rec_run(spark, sf_dir):
         sources = generate_recursive_path_sources(spark, n)
         with _sized_shuffle(spark, n):
             _RUN_CACHE[key] = run_validation(spark, sources, REC_PATH_PROFILE)
+        # the triples-only cache (if _rec_triples ran first) is now
+        # redundant — the full run's triples supersede it; release the
+        # persisted parse instead of pinning two copies
+        t_key = (id(spark), sf_dir, "recpath-triples")
+        stale = _RUN_CACHE.pop(t_key, None)
+        if stale is not None:
+            stale.cleanup()
     return _RUN_CACHE[key]
 
 

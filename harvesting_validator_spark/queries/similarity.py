@@ -18,11 +18,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from harvesting_validator_spark.queries.common import dround, spread_scan, tbl
+from harvesting_validator_spark.queries.common import dround, spread_tbl, tbl
 
 N_QUERIES = 8
 TOP_K = 5
-DIM = 64  # embeddings table width (the oracle's range(1, 65) hardcodes it)
+# embeddings table width — shared by the unrolled kernels, the hyperplane
+# weights, and the DuckDB oracle SQL (range(1, 65)); ONE constant so the
+# Spark kernels and their oracles cannot silently disagree
+N_DIMS = 64
 
 
 def _as_double(col):
@@ -41,14 +44,14 @@ def _ltr_sum(terms):
 
 def _dot(a, b):
     return _ltr_sum(
-        [F.element_at(a, i) * F.element_at(b, i) for i in range(1, DIM + 1)]
+        [F.element_at(a, i) * F.element_at(b, i) for i in range(1, N_DIMS + 1)]
     )
 
 
 def _norm(a):
     return F.sqrt(
         _ltr_sum(
-            [F.element_at(a, i) * F.element_at(a, i) for i in range(1, DIM + 1)]
+            [F.element_at(a, i) * F.element_at(a, i) for i in range(1, N_DIMS + 1)]
         )
     )
 
@@ -68,9 +71,7 @@ def q_cosine_topk(spark, sf_dir):
     join (one norm per corpus row instead of one per (query, row) pair);
     the division q_norm * v_norm multiplies the same doubles the fused
     expression produced, so cos stays bit-identical."""
-    e = spread_scan(
-        spark, sf_dir, "embeddings", tbl(spark, sf_dir, "embeddings")
-    ).select(
+    e = spread_tbl(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -120,9 +121,7 @@ QUALIFY rank <= {TOP_K}
 def q_cosine_topk_ivf(spark, sf_dir):
     """IVF-style: restrict each query's scan to its own coarse cell
     (label) — equi-join on the cell id instead of a cross join."""
-    e = spread_scan(
-        spark, sf_dir, "embeddings", tbl(spark, sf_dir, "embeddings")
-    ).select(
+    e = spread_tbl(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -164,7 +163,6 @@ QUALIFY rank <= {TOP_K}
 
 
 N_PLANES = 4
-N_DIMS = 64
 
 
 def _plane_weights() -> list[list[float]]:

@@ -157,12 +157,12 @@ def q_contamination_flags(spark, sf_dir):
     set (here: docs with doc_id % 97 == 0 stand in for an eval suite).
     Inner-join on the gram string against the (small, broadcastable)
     benchmark gram set, count distinct overlapping grams per doc."""
-    from harvesting_validator_spark.queries.common import spread_scan
+    from harvesting_validator_spark.queries.common import spread_tbl
 
     # r6: the few-MB bench parquet plans 1-2 splits, serializing the
     # n-gram explode onto 1-2 tasks; spread to full parallelism (no-op
     # at corpus scale — see spread_scan)
-    d = spread_scan(spark, sf_dir, "documents", tbl(spark, sf_dir, "documents"))
+    d = spread_tbl(spark, sf_dir, "documents")
     t = d.select(
         "doc_id", tokens().alias("toks"), F.size(tokens()).alias("n")
     ).filter(F.col("n") >= CONTAM_GRAM)

@@ -74,7 +74,28 @@ _BUCKETED_TABLES: dict[int, dict[str, str]] = {}
 
 
 def track_bucketed_table(spark: SparkSession, name: str, path: str) -> None:
+    # r6: pagerank (the registry's last writer) moved to a persisted
+    # repartition, so nothing registers here today — the seam stays
+    # because bench.py (frozen) sweeps via release_bucketed_tables and
+    # any future bucketed scratch table must re-use this hygiene path.
     _BUCKETED_TABLES.setdefault(id(spark), {})[name] = path
+
+
+def swap_persisted(handles: list, df):
+    """Persist ``df`` and hand it into a module-level single-slot cache,
+    releasing whatever the slot held. Release happens BEFORE the new
+    persist: for a repeated (session, inputs) call the two plans are
+    identical, so persist-then-release would no-op the new persist
+    ("already cached") and then drop the shared cache entry from under
+    it. Callers' bench sweeps (release_new_rdds) stay the backstop."""
+    while handles:
+        try:
+            handles.pop().unpersist()
+        except Exception:
+            pass
+    df = df.persist()
+    handles.append(df)
+    return df
 
 
 def release_bucketed_tables(spark: SparkSession) -> int:
